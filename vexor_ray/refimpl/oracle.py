@@ -1,0 +1,92 @@
+"""Single-process end-to-end oracle: pages table → index → BM25 top-k.
+
+This is the slow, obviously-correct implementation the Ray engine is tested
+against for rank-identity.  Pipeline semantics (pinned here AND in the Ray
+engine — see FIXTURES.md):
+
+1. extract: ``text = extract_text(html)`` (byte-identical contract); pages
+   whose extraction yields ``None`` are dropped and never get a docID.
+2. docID: dense rank of ``url`` in ascending url order over surviving pages
+   (deterministic under any parallelism; gives the (score desc, docID asc)
+   tie-break a stable meaning — the Ray engine computes the same ranks with
+   a distributed sort + block-offset prefix sum).
+3. document: ``f"{url} {text}"``; ``doc_len`` = token count of the document.
+4. score: ``score_postings`` with the spec constants; top-k by
+   (score desc, docID asc).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..spec import FULL_CHAR_LIMIT
+from . import bm25, textnorm
+
+
+@dataclass
+class OracleIndex:
+    doc_count: int = 0
+    avg_doc_len: float = 0.0
+    urls: list[str] = field(default_factory=list)  # doc_id -> url
+    doc_lens: list[int] = field(default_factory=list)  # doc_id -> token count
+    postings: dict[str, list[tuple[int, int, int]]] = field(default_factory=dict)
+    # term -> [(doc_id, tf, doc_len)] with doc_id ascending
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+
+def build_oracle_index(
+    pages: list[tuple[str, bytes | None]] | list[tuple[str, bytes | None, str | None]],
+    char_limit: int = FULL_CHAR_LIMIT,
+    text_only: bool = False,
+) -> OracleIndex:
+    """Index a list of ``(url, html)`` pairs (or ``(key, None, text)`` rows).
+
+    ``text_only=True`` indexes pre-extracted text documents where the lexical
+    document is the text alone (used for the ``documents`` corpus); otherwise
+    the document is ``f"{url} {extracted_text}"``.
+    """
+    extracted: list[tuple[str, str]] = []
+    for row in pages:
+        if len(row) == 3 and row[1] is None:
+            url, _, text = row  # pre-extracted text path
+            if text is None:
+                continue
+            text = textnorm.normalize_text(text)
+            if not text:
+                continue
+        else:
+            url, html = row[0], row[1]
+            text = textnorm.extract_text(html, char_limit)
+            if text is None:
+                continue
+        extracted.append((url, text))
+
+    extracted.sort(key=lambda item: item[0])
+    index = OracleIndex()
+    total_len = 0
+    for doc_id, (url, text) in enumerate(extracted):
+        document = text if text_only else bm25.build_document(url, text)
+        tokens = bm25.tokenize(document)
+        tfs = bm25.term_frequencies(tokens)
+        doc_len = len(tokens)
+        index.urls.append(url)
+        index.doc_lens.append(doc_len)
+        total_len += doc_len
+        for term, tf in tfs.items():
+            index.postings.setdefault(term, []).append((doc_id, tf, doc_len))
+    index.doc_count = len(extracted)
+    index.avg_doc_len = total_len / index.doc_count if index.doc_count else 0.0
+    return index
+
+
+def search(index: OracleIndex, query: str, k: int = 10) -> list[tuple[int, float]]:
+    """BM25 top-k over the oracle index: [(doc_id, score)] ranked."""
+    terms = bm25.preprocess_query(query)
+    if not terms:
+        return []
+    scores = bm25.score_postings(
+        terms, index.postings, index.doc_count, index.avg_doc_len
+    )
+    return bm25.top_k(scores, k)

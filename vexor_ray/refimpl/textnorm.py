@@ -1,0 +1,103 @@
+"""Pure deterministic html→text extraction / normalization (the oracle side).
+
+Semantics mirror the reference's text pipeline (SURVEY.md ⚠8):
+
+- byte-capped read + incremental UTF-8 decode with ``final=False`` so a
+  truncated multi-byte tail is tolerated; ``None`` on hard decode errors
+  (reference ``content_extract_service.py:752-768``);
+- byte cap = ``char_limit * 4`` (``UTF8_BYTE_MULTIPLIER``,
+  ``content_extract_service.py:17``), char cap = ``FULL_CHAR_LIMIT``
+  (``content_extract_service.py:14``);
+- normalization ``text.replace("\\r\\n", "\\n").strip()``
+  (``content_extract_service.py:152,200``);
+- NO html tag stripping: the reference treats ``.html`` as plain text
+  (``content_extract_service.py:73-74``), so ours does too;
+- sliding-window chunking size 1000 / overlap 100, each window stripped and
+  dropped when empty (``content_extract_service.py:155-167``);
+- snippet cleanup: strip lines, drop blanks, join with single spaces
+  (``content_extract_service.py:876-879``).
+
+These are *Python string semantics* on purpose — ``str.strip`` /
+``str.splitlines`` Unicode behavior differs from Arrow kernels, and the
+byte-identical-per-url invariant binds both engine and oracle to exactly
+these functions.  The Ray engine imports and calls these same functions
+inside ``map_batches``; there is one implementation, not two.
+"""
+
+from __future__ import annotations
+
+import codecs
+
+from ..spec import (
+    DEFAULT_CHUNK_OVERLAP,
+    DEFAULT_CHUNK_SIZE,
+    FULL_CHAR_LIMIT,
+    UTF8_BYTE_MULTIPLIER,
+)
+
+
+def decode_utf8(data: bytes, char_limit: int = FULL_CHAR_LIMIT) -> str | None:
+    """Byte-capped incremental UTF-8 decode. ``None`` on error or empty."""
+    if char_limit > 0:
+        data = data[: char_limit * UTF8_BYTE_MULTIPLIER]
+    decoder = codecs.getincrementaldecoder("utf-8")()
+    try:
+        text = decoder.decode(data, final=False)
+    except UnicodeDecodeError:
+        return None
+    if text == "":
+        return None
+    if char_limit > 0:
+        return text[:char_limit]
+    return text
+
+
+def normalize_text(text: str) -> str:
+    """CRLF→LF then strip — the reference's chunk-level normalization."""
+    return text.replace("\r\n", "\n").strip()
+
+
+def extract_text(html: bytes | None, char_limit: int = FULL_CHAR_LIMIT) -> str | None:
+    """html bytes → normalized text, or ``None`` when the page yields nothing.
+
+    This is THE extraction function: byte-identical per url between the Ray
+    engine and the oracle because both call this exact code.
+    """
+    if html is None:
+        return None
+    text = decode_utf8(html, char_limit)
+    if text is None:
+        return None
+    normalized = normalize_text(text)
+    return normalized or None
+
+
+def cleanup_snippet(snippet: str) -> str | None:
+    """Strip each line, drop blanks, join with single spaces."""
+    lines = [line.strip() for line in snippet.splitlines() if line.strip()]
+    joined = " ".join(lines)
+    return joined or None
+
+
+def chunk_text(
+    text: str,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_CHUNK_OVERLAP,
+) -> list[str]:
+    """Sliding-window chunks over already-normalized text."""
+    normalized = normalize_text(text)
+    if not normalized:
+        return []
+    size = max(int(chunk_size), 1)
+    stride = max(size - max(int(overlap), 0), 1)
+    chunks: list[str] = []
+    start = 0
+    length = len(normalized)
+    while start < length:
+        window = normalized[start : start + size].strip()
+        if window:
+            chunks.append(window)
+        if start + size >= length:
+            break
+        start += stride
+    return chunks
