@@ -1,0 +1,139 @@
+"""End-to-end rank-identity: Ray engine vs pure-Python oracle.
+
+Builds the index with aggressive salting (small salt_shift) and multiple
+waves so the skew machinery is exercised even at 1k docs, then asserts for
+every fixture query: exact docID order match and float64 scores equal to
+rel_tol 1e-9 (they are bit-identical by construction; the tolerance guards
+platform noise only).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from vexor_ray.fixtures.pages import generate_queries
+from vexor_ray.index.build import BuildConfig, build_index
+from vexor_ray.query.searcher import Searcher
+from vexor_ray.refimpl import build_oracle_index, search as oracle_search
+
+
+@pytest.fixture(scope="session")
+def built_index(ray_session, pages_1k, tmp_path_factory):
+    out = tmp_path_factory.mktemp("index") / "idx_1k"
+    cfg = BuildConfig(
+        salt_shift=8,  # 256-doc ranges → hot terms split into many chunks
+        num_waves=2,
+        partitions_per_wave=4,
+        shard_group_size=2,
+        tokenize_concurrency=2,
+    )
+    manifest = build_index(pages_1k, out, cfg)
+    return out, manifest
+
+
+@pytest.fixture(scope="session")
+def oracle_1k(pages_1k):
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(sorted(str(f) for f in pages_1k.glob("part-*.parquet"))).to_table()
+    return build_oracle_index(
+        list(zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()))
+    )
+
+
+def test_manifest_stats_match_oracle(built_index, oracle_1k):
+    _, manifest = built_index
+    assert manifest["stats"]["doc_count"] == oracle_1k.doc_count
+    assert math.isclose(
+        manifest["stats"]["avg_doc_len"], oracle_1k.avg_doc_len, rel_tol=1e-12
+    )
+
+
+def test_docids_match_oracle_url_ranks(built_index, oracle_1k):
+    out, manifest = built_index
+    tbl = pq.read_table(manifest["docs_files"], columns=["doc_id", "url"])
+    pairs = sorted(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
+    assert [u for _, u in pairs] == oracle_1k.urls
+    assert [d for d, _ in pairs] == list(range(oracle_1k.doc_count))
+
+
+def test_df_matches_oracle(built_index, oracle_1k):
+    out, _ = built_index
+    s = Searcher(out)
+    for term in ["needledfone", "needledftwo", "needledften", "needledfhundred"]:
+        assert s.df(term) == oracle_1k.df(term), term
+    # a hot term split across many salted chunks must still sum to oracle df
+    hot = max(oracle_1k.postings, key=lambda t: len(oracle_1k.postings[t]))
+    chunks = s.term_chunks([hot])[hot]
+    assert len(chunks) > 1, "salting did not split the hottest term"
+    assert sum(c["n_postings"] for c in chunks) == oracle_1k.df(hot)
+
+
+def test_rank_identity_all_fixture_queries(built_index, oracle_1k):
+    out, _ = built_index
+    s = Searcher(out)
+    queries = generate_queries(120, seed=42)
+    n_nonempty = 0
+    for q in queries:
+        expected = oracle_search(oracle_1k, q["query"], q["k"])
+        got = s.search(q["query"], q["k"], method="exact")
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (_, gs), (_, es) in zip(got, expected):
+            assert math.isclose(gs, es, rel_tol=1e-9), q
+        n_nonempty += bool(expected)
+    assert n_nonempty > 100  # the suite actually exercises scoring
+
+
+def test_tie_break_pair(built_index, oracle_1k, pages_1k):
+    """The duplicate-body pair must tie exactly and order by docID."""
+    import pyarrow.dataset as pads
+
+    out, _ = built_index
+    s = Searcher(out)
+    tbl = pads.dataset(sorted(str(f) for f in pages_1k.glob("part-*.parquet"))).to_table()
+    texts = tbl.column("text").to_pylist()
+    term = texts[13].split()[3]
+    dups = [
+        i
+        for i, u in enumerate(oracle_1k.urls)
+        if u.endswith("-00000013.html") or u.endswith("-00000014.html")
+    ]
+    results = s.search(term, k=oracle_1k.doc_count)
+    scores = {d: sc for d, sc in results}
+    assert scores[dups[0]] == scores[dups[1]]
+    ranks = {d: r for r, (d, _) in enumerate(results)}
+    assert ranks[min(dups)] < ranks[max(dups)]
+
+
+def test_search_hits_table(built_index):
+    out, _ = built_index
+    s = Searcher(out)
+    hits = s.search_hits([{"query_id": 1, "query": "needledften", "k": 5}])
+    assert hits.column_names == ["query_id", "rank", "doc_id", "url", "score"]
+    assert hits.num_rows == 5
+    urls = hits["url"].to_pylist()
+    assert all(u and u.startswith("https://") for u in urls)
+
+
+def test_resume_skips_completed_partitions(built_index, pages_1k):
+    out, manifest1 = built_index
+    # re-running the full build must skip everything (no recompute, same manifest)
+    cfg = BuildConfig(
+        salt_shift=8,
+        num_waves=2,
+        partitions_per_wave=4,
+        shard_group_size=2,
+        tokenize_concurrency=2,
+    )
+    import time
+
+    t0 = time.perf_counter()
+    manifest2 = build_index(pages_1k, out, cfg)
+    assert time.perf_counter() - t0 < 5.0  # pure manifest scan, no Ray jobs
+    assert manifest2["stats"] == manifest1["stats"]
+    assert {p["partition_id"] for p in manifest2["partitions"]} == {
+        p["partition_id"] for p in manifest1["partitions"]
+    }

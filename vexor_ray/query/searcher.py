@@ -1,0 +1,216 @@
+"""BM25 query execution over a committed index.
+
+Exact term-at-a-time scorer (the oracle-parity path) + block-max WAND
+(the fast path, ``wand.py``) — both rank-identical to
+``vexor_ray.refimpl.oracle`` by construction:
+
+- float64 accumulation in the same association order as the reference's
+  per-posting expression ``idf * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl))``;
+- per-doc sums accumulate term-by-term in query order (np.bincount walks the
+  concatenated per-term arrays sequentially), matching the oracle's dict
+  accumulation, so even score *ties* agree bit-for-bit;
+- top-k ordered by (score desc, docID asc).
+
+Segment access is partition-pruned: a term's chunks live in wave
+``hash(term) % W`` (recorded in the manifest), and parquet row-group
+statistics on the key-sorted ``term`` column prune within a wave, so a
+query touches only the row groups its terms live in — never "load the
+whole index" (the central win over the reference's eager
+load-everything-into-RAM query path, ``vexor/cache.py:1320-1363``).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..hashing import hash_terms
+from ..refimpl import bm25 as refbm25
+from ..index.manifest import load_manifest
+
+
+def _chunk_from_row(row: dict) -> dict:
+    return {
+        "n_postings": int(row["n_postings"]),
+        "block_size": None,
+        "doc_blob": row["doc_blob"],
+        "tf_blob": row["tf_blob"],
+        "dl_blob": row["dl_blob"],
+        "doc_off": np.asarray(row["doc_off"], dtype=np.uint32),
+        "tf_off": np.asarray(row["tf_off"], dtype=np.uint32),
+        "dl_off": np.asarray(row["dl_off"], dtype=np.uint32),
+        "block_last": np.asarray(row["block_last"], dtype=np.uint64),
+        "block_ub": np.asarray(row["block_ub"], dtype=np.float32),
+    }
+
+
+class Searcher:
+    """Query executor bound to one committed index directory."""
+
+    def __init__(self, index_dir: str | Path):
+        self.index_dir = Path(index_dir)
+        self.manifest = load_manifest(self.index_dir)
+        stats = self.manifest["stats"]
+        self.doc_count: int = stats["doc_count"]
+        self.avg_doc_len: float = stats["avg_doc_len"]
+        cfg = self.manifest["config"]
+        self.k1: float = cfg["k1"]
+        self.b: float = cfg["b"]
+        self.num_waves: int = cfg["num_waves"]
+        self._wave_ds: dict[int, pads.Dataset] = {}
+        for w, files in self.manifest["waves"].items():
+            if files:
+                self._wave_ds[int(w)] = pads.dataset(files)
+        self._docs_ds = pads.dataset(self.manifest["docs_files"])
+
+    # -- segment access ----------------------------------------------------
+    def term_chunks(self, terms: list[str]) -> dict[str, list[dict]]:
+        """Fetch encoded posting chunks for each term (wave + row-group pruned).
+
+        Chunks for one term are returned in ascending salt (doc-range) order,
+        so their concatenation is globally docID-ascending.
+        """
+        out: dict[str, list[dict]] = {t: [] for t in terms}
+        if not terms or self.doc_count == 0:
+            return out
+        by_wave: dict[int, list[str]] = {}
+        if self.num_waves > 1:
+            waves = hash_terms(np.asarray(terms, dtype=object)) % np.uint64(
+                self.num_waves
+            )
+            for t, w in zip(terms, waves):
+                by_wave.setdefault(int(w), []).append(t)
+        else:
+            by_wave[0] = list(terms)
+        for w, wave_terms in by_wave.items():
+            ds = self._wave_ds.get(w)
+            if ds is None:
+                continue
+            tbl = ds.to_table(filter=pc.field("term").isin(wave_terms))
+            if tbl.num_rows == 0:
+                continue
+            tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
+            for row in tbl.to_pylist():
+                out[row["term"]].append(_chunk_from_row(row))
+        return out
+
+    def df(self, term: str) -> int:
+        chunks = self.term_chunks([term])[term]
+        return sum(c["n_postings"] for c in chunks)
+
+    # -- scoring -----------------------------------------------------------
+    def _term_postings(self, chunks: list[dict]):
+        from ..index.codec import decode_chunk
+
+        parts = [decode_chunk(c) for c in chunks]
+        doc_ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        return doc_ids, tfs, dls
+
+    def _exact_scores(
+        self, terms: list[str], chunks_by_term: dict[str, list[dict]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, scores) for all matching docs — oracle-identical floats."""
+        k1, b, avgdl, n_docs = self.k1, self.b, self.avg_doc_len, self.doc_count
+        doc_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
+        for term in terms:
+            chunks = chunks_by_term.get(term, [])
+            if not chunks:
+                continue
+            df = sum(c["n_postings"] for c in chunks)
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            doc_ids, tfs, dls = self._term_postings(chunks)
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            denom = tf + k1 * ((1.0 - b) + (b * dl) / avgdl)
+            contrib = (idf * tf) * (k1 + 1.0) / denom
+            doc_parts.append(doc_ids)
+            contrib_parts.append(contrib)
+        if not doc_parts:
+            return np.zeros(0, dtype=np.uint64), np.zeros(0)
+        all_docs = np.concatenate(doc_parts)
+        all_contribs = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.bincount(inv, weights=all_contribs, minlength=uniq.size)
+        return uniq, scores
+
+    @staticmethod
+    def _top_k(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+        if doc_ids.size == 0 or k <= 0:
+            return []
+        if doc_ids.size > 8 * k:
+            # two-phase: argpartition to a candidate set, widened to include
+            # every row tying the boundary score so tie-break stays exact
+            cut = min(2 * k, doc_ids.size - 1)
+            cand = np.argpartition(-scores, cut)[: cut + 1]
+            kth = np.partition(-scores[cand], k - 1)[k - 1]
+            cand = np.flatnonzero(scores >= -kth)
+        else:
+            cand = np.arange(doc_ids.size)
+        order = np.lexsort((doc_ids[cand], -scores[cand]))
+        ranked = cand[order][:k]
+        return [(int(doc_ids[i]), float(scores[i])) for i in ranked]
+
+    def search(self, query: str, k: int = 10, method: str = "exact"):
+        """BM25 top-k: ``[(doc_id, score)]`` ranked by (score desc, docID asc)."""
+        terms = refbm25.preprocess_query(query)
+        if not terms or self.doc_count == 0 or self.avg_doc_len <= 0:
+            return []
+        chunks_by_term = self.term_chunks(terms)
+        if method == "exact":
+            doc_ids, scores = self._exact_scores(terms, chunks_by_term)
+            return self._top_k(doc_ids, scores, k)
+        if method == "wand":
+            from .wand import block_max_wand
+
+            return block_max_wand(
+                terms,
+                chunks_by_term,
+                doc_count=self.doc_count,
+                avg_doc_len=self.avg_doc_len,
+                k=k,
+                k1=self.k1,
+                b=self.b,
+            )
+        raise ValueError(f"unknown method {method!r}")
+
+    # -- hits rendering ----------------------------------------------------
+    def lookup_urls(self, doc_ids: list[int]) -> dict[int, str]:
+        if not doc_ids:
+            return {}
+        tbl = self._docs_ds.to_table(
+            columns=["doc_id", "url"],
+            filter=pc.field("doc_id").isin(pa.array(doc_ids, type=pa.uint64())),
+        )
+        return dict(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
+
+    def search_hits(self, queries: list[dict], method: str = "exact") -> pa.Table:
+        """Run a query set → ``hits(query_id, rank, doc_id, url, score)``."""
+        rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        for q in queries:
+            results = self.search(q["query"], q.get("k", 10), method=method)
+            for rank, (doc_id, score) in enumerate(results, start=1):
+                rows["query_id"].append(q.get("query_id"))
+                rows["rank"].append(rank)
+                rows["doc_id"].append(doc_id)
+                rows["score"].append(score)
+        urls = self.lookup_urls(sorted(set(rows["doc_id"])))
+        tbl = pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "rank": pa.array(rows["rank"], type=pa.int32()),
+                "doc_id": pa.array(rows["doc_id"], type=pa.uint64()),
+                "url": pa.array(
+                    [urls.get(d) for d in rows["doc_id"]], type=pa.string()
+                ),
+                "score": pa.array(rows["score"], type=pa.float64()),
+            }
+        )
+        return tbl

@@ -1,0 +1,44 @@
+"""Extraction stage: ``pages(url, html, ...) → (url, text)``.
+
+A stateless ``map_batches`` function over pyarrow batches.  The per-row
+extraction is the SAME Python function the oracle uses
+(``vexor_ray.refimpl.textnorm.extract_text``) — the byte-identical-per-url
+invariant holds because there is one implementation, not two.  Pages whose
+extraction yields ``None`` (undecodable, empty) are dropped here and never
+receive a docID.
+
+Scale notes: ``html`` is the wide column — keep ``batch_size`` small in this
+stage and drop ``html`` immediately (the output batch carries only url+text)
+so downstream blocks are narrow.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..refimpl.textnorm import extract_text
+from ..spec import FULL_CHAR_LIMIT
+
+
+def make_extract_fn(char_limit: int = FULL_CHAR_LIMIT):
+    """Returns a map_batches fn: pa.Table(url, html, ...) → pa.Table(url, text)."""
+
+    def extract_batch(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        out_urls: list[str] = []
+        out_texts: list[str] = []
+        for url, html in zip(urls, htmls):
+            text = extract_text(html, char_limit)
+            if text is None:
+                continue
+            out_urls.append(url)
+            out_texts.append(text)
+        return pa.table(
+            {
+                "url": pa.array(out_urls, type=pa.string()),
+                "text": pa.array(out_texts, type=pa.large_string()),
+            }
+        )
+
+    return extract_batch
