@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship BM25 pipeline at sf0.001 (build documents index →
+run a query batch → hits table).  ``queries()`` / ``oracle_sql()`` — one
+entry per implemented operator from SURVEY.md §2 plus the training-data
+operators (dedup / similarity search / text analysis / multimodal); SQL
+oracles are provided for everything DuckDB can express; approximate or
+hash-seeded operators are rows-only by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in ``vexor_ray``) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,368 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+_BM25_QUERY = "table query join"
+_TOPK_QUERY = "spark hash join"
+
+# tokenizer as one DuckDB expression (must match vexor_ray.spec.TOKEN_RE on
+# lowercased text; the corpus is ASCII so lower() semantics agree)
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: BM25 index build + query batch over sf0.001 documents."""
+    from vexor_ray.pipelines.corpus import DocumentsSearcher
+
+    s = DocumentsSearcher("/root/testdata/sf0.001")
+    queries = [
+        {"query_id": i + 1, "query": q, "k": 10}
+        for i, q in enumerate(
+            [_BM25_QUERY, _TOPK_QUERY, "window stream batch", "customer order", "scan"]
+        )
+    ]
+    return s.searcher.search_hits(queries, method="wand")
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_bm25_scores(sf_dir: str):
+    from vexor_ray.pipelines.corpus import bm25_scores_table
+
+    return bm25_scores_table(sf_dir, _BM25_QUERY)
+
+
+def _q_bm25_topk(sf_dir: str):
+    from vexor_ray.pipelines.corpus import bm25_topk_table
+
+    return bm25_topk_table(sf_dir, _TOPK_QUERY, k=10)
+
+
+def _q_doc_term_tf(sf_dir: str):
+    from vexor_ray.pipelines.corpus import doc_term_tf
+
+    return doc_term_tf(sf_dir)
+
+
+def _q_doc_df(sf_dir: str):
+    from vexor_ray.pipelines.corpus import doc_df
+
+    return doc_df(sf_dir)
+
+
+def _q_doc_stats(sf_dir: str):
+    from vexor_ray.pipelines.corpus import doc_stats
+
+    return doc_stats(sf_dir)
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _q_token_count(sf_dir: str):
+    from vexor_ray.functions.textstats import token_counts
+
+    return token_counts(_docs_ds(sf_dir))
+
+
+def _q_quality(sf_dir: str):
+    from vexor_ray.functions.textstats import quality
+
+    return quality(_docs_ds(sf_dir))
+
+
+def _q_langid(sf_dir: str):
+    from vexor_ray.functions.textstats import langid
+
+    return langid(_docs_ds(sf_dir))
+
+
+def _q_fingerprint(sf_dir: str):
+    from vexor_ray.functions.textstats import fingerprints
+
+    return fingerprints(_docs_ds(sf_dir))
+
+
+def _q_rolling_fp(sf_dir: str):
+    from vexor_ray.functions.textstats import rolling_hash_batch
+
+    return _docs_ds(sf_dir).map_batches(
+        rolling_hash_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    from vexor_ray.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_ds(sf_dir))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from vexor_ray.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.4)
+
+
+def _q_simhash(sf_dir: str):
+    from vexor_ray.functions.dedup import simhash_signatures
+
+    return simhash_signatures(_docs_ds(sf_dir))
+
+
+def _knn_queries(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    emb = {v: e for v, e in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())}
+    return np.asarray([emb[0], emb[1], emb[2]], dtype=np.float64)
+
+
+def _q_knn_cosine(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+
+    from vexor_ray.functions.ann import brute_force_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    full = brute_force_topk(emb, _knn_queries(sf_dir), k=1_000_000)
+    # deterministic boundary: re-rank by (rounded cosine desc, vec_id asc)
+    df = full.to_pandas()
+    out = []
+    for qi, g in df.groupby("query_idx"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(10)
+        g = g.assign(rank=range(1, len(g) + 1), query_idx=int(qi))
+        out.append(g)
+    import pandas as pd
+
+    res = pd.concat(out)[["query_idx", "rank", "vec_id", "cosine"]]
+    res["query_idx"] = res["query_idx"].astype("int64")
+    res["rank"] = res["rank"].astype("int64")
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def _q_ann_lsh(sf_dir: str):
+    import ray.data
+
+    from vexor_ray.functions.ann import lsh_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, _knn_queries(sf_dir), k=10)
+
+
+def _q_multimodal_decode(sf_dir: str):
+    import pyarrow as pa
+
+    from vexor_ray.functions.multimodal import decode_images
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.compute.cast(batch.column("doc_id"), pa.int64()),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in batch.column("text").to_pylist()],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    ds = _docs_ds(sf_dir).map_batches(
+        to_payload, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return decode_images(ds, batch_size=64, concurrency=2)
+
+
+def _q_sample_frames(sf_dir: str):
+    import pyarrow as pa
+
+    from vexor_ray.functions.multimodal import sample_frames
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.compute.cast(batch.column("doc_id"), pa.int64()),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in batch.column("text").to_pylist()],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    ds = _docs_ds(sf_dir).map_batches(
+        to_payload, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sample_frames(ds, every_n=10, batch_size=32, concurrency=2)
+
+
+def _q_agg_lineitem(sf_dir: str):
+    from vexor_ray.pipelines.relational import agg_lineitem
+
+    return agg_lineitem(sf_dir)
+
+
+def _q_sort_topk(sf_dir: str):
+    from vexor_ray.pipelines.relational import sort_topk_orders
+
+    return sort_topk_orders(sf_dir)
+
+
+def _q_filter_highvalue(sf_dir: str):
+    from vexor_ray.pipelines.relational import filter_highvalue
+
+    return filter_highvalue(sf_dir)
+
+
+def _q_join(sf_dir: str):
+    from vexor_ray.pipelines.relational import join_orders_customers
+
+    return join_orders_customers(sf_dir)
+
+
+def _q_distinct(sf_dir: str):
+    from vexor_ray.pipelines.relational import distinct_suppliers
+
+    return distinct_suppliers(sf_dir)
+
+
+def _q_events_window(sf_dir: str):
+    from vexor_ray.pipelines.relational import events_window_agg
+
+    return events_window_agg(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "bm25_scores": _q_bm25_scores,
+        "bm25_topk": _q_bm25_topk,
+        "doc_term_tf": _q_doc_term_tf,
+        "doc_df": _q_doc_df,
+        "doc_stats": _q_doc_stats,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "rolling_fp": _q_rolling_fp,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "knn_cosine": _q_knn_cosine,
+        "ann_lsh": _q_ann_lsh,
+        "multimodal_decode": _q_multimodal_decode,
+        "sample_frames": _q_sample_frames,
+        "agg_lineitem": _q_agg_lineitem,
+        "sort_topk_orders": _q_sort_topk,
+        "filter_highvalue": _q_filter_highvalue,
+        "join_orders_customers": _q_join,
+        "distinct_suppliers": _q_distinct,
+        "events_window_agg": _q_events_window,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _bm25_sql(query_terms: list[str], topk: int | None) -> str:
+    terms_values = ", ".join(f"('{t}')" for t in query_terms)
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, AVG(dl) AS avgdl FROM dl),
+qt(term) AS (VALUES {terms_values}),
+df AS (SELECT term, COUNT(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         SUM( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) * tf.tf * 2.5
+              / (tf.tf + 1.5*(1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)"""
+    if topk is None:
+        return base + "\nSELECT doc_id, ROUND(s, 6) AS score FROM scores ORDER BY doc_id"
+    return base + (
+        f"\nSELECT doc_id, ROUND(s, 6) AS score,"
+        f" CAST(row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS INT) AS rank"
+        f" FROM scores ORDER BY ROUND(s, 6) DESC, doc_id LIMIT {topk}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = "('the','a','of','and','to','in','is','that','for','it')"
+    de = "('der','die','das','und','ist','ein','eine','zu','mit','von')"
+    fr = "('le','la','les','et','est','un','une','dans','pour','que')"
+    return {
+        "bm25_scores": _bm25_sql(_BM25_QUERY.split(), None),
+        "bm25_topk": _bm25_sql(_TOPK_QUERY.split(), 10),
+        "doc_term_tf": f"""
+SELECT doc_id, term, COUNT(*) AS tf
+FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+GROUP BY doc_id, term ORDER BY doc_id, term""",
+        "doc_df": f"""
+SELECT term, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+GROUP BY term ORDER BY term""",
+        "doc_stats": f"""
+WITH dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents)
+SELECT COUNT(*) AS doc_count, ROUND(AVG(dl), 6) AS avg_doc_len FROM dl""",
+        "token_count": f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents ORDER BY doc_id",
+        "quality": f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_TOKS}) AS n_tokens,
+       ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+       ROUND(len(list_filter({_TOKS}, t -> t IN {en})) * 1.0 / len({_TOKS}), 6) AS stop_ratio
+FROM documents ORDER BY doc_id""",
+        "langid": f"""
+WITH hits AS (
+  SELECT doc_id,
+         len(list_filter({_TOKS}, t -> t IN {en})) AS h_en,
+         len(list_filter({_TOKS}, t -> t IN {de})) AS h_de,
+         len(list_filter({_TOKS}, t -> t IN {fr})) AS h_fr
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(h_en, h_de, h_fr) = 0 THEN 'und'
+            WHEN h_de = greatest(h_en, h_de, h_fr) THEN 'de'
+            WHEN h_en = greatest(h_en, h_de, h_fr) THEN 'en'
+            ELSE 'fr' END AS lang_pred
+FROM hits ORDER BY doc_id""",
+        "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+        "dedup_exact": """
+SELECT md5(text) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) ORDER BY fp""",
+        "knn_cosine": """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN (0,1,2)),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+  FROM embeddings e CROSS JOIN q)
+SELECT CAST(qid AS BIGINT) AS query_idx, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(cos, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
+WHERE rank <= 10 ORDER BY query_idx, rank""",
+        "agg_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+        "sort_topk_orders": """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "filter_highvalue": """
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        "join_orders_customers": """
+SELECT c.c_mktsegment, ROUND(SUM(o.o_totalprice), 2) AS total_price, COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+        "distinct_suppliers": "SELECT COUNT(DISTINCT l_suppkey) AS n_distinct_suppliers FROM lineitem",
+        "events_window_agg": """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts) ORDER BY user_id, window_start""",
+    }

@@ -30,3 +30,34 @@ def pages_1k(tmp_path_factory):
 
     out = tmp_path_factory.mktemp("fixtures") / "pages_1k"
     return write_pages(out, 1000, seed=42, rows_per_file=256)
+
+
+@pytest.fixture(scope="session")
+def built_index(ray_session, pages_1k, tmp_path_factory):
+    """Index over pages_1k with aggressive salting + 2 waves (shared)."""
+    from vexor_ray.index.build import BuildConfig, build_index
+
+    out = tmp_path_factory.mktemp("index") / "idx_1k"
+    cfg = BuildConfig(
+        salt_shift=8,  # 256-doc ranges → hot terms split into many chunks
+        num_waves=2,
+        partitions_per_wave=4,
+        shard_group_size=2,
+        tokenize_concurrency=2,
+    )
+    manifest = build_index(pages_1k, out, cfg)
+    return out, manifest
+
+
+@pytest.fixture(scope="session")
+def oracle_1k(pages_1k):
+    import pyarrow.dataset as pads
+
+    from vexor_ray.refimpl import build_oracle_index
+
+    tbl = pads.dataset(
+        sorted(str(f) for f in pages_1k.glob("part-*.parquet"))
+    ).to_table()
+    return build_oracle_index(
+        list(zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()))
+    )

@@ -12,36 +12,11 @@ from __future__ import annotations
 import math
 
 import pyarrow.parquet as pq
-import pytest
 
 from vexor_ray.fixtures.pages import generate_queries
 from vexor_ray.index.build import BuildConfig, build_index
 from vexor_ray.query.searcher import Searcher
-from vexor_ray.refimpl import build_oracle_index, search as oracle_search
-
-
-@pytest.fixture(scope="session")
-def built_index(ray_session, pages_1k, tmp_path_factory):
-    out = tmp_path_factory.mktemp("index") / "idx_1k"
-    cfg = BuildConfig(
-        salt_shift=8,  # 256-doc ranges → hot terms split into many chunks
-        num_waves=2,
-        partitions_per_wave=4,
-        shard_group_size=2,
-        tokenize_concurrency=2,
-    )
-    manifest = build_index(pages_1k, out, cfg)
-    return out, manifest
-
-
-@pytest.fixture(scope="session")
-def oracle_1k(pages_1k):
-    import pyarrow.dataset as pads
-
-    tbl = pads.dataset(sorted(str(f) for f in pages_1k.glob("part-*.parquet"))).to_table()
-    return build_oracle_index(
-        list(zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()))
-    )
+from vexor_ray.refimpl import search as oracle_search
 
 
 def test_manifest_stats_match_oracle(built_index, oracle_1k):

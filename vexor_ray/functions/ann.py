@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: the exact baseline — the query matrix is broadcast
+  once (``ray.put``), each ``map_batches`` task does one numpy matmul of its
+  batch against it and emits only its local top-k; the driver merges tiny
+  partials.  This is the canonical "broadcast small side + partial top-k"
+  shape: no shuffle, linear scan, scales with corpus size.
+- ``lsh_topk``: the scale path — signed-random-projection LSH buckets
+  (stateful planes, broadcast) restrict scoring to colliding buckets; exact
+  cosine within candidates.  Approximate by construction → checked
+  rows-only + recall assertions in unit tests, not value-hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k per query → (query_idx, rank, vec_id, cosine).
+
+    Ties broken by vec_id ascending; cosine in float64, rounded to 6.
+    """
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy()
+        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], type=pa.int32()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        sims = _normalize(mat) @ qm.T  # (n, nq)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            s = sims[:, qi]
+            take = min(k, s.size)
+            cand = np.argpartition(-s, take - 1)[:take] if s.size > take else np.arange(s.size)
+            order = np.lexsort((ids[cand], -s[cand]))
+            sel = cand[order][:take]
+            out_q.append(np.full(sel.size, qi, dtype=np.int32))
+            out_id.append(ids[sel])
+            out_s.append(s[sel])
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q), type=pa.int32()),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    rows = {"query_idx": [], "rank": [], "vec_id": [], "cosine": []}
+    for qi, grp in partials.groupby("query_idx"):
+        grp = grp.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
+            rows["query_idx"].append(int(qi))
+            rows["rank"].append(rank)
+            rows["vec_id"].append(int(r["vec_id"]))
+            rows["cosine"].append(round(float(r["cosine"]), 6))
+    return pa.table(
+        {
+            "query_idx": pa.array(rows["query_idx"], type=pa.int32()),
+            "rank": pa.array(rows["rank"], type=pa.int32()),
+            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+            "cosine": pa.array(rows["cosine"], type=pa.float64()),
+        }
+    )
+
+
+class SrpBucketer:
+    """Actor-pool stage: signed-random-projection bucket id per vector."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 5):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            bucket = np.zeros(0, dtype=np.uint32)
+        else:
+            bits = (mat @ self.planes) > 0
+            bucket = np.packbits(
+                np.pad(bits, ((0, 0), (0, (-bits.shape[1]) % 32))), axis=1
+            ).view(np.uint32)[:, 0]
+        return batch.append_column("bucket", pa.array(bucket, type=pa.uint32()))
+
+
+def lsh_topk(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_planes: int = 12,
+    seed: int = 5,
+    concurrency: int | tuple = (1, 4),
+) -> pa.Table:
+    """Approximate cosine top-k: probe only the query's SRP bucket."""
+    q = np.asarray(queries, dtype=np.float64)
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    qbits = (q @ planes) > 0
+    qbuckets = np.packbits(
+        np.pad(qbits, ((0, 0), (0, (-qbits.shape[1]) % 32))), axis=1
+    ).view(np.uint32)[:, 0]
+
+    bucketed = embeddings.map_batches(
+        SrpBucketer,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+    wanted = pa.array(np.unique(qbuckets), type=pa.uint32())
+    import pyarrow.compute as pc
+
+    cands = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t["bucket"], value_set=wanted)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return brute_force_topk(cands, q, k)

@@ -1,0 +1,162 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All are vectorized ``map_batches`` stages over a ``documents``-shaped table
+``(doc_id:int64, text:string, lang:string, ...)``: token counting, language
+ID (n-gram/stopword heuristic), quality scoring (length / alpha / stopword
+ratios), and document fingerprinting.  Each has a DuckDB-SQL-expressible
+definition (see ``__ray_entry__.oracle_sql``) so correctness is
+oracle-checked, and each is linear-scan + shuffle-free → trivially scales.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..spec import TOKEN_RE
+
+# tiny fixed stopword lists per language for the langid heuristic
+_LANG_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "for", "it"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"},
+}
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, n_tokens) with the spec tokenizer."""
+    texts = batch.column("text").to_pylist()
+    counts = [len(TOKEN_RE.findall(t.lower())) if t else 0 for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality features: n_chars, n_tokens, alpha_ratio, stop_ratio (rounded 6)."""
+    texts = batch.column("text").to_pylist()
+    n_chars, n_tokens, alpha_ratio, stop_ratio = [], [], [], []
+    stop = _LANG_STOPWORDS["en"]
+    for t in texts:
+        t = t or ""
+        toks = TOKEN_RE.findall(t.lower())
+        n_chars.append(len(t))
+        n_tokens.append(len(toks))
+        n_alpha = sum(ch.isalpha() for ch in t)
+        alpha_ratio.append(round(n_alpha / len(t), 6) if t else 0.0)
+        n_stop = sum(tok in stop for tok in toks)
+        stop_ratio.append(round(n_stop / len(toks), 6) if toks else 0.0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "alpha_ratio": pa.array(alpha_ratio, type=pa.float64()),
+            "stop_ratio": pa.array(stop_ratio, type=pa.float64()),
+        }
+    )
+
+
+class LangId:
+    """Actor-pool language ID: stopword-hit ratio per candidate language.
+
+    Stateful stage (stopword sets + compiled regex built once per actor) —
+    the classifier is a deterministic heuristic: argmax language by stopword
+    hit count, ``und`` (undetermined) when no stopword hits at all.
+    """
+
+    def __init__(self):
+        import re
+
+        self._re = re.compile(TOKEN_RE.pattern)
+        self._stop = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = []
+        for t in texts:
+            toks = self._re.findall((t or "").lower())
+            best_lang, best_hits = "und", 0
+            for lang in sorted(self._stop):  # deterministic tie-break by name
+                hits = sum(tok in self._stop[lang] for tok in toks)
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            langs.append(best_lang)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(langs, type=pa.string()),
+            }
+        )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, fp) where fp = md5 hex of the raw text."""
+    texts = batch.column("text").to_pylist()
+    fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fp": pa.array(fps, type=pa.string()),
+        }
+    )
+
+
+def rolling_hash_batch(batch: pa.Table, *, window: int = 16) -> pa.Table:
+    """Rabin-Karp-style rolling fingerprint: min rolling hash over byte windows.
+
+    Deterministic content sketch used for shift-robust near-dup candidates
+    (not SQL-expressible; checked rows-only + by unit test).
+    """
+    texts = batch.column("text").to_pylist()
+    out = []
+    base, mod = 257, (1 << 31) - 1  # products stay < 2^43, no uint64 overflow
+    weights = np.array(
+        [pow(base, window - 1 - j, mod) for j in range(window)], dtype=np.uint64
+    )
+    for t in texts:
+        data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(
+            np.uint64
+        )
+        if data.size == 0:
+            out.append(0)
+            continue
+        if data.size < window:
+            h = 0
+            for x in data.tolist():
+                h = (h * base + x) % mod
+            out.append(h)
+            continue
+        windows = np.lib.stride_tricks.sliding_window_view(data, window)
+        hashes = (windows * weights).sum(axis=1) % np.uint64(mod)
+        out.append(int(hashes.min()))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "rolling_min_hash": pa.array(out, type=pa.uint64()),
+        }
+    )
+
+
+def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def langid(docs: ray.data.Dataset, concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
+    return docs.map_batches(
+        LangId, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True
+    )
+
+
+def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -293,7 +293,9 @@ def build_index(
             },
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
-            concurrency=cfg.tokenize_concurrency,
+            # autoscaling pool: min 1 actor so a small session (or a node
+            # whose CPUs are largely reserved) can never deadlock the stage
+            concurrency=(1, cfg.tokenize_concurrency),
             zero_copy_batch=True,
         )
         out_files = _atomic_dir_write(ds, gdir)

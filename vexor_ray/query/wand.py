@@ -1,0 +1,212 @@
+"""Block-max WAND: rank-safe top-k over encoded posting chunks.
+
+Doc-at-a-time evaluation with a bounded min-heap keyed ``(score, -docID)``
+so the (score desc, docID asc) tie-break is preserved exactly.  Pruning uses
+two levels of upper bounds, both conservative (never prune a doc whose true
+score could reach the current heap threshold — skips happen only on strict
+``<``, so boundary ties are always evaluated):
+
+- per-cursor global bound = ``idf * max(block_ub)`` (idf-free block maxima
+  are stored in the index; see ``codec.py``);
+- block-max refinement at the pivot: ``idf * block_ub[block containing the
+  pivot]`` summed over the lead cursors; on failure all lead cursors jump
+  past the smallest current block boundary.
+
+A salted (hot) term contributes one cursor per doc-range chunk; ranges are
+disjoint so treating them as independent cursors only over-estimates bounds
+(rank-safe).  Scoring a pivot walks the query terms in query order and sums
+contributions with plain Python float arithmetic in the reference's
+association order — bit-identical to the exact scorer and the oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+from ..index import codec
+
+_INF = 2**64  # > any docID
+
+
+class _Cursor:
+    __slots__ = (
+        "term_idx",
+        "chunk",
+        "idf",
+        "max_score",
+        "block",
+        "pos",
+        "docs",
+        "tfs",
+        "dls",
+        "cur_doc",
+        "n_blocks",
+    )
+
+    def __init__(self, term_idx: int, chunk: dict, idf: float):
+        self.term_idx = term_idx
+        self.chunk = chunk
+        self.idf = idf
+        self.n_blocks = len(chunk["block_last"])
+        self.max_score = idf * float(chunk["block_ub"].max()) if self.n_blocks else 0.0
+        self.block = -1
+        self.pos = 0
+        self.docs = self.tfs = self.dls = None
+        self.cur_doc = _INF
+        if self.n_blocks:
+            self._load_block(0)
+            self.cur_doc = int(self.docs[0])
+
+    def _load_block(self, b: int) -> None:
+        self.block = b
+        self.docs, self.tfs, self.dls = codec.decode_block(self.chunk, b)
+        self.pos = 0
+
+    def block_info(self, doc: int) -> tuple[float, int]:
+        """(upper bound, last docID) of the block that would contain ``doc``.
+
+        The block b = first block with ``block_last[b] >= doc`` spans
+        ``[block_last[b-1]+1, block_last[b]]`` ⊇ ``[doc, block_last[b]]``,
+        so the returned ub bounds every doc from ``doc`` to the boundary.
+        """
+        b = int(np.searchsorted(self.chunk["block_last"], doc))
+        if b >= self.n_blocks:
+            return 0.0, _INF
+        return self.idf * float(self.chunk["block_ub"][b]), int(
+            self.chunk["block_last"][b]
+        )
+
+    def next_geq(self, target: int) -> int:
+        if self.cur_doc >= target:
+            return self.cur_doc
+        b = int(np.searchsorted(self.chunk["block_last"], target))
+        if b >= self.n_blocks:
+            self.cur_doc = _INF
+            return _INF
+        if b != self.block:
+            self._load_block(b)
+        self.pos = int(np.searchsorted(self.docs, target))
+        # block_last[b] >= target guarantees pos < len(docs)
+        self.cur_doc = int(self.docs[self.pos])
+        return self.cur_doc
+
+    def advance(self) -> int:
+        self.pos += 1
+        if self.pos >= self.docs.size:
+            if self.block + 1 >= self.n_blocks:
+                self.cur_doc = _INF
+                return _INF
+            self._load_block(self.block + 1)
+        self.cur_doc = int(self.docs[self.pos])
+        return self.cur_doc
+
+    def score_current(self, k1: float, b: float, avg_doc_len: float) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        denominator = tf + k1 * (1.0 - b + b * dl / avg_doc_len)
+        return self.idf * tf * (k1 + 1.0) / denominator
+
+
+def block_max_wand(
+    terms: list[str],
+    chunks_by_term: dict[str, list[dict]],
+    *,
+    doc_count: int,
+    avg_doc_len: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> list[tuple[int, float]]:
+    """Top-k ``[(doc_id, score)]`` — rank-identical to the exact scorer."""
+    if k <= 0 or doc_count <= 0 or avg_doc_len <= 0:
+        return []
+    cursors: list[_Cursor] = []
+    for ti, term in enumerate(terms):
+        chunks = chunks_by_term.get(term, [])
+        df = sum(c["n_postings"] for c in chunks)
+        if df == 0:
+            continue
+        idf = math.log((doc_count - df + 0.5) / (df + 0.5) + 1.0)
+        for chunk in chunks:
+            if chunk["n_postings"]:
+                cursors.append(_Cursor(ti, chunk, idf))
+    if not cursors:
+        return []
+
+    n_terms = len(terms)
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) == k else -math.inf
+
+    while True:
+        live = [c for c in cursors if c.cur_doc < _INF]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc)
+        # ---- pivot selection (global upper bounds) ----
+        thr = threshold()
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(live):
+            acc += c.max_score
+            if acc >= thr:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # no doc can reach the threshold
+        pivot_doc = live[pivot_idx].cur_doc
+        # include all cursors positioned exactly at the pivot doc
+        while pivot_idx + 1 < len(live) and live[pivot_idx + 1].cur_doc == pivot_doc:
+            pivot_idx += 1
+        lead = live[: pivot_idx + 1]
+
+        # ---- block-max refinement ----
+        infos = [c.block_info(pivot_doc) for c in lead]
+        bm_sum = sum(ub for ub, _ in infos)
+        if bm_sum < thr:
+            # the per-pivot-block bounds hold for every doc from pivot_doc
+            # to the smallest block boundary; never jump past the first
+            # non-lead cursor's doc (its contribution was not in the bound)
+            boundary = min(bnd for _, bnd in infos)
+            target = min(boundary, _INF - 1) + 1
+            if pivot_idx + 1 < len(live):
+                target = min(target, live[pivot_idx + 1].cur_doc)
+            target = max(target, pivot_doc + 1)
+            for c in lead:
+                c.next_geq(target)
+            continue
+
+        if lead[0].cur_doc == pivot_doc:
+            # all lead cursors aligned on the pivot: score it fully,
+            # summing per-term contributions in query order (float parity)
+            contribs = [0.0] * n_terms
+            seen_terms = []
+            for c in lead:
+                if c.cur_doc == pivot_doc:
+                    contribs[c.term_idx] = c.score_current(k1, b, avg_doc_len)
+                    seen_terms.append(c.term_idx)
+            score = 0.0
+            for ti in sorted(set(seen_terms)):
+                score += contribs[ti]
+            key = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, key)
+            elif key > heap[0]:
+                heapq.heapreplace(heap, key)
+            for c in lead:
+                if c.cur_doc == pivot_doc:
+                    c.advance()
+        else:
+            # advance the lagging cursor with the largest bound (classic pick)
+            lag = max(
+                (c for c in lead if c.cur_doc < pivot_doc),
+                key=lambda c: c.max_score,
+            )
+            lag.next_geq(pivot_doc)
+
+    ranked = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return [(-nd, s) for s, nd in ranked]
