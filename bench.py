@@ -1,0 +1,205 @@
+"""Headline bench: index-build docs/sec + BM25 query p50/p99 (+ operator suite).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+``--scaling`` runs the headline build twice in fresh processes at 8 and 32
+CPUs on the same input and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+_SF_TO_PAGES = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+
+
+def _sf_name() -> str:
+    return Path(SF_DIR).name
+
+
+def _pages_rows() -> int:
+    return int(
+        os.environ.get("VEXOR_BENCH_PAGES", _SF_TO_PAGES.get(_sf_name(), 100_000))
+    )
+
+
+def _pages_dir() -> Path:
+    from vexor_ray.fixtures.pages import write_pages
+
+    n = _pages_rows()
+    return write_pages(f"/tmp/vx_bench_pages_{n}", n, seed=42, rows_per_file=max(n // 8, 1))
+
+
+def bench_build(pages: Path, num_cpus: int) -> dict:
+    from vexor_ray.index.build import BuildConfig, build_index
+
+    idx_dir = Path(f"/tmp/vx_bench_idx_{_pages_rows()}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = BuildConfig(
+        num_waves=2,
+        partitions_per_wave=max(8, num_cpus),
+        shard_group_size=8,
+        tokenize_concurrency=min(16, max(2, num_cpus - 2)),
+        tokenize_batch_size=512,
+    )
+    t0 = time.perf_counter()
+    manifest = build_index(pages, idx_dir, cfg)
+    wall = time.perf_counter() - t0
+    docs = manifest["stats"]["doc_count"]
+    stage_walls = {
+        f"{p['stage']}:{p['partition_id']}": p["metrics"].get("wall_s")
+        for p in manifest["partitions"]
+    }
+    return {
+        "index_dir": str(idx_dir),
+        "build_sec": round(wall, 3),
+        "docs": docs,
+        "docs_per_sec": round(docs / wall, 1),
+        "stage_walls": stage_walls,
+    }
+
+
+def bench_queries(index_dir: str, n: int = 120) -> dict:
+    from vexor_ray.fixtures.pages import generate_queries
+    from vexor_ray.query.searcher import Searcher
+
+    s = Searcher(index_dir)
+    queries = generate_queries(n, seed=42)
+    out = {}
+    for method in ("exact", "wand", "auto"):
+        lats = []
+        for q in queries:
+            t0 = time.perf_counter()
+            s.search(q["query"], q["k"], method=method)
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        out[f"query_{method}_p50_ms"] = round(1000 * statistics.median(lats), 2)
+        out[f"query_{method}_p99_ms"] = round(
+            1000 * lats[min(len(lats) - 1, int(0.99 * len(lats)))], 2
+        )
+    return out
+
+
+def bench_operators() -> dict:
+    """Secondary: representative operators over the driver sf tables."""
+    import ray.data
+
+    from vexor_ray.functions.ann import brute_force_topk
+    from vexor_ray.functions.dedup import exact_duplicates
+    from vexor_ray.pipelines.relational import agg_lineitem, sort_topk_orders
+
+    out = {}
+
+    t0 = time.perf_counter()
+    agg_lineitem(SF_DIR)
+    out["agg_lineitem"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    sort_topk_orders(SF_DIR)
+    out["sort_topk_orders"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    exact_duplicates(docs).to_pandas()
+    out["dedup_exact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb_tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    q = np.asarray(emb_tbl["embedding"].to_pylist()[:8], dtype=np.float64)
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    brute_force_topk(emb, q, k=10)
+    out["knn_cosine"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    pages = _pages_dir()
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    for f in Path(pages).glob("part-*.parquet"):
+        f.read_bytes()
+
+    build = bench_build(pages, NUM_CPUS)
+    queries = bench_queries(build["index_dir"])
+    ops = bench_operators()
+    ray.shutdown()
+
+    q = {
+        "index_build": build["build_sec"],
+        "docs_per_sec": build["docs_per_sec"],
+        **queries,
+        **ops,
+    }
+    return {
+        "metric": "bm25_index_build_and_query",
+        "value": build["build_sec"],
+        "unit": "sec",
+        "queries": q,
+        "sf": _sf_name(),
+        "num_cpus": NUM_CPUS,
+        "pages": _pages_rows(),
+        "stage_walls": build["stage_walls"],
+    }
+
+
+def run_scaling() -> dict:
+    # generate corpus once before timing either level
+    _pages_dir()
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve())],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "sec_8": t8,
+        "sec_32": t32,
+        "docs_per_sec_8": results[8]["queries"]["docs_per_sec"],
+        "docs_per_sec_32": results[32]["queries"]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "pages": results[32]["pages"],
+        "note": "logical-parallelism scaling (single sandbox node), N=8 vs 4N=32 CPUs",
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -51,13 +51,17 @@ def built_index(ray_session, pages_1k, tmp_path_factory):
 
 @pytest.fixture(scope="session")
 def oracle_1k(pages_1k):
-    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
 
     from vexor_ray.refimpl import build_oracle_index
+    from vexor_ray.stages.docids import doc_id_base
 
-    tbl = pads.dataset(
-        sorted(str(f) for f in pages_1k.glob("part-*.parquet"))
-    ).to_table()
-    return build_oracle_index(
-        list(zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()))
-    )
+    pages, ids = [], []
+    for fi, f in enumerate(sorted(pages_1k.glob("part-*.parquet"))):
+        tbl = pq.read_table(f, columns=["url", "html"])
+        for ri, (u, h) in enumerate(
+            zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist())
+        ):
+            pages.append((u, h))
+            ids.append(doc_id_base(fi, ri))
+    return build_oracle_index(pages, ids=ids)

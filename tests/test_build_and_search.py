@@ -27,12 +27,11 @@ def test_manifest_stats_match_oracle(built_index, oracle_1k):
     )
 
 
-def test_docids_match_oracle_url_ranks(built_index, oracle_1k):
+def test_docids_match_oracle_lineage_ids(built_index, oracle_1k):
     out, manifest = built_index
     tbl = pq.read_table(manifest["docs_files"], columns=["doc_id", "url"])
-    pairs = sorted(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
-    assert [u for _, u in pairs] == oracle_1k.urls
-    assert [d for d, _ in pairs] == list(range(oracle_1k.doc_count))
+    engine = dict(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
+    assert engine == oracle_1k.urls
 
 
 def test_df_matches_oracle(built_index, oracle_1k):
@@ -72,8 +71,8 @@ def test_tie_break_pair(built_index, oracle_1k, pages_1k):
     texts = tbl.column("text").to_pylist()
     term = texts[13].split()[3]
     dups = [
-        i
-        for i, u in enumerate(oracle_1k.urls)
+        d
+        for d, u in oracle_1k.urls.items()
         if u.endswith("-00000013.html") or u.endswith("-00000014.html")
     ]
     results = s.search(term, k=oracle_1k.doc_count)

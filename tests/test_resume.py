@@ -25,6 +25,10 @@ def _cfg(**kw):
         shard_group_size=1,
         tokenize_concurrency=2,
         salt_shift=8,
+        # hash partitioning is deterministic per wave, so the resumed build's
+        # segment files are byte-identical to an uninterrupted one (the sort
+        # backend's range boundaries may legally differ between runs)
+        shuffle_backend="hash",
     )
     base.update(kw)
     return BuildConfig(**base)

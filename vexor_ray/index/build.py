@@ -2,18 +2,19 @@
 
 Pipeline (SURVEY.md §3 "our lifecycle"):
 
-``read_parquet(pages shards) → map_batches(extract) → map_batches(TokenizeDocs
-actor pool) → [checkpoint: docs_tok per shard group] → sort(url) + prefix-sum
-docIDs → [checkpoint: docs] → per term-hash wave: explode postings →
-repartition(keys=(term, salt), sort) → vectorized run encoder →
-[checkpoint: segments/wave-N] → finalize manifest``.
+``row-group fragment plan (docIDs from lineage: file_idx << 32 | row) →
+map_batches(read + extract) → map_batches(TokenizeDocs actor pool) →
+[checkpoint: docs_tok per shard group — this IS the docs table] → global
+stats → per term-hash wave: explode postings → (term, salt) shuffle →
+vectorized run encoder → [checkpoint: segments/wave-N] → finalize manifest``.
 
 Scale design:
 
-- the ONLY global sort is docID assignment (url rank); the posting shuffle is
-  hash-partitioned by ``(term, salt)`` where ``salt = doc_id >> salt_shift``
-  bounds any single key group to one doc-range regardless of Zipfian term
-  skew (hot-term salting);
+- docID assignment is shuffle-free (``stages/docids.py``): the only
+  all-to-all in the whole build is the posting exchange, keyed by
+  ``(term, salt)`` where ``salt = doc_id >> salt_shift`` bounds any single
+  key group to one doc-range regardless of Zipfian term skew (hot-term
+  salting);
 - stage 2's shuffle is split into ``num_waves`` independent term-hash waves,
   each committed separately → a killed build resumes at wave granularity and
   the peak shuffle footprint is 1/W of the postings;
@@ -50,7 +51,7 @@ from ..spec import (
     POSTING_BLOCK_SIZE,
     TOKEN_PATTERN,
 )
-from ..stages.docids import assign_doc_ids
+from ..stages.docids import read_with_doc_ids
 from ..stages.extract import make_extract_fn
 from ..stages.tokenize import TokenizeDocs
 from . import codec
@@ -69,6 +70,11 @@ class BuildConfig:
     salt_shift: int = DEFAULT_SALT_SHIFT
     num_waves: int = DEFAULT_NUM_WAVES
     partitions_per_wave: int = 8
+    # "sort": range-partitioned sort by (term, salt) — robust, skew splits
+    #   into multiple chunks per key which the query layer merges;
+    # "hash": hash-partition repartition(keys=...) with capped aggregator
+    #   actors — the classic term-partitioned exchange.
+    shuffle_backend: str = "sort"
     shard_group_size: int = 8
     extract_batch_size: int = 256
     tokenize_batch_size: int = 1024
@@ -151,6 +157,41 @@ _CHUNK_SCHEMA = pa.schema(
 )
 
 
+def _offsets_list_array(
+    values: np.ndarray, list_offsets: np.ndarray, value_type: pa.DataType
+) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(list_offsets, type=pa.int32()), pa.array(values, type=value_type)
+    )
+
+
+def _run_relative_offsets(
+    byte_off: np.ndarray,
+    run_starts: np.ndarray,
+    block_starts: np.ndarray,
+    block_run: np.ndarray,
+    blocks_per_run: np.ndarray,
+    n: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-run ``n_blocks+1`` byte-offset lists (relative to the run start)."""
+    n_runs = run_starts.size
+    run_bounds = np.concatenate([run_starts, [n]])
+    run_byte_start = byte_off[run_starts]
+    list_off = np.zeros(n_runs + 1, dtype=np.int64)
+    np.cumsum(blocks_per_run + 1, out=list_off[1:])
+    blk_within = np.arange(block_starts.size) - np.repeat(
+        np.concatenate([[0], np.cumsum(blocks_per_run)[:-1]]), blocks_per_run
+    )
+    values = np.zeros(int(list_off[-1]), dtype=np.uint32)
+    values[list_off[block_run] + blk_within] = (
+        byte_off[block_starts] - run_byte_start[block_run]
+    ).astype(np.uint32)
+    values[list_off[1:] - 1] = (byte_off[run_bounds[1:]] - run_byte_start).astype(
+        np.uint32
+    )
+    return values, list_off
+
+
 def encode_runs(
     batch: pa.Table,
     *,
@@ -161,52 +202,94 @@ def encode_runs(
 ) -> pa.Table:
     """Encode complete (term, salt) runs of a hash-partitioned, key-sorted block.
 
-    The input block comes from ``repartition(keys=["term", "salt"],
-    sort=True)`` so rows of one key are adjacent; run boundaries are found
-    vectorized and each run's postings are doc-sorted then delta+varint
-    encoded with skip/block-max metadata (``codec.encode_chunk``).
+    Fully vectorized: one lexsort orders postings by (run, docID), ONE varint
+    pass encodes each of the three streams for the whole block, and the
+    per-run blobs / per-block skip + block-max metadata are assembled from
+    byte-size prefix sums into Arrow arrays without a per-run Python loop.
+    Output format is identical to ``codec.encode_chunk`` (tested against it).
     """
     batch = batch.combine_chunks()
     n = batch.num_rows
     if n == 0:
         return _CHUNK_SCHEMA.empty_table()
-    terms = np.asarray(batch.column("term").to_numpy(zero_copy_only=False), dtype=object)
+    terms = np.asarray(
+        batch.column("term").to_numpy(zero_copy_only=False), dtype=object
+    )
     salts = batch.column("salt").to_numpy()
     doc_ids = batch.column("doc_id").to_numpy()
     tfs = batch.column("tf").to_numpy()
     dls = batch.column("dl").to_numpy()
 
+    # run boundaries (input sorted by (term, salt))
     change = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
-    ends = np.concatenate([starts[1:], [n]])
+    run_starts = np.concatenate([[0], np.flatnonzero(change) + 1]).astype(np.int64)
+    n_runs = run_starts.size
+    run_lengths = np.diff(np.concatenate([run_starts, [n]]))
+    run_ids = np.repeat(np.arange(n_runs), run_lengths)
 
-    cols: dict[str, list] = {name: [] for name in _CHUNK_SCHEMA.names}
-    for s, e in zip(starts, ends):
-        d = doc_ids[s:e]
-        order = np.argsort(d, kind="stable")
-        chunk = codec.encode_chunk(
-            d[order],
-            tfs[s:e][order],
-            dls[s:e][order],
-            avg_doc_len,
-            block_size=block_size,
-            k1=k1,
-            b=b,
+    # docID-ascending within each run (docIDs are unique per run)
+    order = np.lexsort((doc_ids, run_ids))
+    doc_s = doc_ids[order].astype(np.uint64)
+    tf_s = tfs[order].astype(np.uint64)
+    dl_s = dls[order].astype(np.uint64)
+
+    deltas = doc_s.copy()
+    deltas[1:] -= doc_s[:-1]
+    deltas[run_starts] = doc_s[run_starts]
+
+    # block structure: fixed-size blocks within each run
+    local_idx = np.arange(n) - np.repeat(run_starts, run_lengths)
+    block_starts = np.flatnonzero(local_idx % block_size == 0).astype(np.int64)
+    blocks_per_run = (run_lengths + block_size - 1) // block_size
+    block_run = np.repeat(np.arange(n_runs), blocks_per_run)
+    run_bounds = np.concatenate([run_starts, [n]])
+    block_ends = np.minimum(block_starts + block_size, run_bounds[block_run + 1])
+    block_last = doc_s[block_ends - 1]
+
+    tf_f = tf_s.astype(np.float64)
+    dl_f = dl_s.astype(np.float64)
+    comp = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dl_f / avg_doc_len))
+    block_ub = codec.ub_float32(np.maximum.reduceat(comp, block_starts))
+
+    # one varint pass per stream; per-run/per-block layout from size prefix sums
+    out_cols: dict[str, pa.Array] = {}
+    blob_names = {"doc_blob": deltas, "tf_blob": tf_s, "dl_blob": dl_s}
+    off_names = {"doc_blob": "doc_off", "tf_blob": "tf_off", "dl_blob": "dl_off"}
+    for blob_name, stream in blob_names.items():
+        buf, sizes = codec.varint_encode_with_sizes(stream)
+        byte_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=byte_off[1:])
+        run_byte_bounds = byte_off[run_bounds]
+        out_cols[blob_name] = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            n_runs,
+            [None, pa.py_buffer(run_byte_bounds.tobytes()), pa.py_buffer(buf)],
         )
-        cols["term"].append(terms[s])
-        cols["salt"].append(int(salts[s]))
-        cols["n_postings"].append(chunk["n_postings"])
-        cols["doc_blob"].append(chunk["doc_blob"])
-        cols["tf_blob"].append(chunk["tf_blob"])
-        cols["dl_blob"].append(chunk["dl_blob"])
-        cols["doc_off"].append(chunk["doc_off"])
-        cols["tf_off"].append(chunk["tf_off"])
-        cols["dl_off"].append(chunk["dl_off"])
-        cols["block_last"].append(chunk["block_last"])
-        cols["block_ub"].append(chunk["block_ub"])
+        values, list_off = _run_relative_offsets(
+            byte_off, run_starts, block_starts, block_run, blocks_per_run, n
+        )
+        out_cols[off_names[blob_name]] = _offsets_list_array(
+            values, list_off, pa.uint32()
+        )
+
+    blk_list_off = np.zeros(n_runs + 1, dtype=np.int64)
+    np.cumsum(blocks_per_run, out=blk_list_off[1:])
     return pa.table(
-        {name: pa.array(cols[name], type=_CHUNK_SCHEMA.field(name).type)
-         for name in _CHUNK_SCHEMA.names}
+        {
+            "term": pa.array(terms[run_starts], type=pa.string()),
+            "salt": pa.array(salts[run_starts].astype(np.uint64), type=pa.uint64()),
+            "n_postings": pa.array(run_lengths.astype(np.uint64), type=pa.uint64()),
+            "doc_blob": out_cols["doc_blob"],
+            "tf_blob": out_cols["tf_blob"],
+            "dl_blob": out_cols["dl_blob"],
+            "doc_off": out_cols["doc_off"],
+            "tf_off": out_cols["tf_off"],
+            "dl_off": out_cols["dl_off"],
+            "block_last": _offsets_list_array(
+                block_last, blk_list_off, pa.uint64()
+            ),
+            "block_ub": _offsets_list_array(block_ub, blk_list_off, pa.float32()),
+        }
     )
 
 
@@ -224,13 +307,20 @@ def _input_files(source: str | Path | list) -> list[str]:
     return sorted(str(f) for f in source)
 
 
-def _atomic_dir_write(ds: ray.data.Dataset, final_dir: Path) -> list[str]:
+def _atomic_dir_write(
+    ds: ray.data.Dataset, final_dir: Path, row_group_size: int | None = None
+) -> list[str]:
     tmp = final_dir.with_name(final_dir.name + ".tmp")
     if tmp.exists():
         shutil.rmtree(tmp)
     if final_dir.exists():
         shutil.rmtree(final_dir)
-    ds.write_parquet(str(tmp))
+    kwargs = {}
+    if row_group_size is not None:
+        # small row groups → fine-grained row-group pruning on the query
+        # path (a term lookup reads ~row_group_size rows, not a 100k block)
+        kwargs["row_group_size"] = row_group_size
+    ds.write_parquet(str(tmp), **kwargs)
     os.replace(tmp, final_dir)
     return sorted(str(f) for f in final_dir.glob("*.parquet"))
 
@@ -277,7 +367,13 @@ def build_index(
             continue
         t0 = time.perf_counter()
         read_cols = ["url", "text"] if cfg.pre_extracted else ["url", "html"]
-        ds = ray.data.read_parquet(group, columns=read_cols)
+        ds = read_with_doc_ids(
+            group,
+            read_cols,
+            file_indices=list(
+                range(gi * cfg.shard_group_size, gi * cfg.shard_group_size + len(group))
+            ),
+        )
         if not cfg.pre_extracted:
             ds = ds.map_batches(
                 make_extract_fn(cfg.char_limit),
@@ -316,27 +412,25 @@ def build_index(
             )
         )
 
-    # ---- stage 2: docID assignment (the one global sort) + corpus stats ----
+    # ---- stage 2: corpus stats (docIDs already assigned from lineage) ------
+    # the docs_tok checkpoint IS the docs table: (doc_id, url, doc_len,
+    # terms, tfs); stats are exact global aggregates over its doc_len column
     all_tok_files = sorted(
         str(f) for f in (out / "docs_tok").glob("group-*/*.parquet")
     )
     docs_fp = hashlib.sha1(
         (file_fingerprint(files) + cfg.token_pattern + str(cfg.text_only)).encode()
     ).hexdigest()
-    docs_dir = out / "docs"
     if not manifest.is_done("docs", "global", docs_fp):
         t0 = time.perf_counter()
-        ds = ray.data.read_parquet(all_tok_files)
-        ds = assign_doc_ids(ds)
-        docs_files = _atomic_dir_write(ds, docs_dir)
-        doc_count = _parquet_rows(docs_files)
-        total_len = _column_sum(docs_files, "doc_len")
+        doc_count = _parquet_rows(all_tok_files)
+        total_len = _column_sum(all_tok_files, "doc_len")
         manifest.commit_partition(
             PartitionRecord(
                 stage="docs",
                 partition_id="global",
                 input_fingerprint=docs_fp,
-                output_files=docs_files,
+                output_files=all_tok_files,
                 metrics={
                     "doc_count": doc_count,
                     "total_doc_len": total_len,
@@ -357,7 +451,12 @@ def build_index(
 
     ctx = DataContext.get_current()
     prev_strategy = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    prev_max_agg = ctx.max_hash_shuffle_aggregators
+    if cfg.shuffle_backend == "hash":
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # bound aggregator actor count: too many concurrent actor spawns
+        # destabilize small nodes and buy nothing on one machine
+        ctx.max_hash_shuffle_aggregators = min(8, cfg.partitions_per_wave)
     try:
         for wave in range(cfg.num_waves):
             pid = f"wave-{wave:04d}"
@@ -392,9 +491,17 @@ def build_index(
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            ds = ds.repartition(
-                cfg.partitions_per_wave, keys=["term", "salt"], sort=True
-            )
+            if cfg.shuffle_backend == "hash":
+                ds = ds.repartition(
+                    cfg.partitions_per_wave, keys=["term", "salt"], sort=True
+                )
+            else:
+                # range sort: same complete-runs-per-block property in the
+                # common case; a run split across block boundaries yields two
+                # chunk rows for one (term, salt), which the query layer
+                # merges (multi-chunk terms are first-class: salting already
+                # produces them)
+                ds = ds.sort(["term", "salt"])
             ds = ds.map_batches(
                 encode_runs,
                 fn_kwargs={
@@ -407,7 +514,9 @@ def build_index(
                 batch_size=None,
                 zero_copy_batch=True,
             )
-            seg_files = _atomic_dir_write(ds, out / "segments" / pid)
+            seg_files = _atomic_dir_write(
+                ds, out / "segments" / pid, row_group_size=2048
+            )
             manifest.commit_partition(
                 PartitionRecord(
                     stage="segments",
@@ -425,6 +534,7 @@ def build_index(
             )
     finally:
         ctx.shuffle_strategy = prev_strategy
+        ctx.max_hash_shuffle_aggregators = prev_max_agg
 
     # ---- finalize ----------------------------------------------------------
     waves = {}

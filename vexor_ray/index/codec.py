@@ -33,11 +33,11 @@ _U64 = np.uint64
 _MAX_VARINT_BYTES = 10
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized)."""
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return per-value byte sizes."""
     v = np.ascontiguousarray(values, dtype=_U64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for i in range(1, _MAX_VARINT_BYTES):
         nbytes += (v >= (_U64(1) << _U64(7 * i))).astype(np.int64)
@@ -51,7 +51,24 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((v[sel] >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
         cont = (nbytes[sel] != j + 1).astype(np.uint8) << 7
         out[starts[sel] + j] = byte | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    return varint_encode_with_sizes(values)[0]
+
+
+def ub_float32(values: np.ndarray) -> np.ndarray:
+    """float64 upper bounds → float32 rounded UP (never below the true max).
+
+    A plain cast can round down by one ulp, which would let block-max WAND
+    prune a doc that exactly ties the heap threshold — rank-unsafe.
+    """
+    f32 = np.asarray(values, dtype=np.float32)
+    low = f32.astype(np.float64) < np.asarray(values, dtype=np.float64)
+    f32[low] = np.nextafter(f32[low], np.float32(np.inf))
+    return f32
 
 
 def varint_decode(buf: bytes | memoryview) -> np.ndarray:
@@ -118,7 +135,7 @@ def encode_chunk(
         tf_parts.append(varint_encode(tfs[s:e]))
         dl_parts.append(varint_encode(dls[s:e]))
         block_last[bk] = doc_ids[e - 1]
-        block_ub[bk] = comp[s:e].max()
+        block_ub[bk] = ub_float32(comp[s:e].max())
 
     def offs(parts: list[bytes]) -> np.ndarray:
         o = np.zeros(len(parts) + 1, dtype=np.uint32)

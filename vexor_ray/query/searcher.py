@@ -34,19 +34,34 @@ from ..refimpl import bm25 as refbm25
 from ..index.manifest import load_manifest
 
 
-def _chunk_from_row(row: dict) -> dict:
-    return {
-        "n_postings": int(row["n_postings"]),
-        "block_size": None,
-        "doc_blob": row["doc_blob"],
-        "tf_blob": row["tf_blob"],
-        "dl_blob": row["dl_blob"],
-        "doc_off": np.asarray(row["doc_off"], dtype=np.uint32),
-        "tf_off": np.asarray(row["tf_off"], dtype=np.uint32),
-        "dl_off": np.asarray(row["dl_off"], dtype=np.uint32),
-        "block_last": np.asarray(row["block_last"], dtype=np.uint64),
-        "block_ub": np.asarray(row["block_ub"], dtype=np.float32),
-    }
+def _chunks_from_table(tbl: pa.Table) -> list[tuple[str, dict]]:
+    """Chunk dicts from a segment-row table, zero-copy for blobs and lists."""
+    tbl = tbl.combine_chunks()
+    out: list[tuple[str, dict]] = []
+    if tbl.num_rows == 0:
+        return out
+    cols = {name: tbl.column(name).chunk(0) for name in tbl.column_names}
+    terms = cols["term"].to_pylist()
+    n_postings = cols["n_postings"].to_numpy()
+    for i in range(tbl.num_rows):
+        out.append(
+            (
+                terms[i],
+                {
+                    "n_postings": int(n_postings[i]),
+                    "block_size": None,
+                    "doc_blob": memoryview(cols["doc_blob"][i].as_buffer()),
+                    "tf_blob": memoryview(cols["tf_blob"][i].as_buffer()),
+                    "dl_blob": memoryview(cols["dl_blob"][i].as_buffer()),
+                    "doc_off": cols["doc_off"][i].values.to_numpy(),
+                    "tf_off": cols["tf_off"][i].values.to_numpy(),
+                    "dl_off": cols["dl_off"][i].values.to_numpy(),
+                    "block_last": cols["block_last"][i].values.to_numpy(),
+                    "block_ub": cols["block_ub"][i].values.to_numpy(),
+                },
+            )
+        )
+    return out
 
 
 class Searcher:
@@ -67,6 +82,10 @@ class Searcher:
             if files:
                 self._wave_ds[int(w)] = pads.dataset(files)
         self._docs_ds = pads.dataset(self.manifest["docs_files"])
+        # small decoded-chunk LRU: repeated query terms skip the parquet read
+        # (the analogue of the reference's query cache, scoped per process)
+        self._chunk_cache: dict[str, list[dict]] = {}
+        self._chunk_cache_cap = 4096
 
     # -- segment access ----------------------------------------------------
     def term_chunks(self, terms: list[str]) -> dict[str, list[dict]]:
@@ -78,6 +97,13 @@ class Searcher:
         out: dict[str, list[dict]] = {t: [] for t in terms}
         if not terms or self.doc_count == 0:
             return out
+        missing = [t for t in terms if t not in self._chunk_cache]
+        for t in terms:
+            if t in self._chunk_cache:
+                out[t] = self._chunk_cache[t]
+        if not missing:
+            return out
+        terms = missing
         by_wave: dict[int, list[str]] = {}
         if self.num_waves > 1:
             waves = hash_terms(np.asarray(terms, dtype=object)) % np.uint64(
@@ -95,8 +121,12 @@ class Searcher:
             if tbl.num_rows == 0:
                 continue
             tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
-            for row in tbl.to_pylist():
-                out[row["term"]].append(_chunk_from_row(row))
+            for term, chunk in _chunks_from_table(tbl):
+                out[term].append(chunk)
+        if len(self._chunk_cache) + len(terms) > self._chunk_cache_cap:
+            self._chunk_cache.clear()
+        for t in terms:
+            self._chunk_cache[t] = out[t]
         return out
 
     def df(self, term: str) -> int:
@@ -158,12 +188,26 @@ class Searcher:
         ranked = cand[order][:k]
         return [(int(doc_ids[i]), float(scores[i])) for i in ranked]
 
-    def search(self, query: str, k: int = 10, method: str = "exact"):
-        """BM25 top-k: ``[(doc_id, score)]`` ranked by (score desc, docID asc)."""
+    # above this many candidate postings, the vectorized exact scorer beats
+    # cursor-walking WAND (pruning cannot pay for per-posting Python)
+    AUTO_WAND_MAX_POSTINGS = 30_000
+
+    def search(self, query: str, k: int = 10, method: str = "auto"):
+        """BM25 top-k: ``[(doc_id, score)]`` ranked by (score desc, docID asc).
+
+        ``method``: "exact" (vectorized term-at-a-time), "wand" (block-max
+        WAND), or "auto" — pick per query by candidate volume.  All three
+        are rank-identical; auto only chooses the faster engine.
+        """
         terms = refbm25.preprocess_query(query)
         if not terms or self.doc_count == 0 or self.avg_doc_len <= 0:
             return []
         chunks_by_term = self.term_chunks(terms)
+        if method == "auto":
+            total = sum(
+                c["n_postings"] for cl in chunks_by_term.values() for c in cl
+            )
+            method = "wand" if total <= self.AUTO_WAND_MAX_POSTINGS else "exact"
         if method == "exact":
             doc_ids, scores = self._exact_scores(terms, chunks_by_term)
             return self._top_k(doc_ids, scores, k)

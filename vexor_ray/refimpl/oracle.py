@@ -5,11 +5,15 @@ against for rank-identity.  Pipeline semantics (pinned here AND in the Ray
 engine — see FIXTURES.md):
 
 1. extract: ``text = extract_text(html)`` (byte-identical contract); pages
-   whose extraction yields ``None`` are dropped and never get a docID.
-2. docID: dense rank of ``url`` in ascending url order over surviving pages
-   (deterministic under any parallelism; gives the (score desc, docID asc)
-   tie-break a stable meaning — the Ray engine computes the same ranks with
-   a distributed sort + block-offset prefix sum).
+   whose extraction yields ``None`` are dropped (their docID is never used).
+2. docID: assigned from input lineage BEFORE extraction — by default the
+   page's position in input order; the Ray engine uses
+   ``(file_idx << 32) | row_in_file`` over the sorted input file list
+   (``stages/docids.py``), which a test replicates by passing explicit
+   ``ids``.  Both are deterministic total orders in input order — the
+   analogue of the reference's sorted-file-walk + position ordering
+   (``utils.py:362``, ``cache.py:604-633``) — and give the
+   (score desc, docID asc) tie-break a stable meaning.
 3. document: ``f"{url} {text}"``; ``doc_len`` = token count of the document.
 4. score: ``score_postings`` with the spec constants; top-k by
    (score desc, docID asc).
@@ -27,8 +31,8 @@ from . import bm25, textnorm
 class OracleIndex:
     doc_count: int = 0
     avg_doc_len: float = 0.0
-    urls: list[str] = field(default_factory=list)  # doc_id -> url
-    doc_lens: list[int] = field(default_factory=list)  # doc_id -> token count
+    urls: dict[int, str] = field(default_factory=dict)  # doc_id -> url
+    doc_lens: dict[int, int] = field(default_factory=dict)  # doc_id -> tokens
     postings: dict[str, list[tuple[int, int, int]]] = field(default_factory=dict)
     # term -> [(doc_id, tf, doc_len)] with doc_id ascending
 
@@ -40,15 +44,24 @@ def build_oracle_index(
     pages: list[tuple[str, bytes | None]] | list[tuple[str, bytes | None, str | None]],
     char_limit: int = FULL_CHAR_LIMIT,
     text_only: bool = False,
+    ids: list[int] | None = None,
 ) -> OracleIndex:
     """Index a list of ``(url, html)`` pairs (or ``(key, None, text)`` rows).
 
+    ``ids`` gives each input row its docID (must be strictly ascending in
+    input order — the engine's lineage IDs are); default = input position.
     ``text_only=True`` indexes pre-extracted text documents where the lexical
     document is the text alone (used for the ``documents`` corpus); otherwise
     the document is ``f"{url} {extracted_text}"``.
     """
-    extracted: list[tuple[str, str]] = []
-    for row in pages:
+    if ids is None:
+        ids = list(range(len(pages)))
+    if any(b > a for a, b in zip(ids[1:], ids)):
+        raise ValueError("ids must be ascending in input order")
+    index = OracleIndex()
+    total_len = 0
+    n_docs = 0
+    for doc_id, row in zip(ids, pages):
         if len(row) == 3 and row[1] is None:
             url, _, text = row  # pre-extracted text path
             if text is None:
@@ -61,23 +74,18 @@ def build_oracle_index(
             text = textnorm.extract_text(html, char_limit)
             if text is None:
                 continue
-        extracted.append((url, text))
-
-    extracted.sort(key=lambda item: item[0])
-    index = OracleIndex()
-    total_len = 0
-    for doc_id, (url, text) in enumerate(extracted):
         document = text if text_only else bm25.build_document(url, text)
         tokens = bm25.tokenize(document)
         tfs = bm25.term_frequencies(tokens)
         doc_len = len(tokens)
-        index.urls.append(url)
-        index.doc_lens.append(doc_len)
+        index.urls[doc_id] = url
+        index.doc_lens[doc_id] = doc_len
         total_len += doc_len
+        n_docs += 1
         for term, tf in tfs.items():
             index.postings.setdefault(term, []).append((doc_id, tf, doc_len))
-    index.doc_count = len(extracted)
-    index.avg_doc_len = total_len / index.doc_count if index.doc_count else 0.0
+    index.doc_count = n_docs
+    index.avg_doc_len = total_len / n_docs if n_docs else 0.0
     return index
 
 

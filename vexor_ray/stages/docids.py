@@ -1,44 +1,149 @@
-"""Deterministic dense docID assignment (distributed zip-with-index).
+"""Deterministic docID assignment from input lineage — shuffle-free.
 
-``doc_id`` = rank of ``url`` in ascending url order over surviving docs —
-deterministic under any parallelism, collision-free, and it gives the
-(score desc, docID asc) tie-break a stable, explainable meaning (the oracle
-computes the identical ranks with a plain sort).
+``doc_id = (file_index << 32) | row_index_in_file`` over the lexicographically
+sorted input file list.  This is the exact analogue of the reference's global
+order (sorted file walk + per-file position, ``utils.py:362`` /
+``cache.py:604-633``), it is deterministic under ANY parallelism, and it
+costs nothing: no global sort, no shuffle, no materialization.  docIDs are
+sparse (dropped pages leave gaps; files shorter than 2^32 rows leave range
+gaps) — nothing downstream needs density, only a stable total order for the
+(score desc, docID asc) tie-break and ascending order inside posting lists.
 
-Implementation: one global range-partitioned ``Dataset.sort("url")`` (the
-single unavoidable all-to-all of the build), then a prefix-sum of per-block
-row counts assigns each sorted block its docID offset.  Counting runs as
-tiny Ray tasks against the already-materialized sorted blocks (zero-copy
-reads from the object store), so no block is shipped to the driver.
+At 10^12 docs: file_index < 2^31 and rows-per-file < 2^32 fit uint64 with
+room to spare.  The doc-range salt (``doc_id >> salt_shift``) still yields
+contiguous per-file ranges, which is exactly what hot-term splitting wants.
+
+Reading happens per parquet row group (planned from footers on the driver,
+executed as ``map_batches`` over the fragment plan), so every task knows its
+global row offset without coordination.
 """
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pyarrow as pa
-import ray
+import pyarrow.parquet as pq
 import ray.data
 
-
-@ray.remote(num_cpus=0)
-def _block_rows(block: pa.Table) -> int:
-    return block.num_rows
+FILE_SHIFT = 32
 
 
-@ray.remote
-def _with_ids(block: pa.Table, offset: int, id_col: str) -> pa.Table:
-    ids = pa.array(
-        np.arange(offset, offset + block.num_rows, dtype=np.uint64),
-        type=pa.uint64(),
+def doc_id_base(file_idx: int, row_start: int) -> int:
+    return (file_idx << FILE_SHIFT) | row_start
+
+
+def plan_fragments(
+    files: list[str], file_indices: list[int] | None = None
+) -> list[dict]:
+    """One plan row per parquet row group, with its global doc_id base.
+
+    ``file_indices`` carries each file's index in the GLOBAL sorted input
+    list (a shard group passes its own slice of the corpus).
+    """
+    frags: list[dict] = []
+    indices = file_indices if file_indices is not None else range(len(files))
+    for fi, path in zip(indices, files):
+        meta = pq.ParquetFile(path).metadata
+        if meta.num_rows >= 1 << FILE_SHIFT:
+            raise ValueError(f"{path}: too many rows for 32-bit row index")
+        row_start = 0
+        for rg in range(meta.num_row_groups):
+            n = meta.row_group(rg).num_rows
+            frags.append(
+                {
+                    "path": path,
+                    "row_group": rg,
+                    "doc_id_base": doc_id_base(fi, row_start),
+                    "num_rows": n,
+                }
+            )
+            row_start += n
+    return frags
+
+
+class ReadFragmentWithIds:
+    """map_batches callable over the fragment plan: read row group + assign ids.
+
+    Emits the requested columns plus a leading ``doc_id`` column derived from
+    the fragment's lineage (no coordination between tasks).  Yields bounded
+    slices so downstream stages see many blocks and pipeline immediately even
+    when a file has few, large row groups.
+    """
+
+    def __init__(self, columns: list[str], slice_rows: int = 2048):
+        self.columns = columns
+        self.slice_rows = slice_rows
+
+    def __call__(self, batch: pa.Table):
+        for frag in batch.to_pylist():
+            tbl = pq.ParquetFile(frag["path"]).read_row_group(
+                frag["row_group"], columns=self.columns
+            )
+            ids = pa.array(
+                np.arange(
+                    frag["doc_id_base"],
+                    frag["doc_id_base"] + tbl.num_rows,
+                    dtype=np.uint64,
+                ),
+                type=pa.uint64(),
+            )
+            tbl = tbl.add_column(0, "doc_id", ids)
+            for start in range(0, tbl.num_rows, self.slice_rows):
+                yield tbl.slice(start, self.slice_rows)
+
+
+def read_with_doc_ids(
+    files: list[str],
+    columns: list[str],
+    *,
+    file_indices: list[int] | None = None,
+) -> ray.data.Dataset:
+    """Dataset of ``(doc_id, *columns)`` over sorted input files."""
+    frags = plan_fragments(files, file_indices)
+    ds = ray.data.from_items(frags)
+    return ds.map_batches(
+        ReadFragmentWithIds(columns),
+        batch_size=1,
+        batch_format="pyarrow",
     )
-    return block.add_column(0, id_col, ids)
 
 
 def assign_doc_ids(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
-    """Sort by url and add a dense uint64 ``doc_id`` column (url rank)."""
+    """Sort-based dense-rank docID assignment (legacy path, kept for tests).
+
+    Sorts by url and assigns ranks via the executed sort's ref-bundle
+    metadata (no extra round trips).  The lineage-based scheme above replaced
+    this in the build pipeline; this remains the reference implementation of
+    distributed zip-with-index.
+    """
+    import ray
+
+    @ray.remote(num_cpus=0)
+    def _block_rows(block) -> int:
+        return block.num_rows
+
+    @ray.remote
+    def _with_ids(block, offset: int, col: str) -> pa.Table:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        ids = pa.array(
+            np.arange(offset, offset + block.num_rows, dtype=np.uint64),
+            type=pa.uint64(),
+        )
+        return block.add_column(0, col, ids)
+
     sorted_ds = ds.sort("url")
-    refs = sorted_ds.to_arrow_refs()
-    counts = ray.get([_block_rows.remote(r) for r in refs])
+    refs: list = []
+    counts: list[int] = []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            refs.append(block_ref)
+            if meta.num_rows is None:
+                counts.append(ray.get(_block_rows.remote(block_ref)))
+            else:
+                counts.append(meta.num_rows)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     out_refs = [
         _with_ids.remote(r, int(off), id_col) for r, off in zip(refs, offsets)

@@ -26,19 +26,25 @@ def make_extract_fn(char_limit: int = FULL_CHAR_LIMIT):
     def extract_batch(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
+        has_ids = "doc_id" in batch.column_names
+        ids = batch.column("doc_id").to_pylist() if has_ids else None
         out_urls: list[str] = []
         out_texts: list[str] = []
-        for url, html in zip(urls, htmls):
+        out_ids: list[int] = []
+        for i, (url, html) in enumerate(zip(urls, htmls)):
             text = extract_text(html, char_limit)
             if text is None:
                 continue
             out_urls.append(url)
             out_texts.append(text)
-        return pa.table(
-            {
-                "url": pa.array(out_urls, type=pa.string()),
-                "text": pa.array(out_texts, type=pa.large_string()),
-            }
-        )
+            if has_ids:
+                out_ids.append(ids[i])
+        cols = {
+            "url": pa.array(out_urls, type=pa.string()),
+            "text": pa.array(out_texts, type=pa.large_string()),
+        }
+        if has_ids:
+            cols = {"doc_id": pa.array(out_ids, type=pa.uint64()), **cols}
+        return pa.table(cols)
 
     return extract_batch

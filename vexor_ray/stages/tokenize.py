@@ -54,11 +54,12 @@ class TokenizeDocs:
             tfs_col.append(list(counts.values()))
         self.n_docs += len(docs)
         self.n_tokens += sum(doc_lens)
-        return pa.table(
-            {
-                "url": pa.array(urls, type=pa.string()),
-                "doc_len": pa.array(doc_lens, type=pa.uint32()),
-                "terms": pa.array(terms_col, type=pa.list_(pa.string())),
-                "tfs": pa.array(tfs_col, type=pa.list_(pa.uint32())),
-            }
-        )
+        cols = {
+            "url": pa.array(urls, type=pa.string()),
+            "doc_len": pa.array(doc_lens, type=pa.uint32()),
+            "terms": pa.array(terms_col, type=pa.list_(pa.string())),
+            "tfs": pa.array(tfs_col, type=pa.list_(pa.uint32())),
+        }
+        if "doc_id" in batch.column_names:
+            cols = {"doc_id": batch.column("doc_id"), **cols}
+        return pa.table(cols)
