@@ -215,6 +215,81 @@ def _q_sample_frames(sf_dir: str):
     return sample_frames(ds, every_n=10, batch_size=32, concurrency=2)
 
 
+def _q_keywords(sf_dir: str):
+    from vexor_ray.functions.textstats import keywords
+
+    return keywords(_docs_ds(sf_dir))
+
+
+def _q_hybrid_rrf(sf_dir: str):
+    """RRF fusion of a deterministic dense ranking with BM25 (rows-only)."""
+    import pyarrow as pa
+
+    from vexor_ray.pipelines.corpus import DocumentsSearcher
+
+    s = DocumentsSearcher(sf_dir)
+    # deterministic stand-in dense ranking: first 50 original doc ids
+    # ascending (the fusion semantics, not the dense model, are under test)
+    inv = {orig: internal for internal, orig in s._orig.items()}
+    dense_internal = [inv[o] for o in sorted(inv)[:50]]
+    fused = s.searcher.search_hybrid(_BM25_QUERY, dense_internal, k=20)
+    return pa.table(
+        {
+            "doc_id": pa.array([s._orig[d] for d, _ in fused], type=pa.int64()),
+            "fused": pa.array([round(f, 6) for _, f in fused], type=pa.float64()),
+            "rank": pa.array(range(1, len(fused) + 1), type=pa.int32()),
+        }
+    )
+
+
+def _q_chunked_bm25(sf_dir: str):
+    """Sliding-window chunk corpus build + search (rows-only)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from vexor_ray.hashing import file_fingerprint
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.index.manifest import MANIFEST_NAME
+    from vexor_ray.query.searcher import Searcher
+    from vexor_ray.stages.chunker import chunk_pages
+    from pathlib import Path
+
+    src = f"{sf_dir}/documents.parquet"
+    from vexor_ray.spec import INDEX_FORMAT_VERSION
+    key = hashlib.sha1(f"{file_fingerprint([src])}|v{INDEX_FORMAT_VERSION}".encode()).hexdigest()[:16]
+    base = Path(f"/tmp/vexor_ray_cache/chunked_{key}")
+    idx = base / "idx"
+    if not (idx / MANIFEST_NAME).exists():
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(src, columns=["doc_id", "text"])
+        pages = pa.table(
+            {
+                "url": pa.array(
+                    [f"{d:020d}" for d in tbl.column("doc_id").to_pylist()]
+                ),
+                "text": tbl.column("text"),
+            }
+        )
+        base.mkdir(parents=True, exist_ok=True)
+        pq.write_table(pages, base / "pages.parquet")
+        files = chunk_pages(
+            [str(base / "pages.parquet")], base / "chunks",
+            chunk_size=200, overlap=20, pre_extracted=True,
+        )
+        build_index(
+            files, idx,
+            BuildConfig(pre_extracted=True, text_only=True, num_waves=1,
+                        shard_group_size=4, tokenize_concurrency=2),
+        )
+    s = Searcher(idx)
+    return s.search_hits(
+        [{"query_id": 1, "query": _BM25_QUERY, "k": 10},
+         {"query_id": 2, "query": _TOPK_QUERY, "k": 10}]
+    )
+
+
 def _q_agg_lineitem(sf_dir: str):
     from vexor_ray.pipelines.relational import agg_lineitem
 
@@ -270,6 +345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         "multimodal_decode": _q_multimodal_decode,
         "sample_frames": _q_sample_frames,
+        "doc_keywords": _q_keywords,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "chunked_bm25": _q_chunked_bm25,
         "agg_lineitem": _q_agg_lineitem,
         "sort_topk_orders": _q_sort_topk,
         "filter_highvalue": _q_filter_highvalue,

@@ -86,7 +86,7 @@ def test_search_hits_table(built_index):
     out, _ = built_index
     s = Searcher(out)
     hits = s.search_hits([{"query_id": 1, "query": "needledften", "k": 5}])
-    assert hits.column_names == ["query_id", "rank", "doc_id", "url", "score"]
+    assert hits.column_names == ["query_id", "rank", "doc_id", "url", "preview", "score"]
     assert hits.num_rows == 5
     urls = hits["url"].to_pylist()
     assert all(u and u.startswith("https://") for u in urls)

@@ -30,8 +30,11 @@ def _random_sorted_batch(n_rows: int, n_terms: int, seed: int) -> pa.Table:
             d = int(rng.integers(0, n_rows * 4))
         used.add(d)
         doc_ids[i] = d
+    from vexor_ray.hashing import hash_terms
+
     return pa.table(
         {
+            "th": pa.array(hash_terms(term_strs), type=pa.uint64()),
             "term": pa.array(term_strs.tolist(), type=pa.string()),
             "salt": pa.array(salts, type=pa.uint64()),
             "doc_id": pa.array(doc_ids, type=pa.uint64()),

@@ -78,7 +78,7 @@ def test_entry_smoke(ray_session, entry_mod):
     res = entry_mod.entry()
     df = _to_df(res)
     assert len(df) > 0
-    assert set(df.columns) == {"query_id", "rank", "doc_id", "url", "score"}
+    assert set(df.columns) == {"query_id", "rank", "doc_id", "url", "preview", "score"}
 
 
 def test_all_oracle_backed_queries(ray_session, entry_mod, duck):

@@ -1,0 +1,120 @@
+"""CLI: ``python -m vexor_ray {build,search,chunk,bench-info}``.
+
+The CLI owns the Ray session (library code never calls ``ray.init``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="vexor_ray")
+    parser.add_argument("--num-cpus", type=int, default=None)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index from pages parquet")
+    b.add_argument("--input", required=True, help="dir or parquet file of pages")
+    b.add_argument("--out", required=True, help="index output directory")
+    b.add_argument("--waves", type=int, default=None)
+    b.add_argument("--partitions", type=int, default=None)
+    b.add_argument("--doc-builder", default=None, choices=["url_text", "text", "head"])
+    b.add_argument("--pre-extracted", action="store_true")
+
+    s = sub.add_parser("search", help="BM25 top-k over a built index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--method", default="auto", choices=["auto", "exact", "wand"])
+    s.add_argument("--porcelain", action="store_true", help="TSV output")
+
+    c = sub.add_parser("chunk", help="materialize a sliding-window chunk corpus")
+    c.add_argument("--input", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--chunk-size", type=int, default=1000)
+    c.add_argument("--overlap", type=int, default=100)
+    c.add_argument("--pre-extracted", action="store_true")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "build":
+        _init_ray(args.num_cpus)
+        from vexor_ray.index.build import BuildConfig, build_index
+
+        kw = {}
+        if args.waves is not None:
+            kw["num_waves"] = args.waves
+        if args.partitions is not None:
+            kw["partitions_per_wave"] = args.partitions
+        if args.doc_builder is not None:
+            kw["doc_builder"] = args.doc_builder
+        if args.pre_extracted:
+            kw["pre_extracted"] = True
+        manifest = build_index(args.input, args.out, BuildConfig(**kw))
+        print(
+            json.dumps(
+                {"stats": manifest["stats"], "partitions": len(manifest["partitions"])}
+            )
+        )
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "search":
+        from vexor_ray.query.searcher import Searcher
+
+        searcher = Searcher(args.index)
+        hits = searcher.search_hits(
+            [{"query_id": 0, "query": args.query, "k": args.k}], method=args.method
+        )
+        if args.porcelain:
+            for row in hits.to_pylist():
+                print(
+                    f"{row['rank']}\t{row['doc_id']}\t{row['score']:.6f}\t"
+                    f"{row['url']}\t{(row['preview'] or '')[:80]}"
+                )
+        else:
+            print(hits.to_pandas().to_string(index=False))
+        return 0
+
+    if args.cmd == "chunk":
+        _init_ray(args.num_cpus)
+        from vexor_ray.stages.chunker import chunk_pages
+
+        files = chunk_pages(
+            args.input,
+            args.out,
+            chunk_size=args.chunk_size,
+            overlap=args.overlap,
+            pre_extracted=args.pre_extracted,
+        )
+        print(json.dumps({"files": len(files)}))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

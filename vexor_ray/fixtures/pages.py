@@ -244,7 +244,11 @@ def write_pages(
     n_parts = max((n_rows + rows_per_file - 1) // rows_per_file, 1)
     for p in range(n_parts):
         part = table.slice(p * rows_per_file, rows_per_file)
-        pq.write_table(part, out / f"part-{p:05d}.parquet")
+        # modest row groups → one read task per row group in the engine's
+        # fragment plan (a single-row-group shard serializes its read)
+        pq.write_table(
+            part, out / f"part-{p:05d}.parquet", row_group_size=8192
+        )
     tmp = out / "_meta.json.tmp"
     tmp.write_text(json.dumps(meta))
     os.replace(tmp, meta_path)

@@ -144,6 +144,39 @@ def rolling_hash_batch(batch: pa.Table, *, window: int = 16) -> pa.Table:
     )
 
 
+_KEYWORD_MIN_LEN = 3
+_KEYWORD_LIMIT = 20
+
+
+def keywords_batch(batch: pa.Table, *, limit: int = _KEYWORD_LIMIT) -> pa.Table:
+    """Top-k keyword brief per doc (the reference's BriefStrategy shape:
+    words ≥ 3 chars, stopwords dropped, ``Counter.most_common`` order —
+    count desc then first-seen; ``services/keyword_service.py:67-107``).
+    """
+    from collections import Counter
+
+    stop = _LANG_STOPWORDS["en"]
+    texts = batch.column("text").to_pylist()
+    out = []
+    for t in texts:
+        toks = [
+            w
+            for w in TOKEN_RE.findall((t or "").lower())
+            if len(w) >= _KEYWORD_MIN_LEN and w not in stop
+        ]
+        out.append([w for w, _ in Counter(toks).most_common(limit)])
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "keywords": pa.array(out, type=pa.list_(pa.string())),
+        }
+    )
+
+
+def keywords(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(keywords_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
 

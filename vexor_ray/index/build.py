@@ -41,7 +41,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
-from ..hashing import TERM_HASHER_ID, file_fingerprint, term_wave
+from ..hashing import TERM_HASHER_ID, file_fingerprint, hash_terms
 from ..spec import (
     BM25_B,
     BM25_K1,
@@ -65,6 +65,7 @@ class BuildConfig:
     char_limit: int = FULL_CHAR_LIMIT
     pre_extracted: bool = False  # input already has a text column (no html)
     text_only: bool = False  # lexical doc = text alone (no url prefix)
+    doc_builder: str = "url_text"  # url_text | text | head (stages/tokenize.py)
     token_pattern: str = TOKEN_PATTERN
     block_size: int = POSTING_BLOCK_SIZE
     salt_shift: int = DEFAULT_SALT_SHIFT
@@ -108,6 +109,7 @@ def explode_postings(
     if batch.num_rows == 0:
         return pa.table(
             {
+                "th": pa.array([], type=pa.uint64()),
                 "term": pa.array([], type=pa.string()),
                 "salt": pa.array([], type=pa.uint64()),
                 "doc_id": pa.array([], type=pa.uint64()),
@@ -122,8 +124,14 @@ def explode_postings(
     dls = pc.take(batch.column("doc_len"), parent)
     tfs = pc.list_flatten(batch.column("tfs"))
 
+    # th = deterministic uint64 term hash: the shuffle/sort key (uint64
+    # compares are ~an order of magnitude cheaper than term strings) and the
+    # query layer's row-group pruning key; also routes waves (th % W)
+    terms_np = np.asarray(flat_terms.to_numpy(zero_copy_only=False), dtype=object)
+    th = hash_terms(terms_np)
     out = pa.table(
         {
+            "th": pa.array(th, type=pa.uint64()),
             "term": flat_terms,
             "salt": pc.shift_right(
                 pc.cast(doc_ids, pa.uint64()), pa.scalar(salt_shift, pa.uint64())
@@ -134,14 +142,14 @@ def explode_postings(
         }
     )
     if wave is not None and num_waves > 1:
-        terms_np = np.asarray(flat_terms.to_numpy(zero_copy_only=False), dtype=object)
-        mask = term_wave(terms_np, num_waves) == np.uint64(wave)
+        mask = (th % np.uint64(num_waves)) == np.uint64(wave)
         out = out.filter(pa.array(mask))
     return out
 
 
 _CHUNK_SCHEMA = pa.schema(
     [
+        ("th", pa.uint64()),
         ("term", pa.string()),
         ("salt", pa.uint64()),
         ("n_postings", pa.uint64()),
@@ -215,13 +223,20 @@ def encode_runs(
     terms = np.asarray(
         batch.column("term").to_numpy(zero_copy_only=False), dtype=object
     )
+    ths = batch.column("th").to_numpy()
     salts = batch.column("salt").to_numpy()
     doc_ids = batch.column("doc_id").to_numpy()
     tfs = batch.column("tf").to_numpy()
     dls = batch.column("dl").to_numpy()
 
-    # run boundaries (input sorted by (term, salt))
-    change = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    # run boundaries (input sorted by (th, salt); the term equality test
+    # additionally splits hash collisions — colliding terms may interleave,
+    # fragmenting into extra chunks, which the query layer merges)
+    change = (
+        (ths[1:] != ths[:-1])
+        | (salts[1:] != salts[:-1])
+        | (terms[1:] != terms[:-1])
+    )
     run_starts = np.concatenate([[0], np.flatnonzero(change) + 1]).astype(np.int64)
     n_runs = run_starts.size
     run_lengths = np.diff(np.concatenate([run_starts, [n]]))
@@ -276,6 +291,7 @@ def encode_runs(
     np.cumsum(blocks_per_run, out=blk_list_off[1:])
     return pa.table(
         {
+            "th": pa.array(ths[run_starts].astype(np.uint64), type=pa.uint64()),
             "term": pa.array(terms[run_starts], type=pa.string()),
             "salt": pa.array(salts[run_starts].astype(np.uint64), type=pa.uint64()),
             "n_postings": pa.array(run_lengths.astype(np.uint64), type=pa.uint64()),
@@ -296,6 +312,16 @@ def encode_runs(
 # --------------------------------------------------------------------------
 # build driver
 # --------------------------------------------------------------------------
+
+
+def _effective_pool_size(requested: int) -> int:
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", requested + 1))
+    except Exception:
+        cpus = requested + 1
+    return max(1, min(requested, cpus - 1))
 
 
 def _input_files(source: str | Path | list) -> list[str]:
@@ -386,12 +412,16 @@ def build_index(
             fn_constructor_kwargs={
                 "text_only": cfg.text_only,
                 "token_pattern": cfg.token_pattern,
+                "doc_builder": cfg.doc_builder,
             },
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
-            # autoscaling pool: min 1 actor so a small session (or a node
-            # whose CPUs are largely reserved) can never deadlock the stage
-            concurrency=(1, cfg.tokenize_concurrency),
+            # FIXED pool size: an autoscaling (1, N) pool ramps up too slowly
+            # to ever reach N within a stage, silently serializing the build.
+            # Clamped below the session CPU count so reads and writes keep
+            # running alongside the pool (a pool that reserves every CPU
+            # deadlocks the stage).
+            concurrency=_effective_pool_size(cfg.tokenize_concurrency),
             zero_copy_batch=True,
         )
         out_files = _atomic_dir_write(ds, gdir)
@@ -419,7 +449,12 @@ def build_index(
         str(f) for f in (out / "docs_tok").glob("group-*/*.parquet")
     )
     docs_fp = hashlib.sha1(
-        (file_fingerprint(files) + cfg.token_pattern + str(cfg.text_only)).encode()
+        (
+            file_fingerprint(files)
+            + cfg.token_pattern
+            + str(cfg.text_only)
+            + cfg.doc_builder
+        ).encode()
     ).hexdigest()
     if not manifest.is_done("docs", "global", docs_fp):
         t0 = time.perf_counter()
@@ -478,8 +513,15 @@ def build_index(
                 )
                 continue
             t0 = time.perf_counter()
+            # bound the block count into the sort: the sort-shuffle creates
+            # (#map blocks x #output partitions) intermediate objects, which
+            # at fine block granularity melts the scheduler (observed 4x data
+            # -> 20x wave time); 2x partitions_per_wave blocks keeps the
+            # exchange quadratic-in-partitions, not in input files
             ds = ray.data.read_parquet(
-                docs_files, columns=["doc_id", "doc_len", "terms", "tfs"]
+                docs_files,
+                columns=["doc_id", "doc_len", "terms", "tfs"],
+                override_num_blocks=cfg.partitions_per_wave * 2,
             )
             ds = ds.map_batches(
                 explode_postings,
@@ -493,15 +535,15 @@ def build_index(
             )
             if cfg.shuffle_backend == "hash":
                 ds = ds.repartition(
-                    cfg.partitions_per_wave, keys=["term", "salt"], sort=True
+                    cfg.partitions_per_wave, keys=["th", "salt"], sort=True
                 )
             else:
-                # range sort: same complete-runs-per-block property in the
-                # common case; a run split across block boundaries yields two
-                # chunk rows for one (term, salt), which the query layer
-                # merges (multi-chunk terms are first-class: salting already
-                # produces them)
-                ds = ds.sort(["term", "salt"])
+                # range sort on the uint64 hash key (string-free compares):
+                # same complete-runs-per-block property in the common case; a
+                # run split across block boundaries yields two chunk rows for
+                # one (term, salt), which the query layer merges (multi-chunk
+                # terms are first-class: salting already produces them)
+                ds = ds.sort(["th", "salt"])
             ds = ds.map_batches(
                 encode_runs,
                 fn_kwargs={

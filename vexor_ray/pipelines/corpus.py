@@ -51,7 +51,9 @@ def documents_index(sf_dir: str) -> Path:
     """Build (or reuse) the BM25 index over ``{sf_dir}/documents.parquet``."""
     src = f"{sf_dir}/documents.parquet"
     fp = file_fingerprint([src])
-    idx_dir = _CACHE_ROOT / f"docs_index_{hashlib.sha1(fp.encode()).hexdigest()[:16]}"
+    from ..spec import INDEX_FORMAT_VERSION
+    key = hashlib.sha1(f"{fp}|v{INDEX_FORMAT_VERSION}".encode()).hexdigest()[:16]
+    idx_dir = _CACHE_ROOT / f"docs_index_{key}"
     if not (idx_dir / MANIFEST_NAME).exists():
         tmp_pages = idx_dir.parent / (idx_dir.name + "_pages")
         tmp_pages.mkdir(parents=True, exist_ok=True)

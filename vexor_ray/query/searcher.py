@@ -117,7 +117,13 @@ class Searcher:
             ds = self._wave_ds.get(w)
             if ds is None:
                 continue
-            tbl = ds.to_table(filter=pc.field("term").isin(wave_terms))
+            # th (uint64 term hash) prunes parquet row groups — segment rows
+            # are sorted by th; the term equality filter resolves collisions
+            ths = hash_terms(np.asarray(wave_terms, dtype=object))
+            tbl = ds.to_table(
+                filter=pc.field("th").isin(pa.array(ths, type=pa.uint64()))
+                & pc.field("term").isin(wave_terms)
+            )
             if tbl.num_rows == 0:
                 continue
             tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
@@ -225,6 +231,72 @@ class Searcher:
             )
         raise ValueError(f"unknown method {method!r}")
 
+    # -- hybrid (RRF fusion with a dense ranking) --------------------------
+    def search_hybrid(
+        self,
+        query: str,
+        dense_order: list[int],
+        k: int = 10,
+        *,
+        rrf_k: int | None = None,
+        dense_weight: float | None = None,
+        bm25_weight: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Weighted reciprocal-rank fusion of a dense ranking with BM25.
+
+        ``dense_order``: docIDs in dense-similarity-descending order (from
+        any embedding backend; see ``functions/ann.py``).  Fusion follows the
+        reference exactly (``bm25.py:92-115``): float32 accumulation,
+        ``w*(k+1)/(k+rank)`` for every doc in dense order plus the same for
+        docs with positive BM25 score ordered by (-score, docID); final
+        ranking by (fused desc, docID asc).
+        """
+        from ..spec import RRF_BM25_WEIGHT, RRF_DENSE_WEIGHT, RRF_K
+
+        kk = RRF_K if rrf_k is None else rrf_k
+        wd = RRF_DENSE_WEIGHT if dense_weight is None else dense_weight
+        wb = RRF_BM25_WEIGHT if bm25_weight is None else bm25_weight
+        terms = refbm25.preprocess_query(query)
+        chunks_by_term = self.term_chunks(terms) if terms else {}
+        doc_ids, scores = (
+            self._exact_scores(terms, chunks_by_term)
+            if terms
+            else (np.zeros(0, dtype=np.uint64), np.zeros(0))
+        )
+        fused: dict[int, np.float32] = {}
+        for rank, d in enumerate(dense_order, start=1):
+            fused[d] = fused.get(d, np.float32(0.0)) + np.float32(
+                wd * (kk + 1.0) / (kk + rank)
+            )
+        bm25_order = sorted(
+            ((int(d), s) for d, s in zip(doc_ids, scores) if s > 0),
+            key=lambda item: (-item[1], item[0]),
+        )
+        for rank, (d, _s) in enumerate(bm25_order, start=1):
+            fused[d] = fused.get(d, np.float32(0.0)) + np.float32(
+                wb * (kk + 1.0) / (kk + rank)
+            )
+        ranked = sorted(fused.items(), key=lambda item: (-item[1], item[0]))
+        return [(d, float(s)) for d, s in ranked[:k]]
+
+    # -- staleness ---------------------------------------------------------
+    def is_current(self) -> bool:
+        """Does the committed manifest still match the input files on disk?
+
+        O(#input files) footer-free stat check (the reference re-stats every
+        corpus file per search, ``cache.py:1897-1940``; a manifest
+        fingerprint gives the same guarantee without the O(N-rows) cost).
+        """
+        from ..hashing import file_fingerprint
+
+        try:
+            return (
+                file_fingerprint(self.manifest["input_files"])
+                == self.manifest["input_fingerprint"]
+            )
+        except OSError:
+            return False
+
     # -- hits rendering ----------------------------------------------------
     def lookup_urls(self, doc_ids: list[int]) -> dict[int, str]:
         if not doc_ids:
@@ -235,8 +307,31 @@ class Searcher:
         )
         return dict(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
 
-    def search_hits(self, queries: list[dict], method: str = "exact") -> pa.Table:
-        """Run a query set → ``hits(query_id, rank, doc_id, url, score)``."""
+    def lookup_meta(self, doc_ids: list[int]) -> dict[int, tuple[str, str | None]]:
+        """docID → (url, preview) for hit rendering."""
+        if not doc_ids:
+            return {}
+        cols = ["doc_id", "url"]
+        schema_names = self._docs_ds.schema.names
+        has_preview = "preview" in schema_names
+        if has_preview:
+            cols.append("preview")
+        tbl = self._docs_ds.to_table(
+            columns=cols,
+            filter=pc.field("doc_id").isin(pa.array(doc_ids, type=pa.uint64())),
+        )
+        previews = (
+            tbl["preview"].to_pylist() if has_preview else [None] * tbl.num_rows
+        )
+        return {
+            d: (u, p)
+            for d, u, p in zip(
+                tbl["doc_id"].to_pylist(), tbl["url"].to_pylist(), previews
+            )
+        }
+
+    def search_hits(self, queries: list[dict], method: str = "auto") -> pa.Table:
+        """Run a query set → ``hits(query_id, rank, doc_id, url, preview, score)``."""
         rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         for q in queries:
             results = self.search(q["query"], q.get("k", 10), method=method)
@@ -245,14 +340,19 @@ class Searcher:
                 rows["rank"].append(rank)
                 rows["doc_id"].append(doc_id)
                 rows["score"].append(score)
-        urls = self.lookup_urls(sorted(set(rows["doc_id"])))
+        meta = self.lookup_meta(sorted(set(rows["doc_id"])))
         tbl = pa.table(
             {
                 "query_id": pa.array(rows["query_id"], type=pa.int64()),
                 "rank": pa.array(rows["rank"], type=pa.int32()),
                 "doc_id": pa.array(rows["doc_id"], type=pa.uint64()),
                 "url": pa.array(
-                    [urls.get(d) for d in rows["doc_id"]], type=pa.string()
+                    [meta.get(d, (None, None))[0] for d in rows["doc_id"]],
+                    type=pa.string(),
+                ),
+                "preview": pa.array(
+                    [meta.get(d, (None, None))[1] for d in rows["doc_id"]],
+                    type=pa.string(),
                 ),
                 "score": pa.array(rows["score"], type=pa.float64()),
             }

@@ -45,6 +45,7 @@ def build_oracle_index(
     char_limit: int = FULL_CHAR_LIMIT,
     text_only: bool = False,
     ids: list[int] | None = None,
+    doc_builder: str = "url_text",
 ) -> OracleIndex:
     """Index a list of ``(url, html)`` pairs (or ``(key, None, text)`` rows).
 
@@ -74,7 +75,13 @@ def build_oracle_index(
             text = textnorm.extract_text(html, char_limit)
             if text is None:
                 continue
-        document = text if text_only else bm25.build_document(url, text)
+        builder = "text" if text_only else doc_builder
+        if builder == "text":
+            document = text
+        elif builder == "head":
+            document = bm25.build_document(url, textnorm.head_snippet(text) or "")
+        else:
+            document = bm25.build_document(url, text)
         tokens = bm25.tokenize(document)
         tfs = bm25.term_frequencies(tokens)
         doc_len = len(tokens)

@@ -79,6 +79,26 @@ def cleanup_snippet(snippet: str) -> str | None:
     return joined or None
 
 
+PREVIEW_CHAR_LIMIT = 160
+
+
+def make_preview(text: str, limit: int = PREVIEW_CHAR_LIMIT) -> str:
+    """Collapse whitespace, cap at ``limit`` chars with an ellipsis.
+
+    Mirrors the reference's preview normalization + trim
+    (``modes.py:318-331``, ``PREVIEW_CHAR_LIMIT = 160``).
+    """
+    collapsed = " ".join(text.split())
+    if len(collapsed) <= limit:
+        return collapsed
+    return collapsed[: limit - 1].rstrip() + "…"
+
+
+def head_snippet(text: str, char_limit: int = 1000) -> str | None:
+    """First ``char_limit`` chars, line-collapsed — the head-mode document."""
+    return cleanup_snippet(text[:char_limit])
+
+
 def chunk_text(
     text: str,
     chunk_size: int = DEFAULT_CHUNK_SIZE,

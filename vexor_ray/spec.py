@@ -57,4 +57,4 @@ DEFAULT_SALT_SHIFT: int = 20
 # term-hash buckets so a killed build resumes at wave granularity.
 DEFAULT_NUM_WAVES: int = 4
 
-INDEX_FORMAT_VERSION: int = 1
+INDEX_FORMAT_VERSION: int = 2

@@ -103,10 +103,17 @@ def read_with_doc_ids(
     """Dataset of ``(doc_id, *columns)`` over sorted input files."""
     frags = plan_fragments(files, file_indices)
     ds = ray.data.from_items(frags)
+    # num_cpus slightly UNDER 1.0 blocks operator fusion (and still fits
+    # alongside a 1-CPU actor on a 2-CPU session) with downstream
+    # stages: fused, the whole corpus would flow through as few tasks as
+    # there are PLAN rows (one actor call processed everything — observed),
+    # serializing the build.  Unfused, each fragment is its own read task
+    # and the generator slices fan out to the downstream pool.
     return ds.map_batches(
         ReadFragmentWithIds(columns),
         batch_size=1,
         batch_format="pyarrow",
+        num_cpus=0.99,
     )
 
 

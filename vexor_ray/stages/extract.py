@@ -16,8 +16,38 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from collections.abc import Callable
+
 from ..refimpl.textnorm import extract_text
 from ..spec import FULL_CHAR_LIMIT
+
+# Extractor registry (the analogue of the reference's ExtractorEntry
+# registry, ``content_extract_service.py:115-126``): url-suffix → extractor
+# ``fn(payload: bytes, char_limit) -> str | None``.  The default pipeline is
+# the byte-identical UTF-8 path for EVERY suffix; registering a suffix (e.g.
+# ".pdf" once a pdf library exists) overrides only that suffix.
+_EXTRACTORS: dict[str, Callable[[bytes, int], str | None]] = {}
+
+
+def register_extractor(
+    suffixes: tuple[str, ...], fn: Callable[[bytes, int], str | None]
+) -> None:
+    for s in suffixes:
+        _EXTRACTORS[s.lower()] = fn
+
+
+def clear_extractors() -> None:
+    _EXTRACTORS.clear()
+
+
+def _dispatch(url: str, payload: bytes, char_limit: int) -> str | None:
+    if _EXTRACTORS:
+        dot = url.rfind(".")
+        if dot >= 0:
+            fn = _EXTRACTORS.get(url[dot:].lower())
+            if fn is not None:
+                return fn(payload, char_limit)
+    return extract_text(payload, char_limit)
 
 
 def make_extract_fn(char_limit: int = FULL_CHAR_LIMIT):
@@ -32,7 +62,7 @@ def make_extract_fn(char_limit: int = FULL_CHAR_LIMIT):
         out_texts: list[str] = []
         out_ids: list[int] = []
         for i, (url, html) in enumerate(zip(urls, htmls)):
-            text = extract_text(html, char_limit)
+            text = _dispatch(url, html, char_limit)
             if text is None:
                 continue
             out_urls.append(url)
