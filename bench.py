@@ -188,31 +188,46 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling() -> dict:
+def run_scaling(repeats: int = 3) -> dict:
+    """N vs 4N CPUs on the same input, median of ``repeats`` fresh processes.
+
+    The single-node sandbox shows double-digit-percent run-to-run variance
+    (shared VM); medians keep one noisy leg from swinging the efficiency.
+    """
     # generate corpus once before timing either level
     _pages_dir()
-    results = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), VEXOR_BENCH_QUERIES="40")
-        out = subprocess.run(
-            [sys.executable, str(Path(__file__).resolve())],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    t8 = results[8]["value"]
-    t32 = results[32]["value"]
+    results: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(repeats):
+        for ncpu in (8, 32):
+            env = dict(
+                os.environ, RAY_GRAFT_CPUS=str(ncpu), VEXOR_BENCH_QUERIES="40"
+            )
+            # scaling is measured at 4x the default corpus so parallel
+            # compute dominates the per-execution fixed costs
+            env.setdefault("VEXOR_BENCH_PAGES", "400000")
+            out = subprocess.run(
+                [sys.executable, str(Path(__file__).resolve())],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            results[ncpu].append(json.loads(out.strip().splitlines()[-1]))
+    t8s = sorted(r["value"] for r in results[8])
+    t32s = sorted(r["value"] for r in results[32])
+    t8 = statistics.median(t8s)
+    t32 = statistics.median(t32s)
     eff = (t8 / t32) / (32 / 8)
     return {
         "sec_8": t8,
         "sec_32": t32,
-        "docs_per_sec_8": results[8]["queries"]["docs_per_sec"],
-        "docs_per_sec_32": results[32]["queries"]["docs_per_sec"],
+        "sec_8_runs": t8s,
+        "sec_32_runs": t32s,
+        "docs_per_sec_8": round(results[8][0]["pages"] / t8, 1),
+        "docs_per_sec_32": round(results[32][0]["pages"] / t32, 1),
         "scaling_efficiency": round(eff, 3),
-        "pages": results[32]["pages"],
-        "note": "logical-parallelism scaling (single sandbox node), N=8 vs 4N=32 CPUs",
+        "pages": results[32][0]["pages"],
+        "note": "logical-parallelism scaling (single sandbox node), N=8 vs 4N=32 CPUs, median of repeats",
     }
 
 

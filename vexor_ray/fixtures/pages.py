@@ -247,7 +247,7 @@ def write_pages(
         # modest row groups → one read task per row group in the engine's
         # fragment plan (a single-row-group shard serializes its read)
         pq.write_table(
-            part, out / f"part-{p:05d}.parquet", row_group_size=8192
+            part, out / f"part-{p:05d}.parquet", row_group_size=4096
         )
     tmp = out / "_meta.json.tmp"
     tmp.write_text(json.dumps(meta))

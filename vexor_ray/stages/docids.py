@@ -35,12 +35,17 @@ def doc_id_base(file_idx: int, row_start: int) -> int:
 
 
 def plan_fragments(
-    files: list[str], file_indices: list[int] | None = None
+    files: list[str],
+    file_indices: list[int] | None = None,
+    rows_per_fragment: int = 8192,
 ) -> list[dict]:
-    """One plan row per parquet row group, with its global doc_id base.
+    """Plan rows at sub-row-group granularity, each with its doc_id base.
 
     ``file_indices`` carries each file's index in the GLOBAL sorted input
-    list (a shard group passes its own slice of the corpus).
+    list (a shard group passes its own slice of the corpus).  Fragments
+    smaller than a row group trade some repeated row-group decode (cheap,
+    columnar) for fine task granularity — a handful of coarse tasks leaves
+    a long tail on a wide actor pool.
     """
     frags: list[dict] = []
     indices = file_indices if file_indices is not None else range(len(files))
@@ -51,14 +56,16 @@ def plan_fragments(
         row_start = 0
         for rg in range(meta.num_row_groups):
             n = meta.row_group(rg).num_rows
-            frags.append(
-                {
-                    "path": path,
-                    "row_group": rg,
-                    "doc_id_base": doc_id_base(fi, row_start),
-                    "num_rows": n,
-                }
-            )
+            for off in range(0, n, rows_per_fragment):
+                frags.append(
+                    {
+                        "path": path,
+                        "row_group": rg,
+                        "rg_offset": off,
+                        "num_rows": min(rows_per_fragment, n - off),
+                        "doc_id_base": doc_id_base(fi, row_start + off),
+                    }
+                )
             row_start += n
     return frags
 
@@ -81,6 +88,7 @@ class ReadFragmentWithIds:
             tbl = pq.ParquetFile(frag["path"]).read_row_group(
                 frag["row_group"], columns=self.columns
             )
+            tbl = tbl.slice(frag["rg_offset"], frag["num_rows"])
             ids = pa.array(
                 np.arange(
                     frag["doc_id_base"],
