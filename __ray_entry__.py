@@ -134,7 +134,11 @@ def _q_simhash(sf_dir: str):
 def _knn_queries(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [0, 1, 2])],
+    )
     emb = {v: e for v, e in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())}
     return np.asarray([emb[0], emb[1], emb[2]], dtype=np.float64)
 
@@ -146,20 +150,19 @@ def _q_knn_cosine(sf_dir: str):
     from vexor_ray.functions.ann import brute_force_topk
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    full = brute_force_topk(emb, _knn_queries(sf_dir), k=1_000_000)
-    # deterministic boundary: re-rank by (rounded cosine desc, vec_id asc)
-    df = full.to_pandas()
-    out = []
-    for qi, g in df.groupby("query_idx"):
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(10)
-        g = g.assign(rank=range(1, len(g) + 1), query_idx=int(qi))
-        out.append(g)
-    import pandas as pd
-
-    res = pd.concat(out)[["query_idx", "rank", "vec_id", "cosine"]]
-    res["query_idx"] = res["query_idx"].astype("int64")
-    res["rank"] = res["rank"].astype("int64")
-    return pa.Table.from_pandas(res, preserve_index=False)
+    # partials are rounded + tie-widened inside brute_force_topk, so k=10 is
+    # exact and deterministic — no driver-side full materialization
+    tbl = brute_force_topk(emb, _knn_queries(sf_dir), k=10)
+    return tbl.cast(
+        pa.schema(
+            [
+                ("query_idx", pa.int64()),
+                ("rank", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("cosine", pa.float64()),
+            ]
+        )
+    )
 
 
 def _q_ann_lsh(sf_dir: str):
@@ -434,7 +437,7 @@ scored AS (
          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
   FROM embeddings e CROSS JOIN q)
 SELECT CAST(qid AS BIGINT) AS query_idx, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(cos, 6) AS cosine
-FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, vec_id) AS rank FROM scored)
 WHERE rank <= 10 ORDER BY query_idx, rank""",
         "agg_lineitem": """
 SELECT l_returnflag, l_linestatus,

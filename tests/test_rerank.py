@@ -19,7 +19,11 @@ def test_bm25l_hand_computed():
 
     assert math.isclose(scores[0], expect(1, 2), rel_tol=1e-12)
     assert math.isclose(scores[1], expect(2, 3), rel_tol=1e-12)
-    assert scores[2] == 0.0
+    # tf=0 docs still earn the delta floor whenever the term appears in the
+    # candidate corpus — rank_bm25.BM25L.get_scores parity
+    assert math.isclose(scores[2], expect(0, 1), rel_tol=1e-12)
+    # terms absent from the candidate corpus contribute nothing (idf.get → 0)
+    assert bm25l_scores(["zeta"], docs) == [0.0, 0.0, 0.0]
     # positive idf even when df == n (the BM25L point)
     all_match = bm25l_scores(["alpha"], [["alpha"], ["alpha"]])
     assert all(s > 0 for s in all_match)
@@ -32,12 +36,18 @@ def test_rerank_fusion():
         {"doc_id": 3, "score": 0.0, "url": "https://x/ccc", "preview": "other words entirely"},
     ]
     fused = rerank_bm25l("quantum flux capacitor", cands)
-    # doc 2 is the only bm25 match → bm25_norm 1.0 → fused 0.7*0.5 + 0.3 =
-    # 0.65 < doc 1's pure-semantic 0.7 → doc 1 stays first, doc 2 second
+    # doc 2 is the only tf>0 match → bm25_norm 1.0 → fused 0.7*0.5 + 0.3 =
+    # 0.65 < doc 1's 0.7 + delta-floor share → doc 1 first, doc 2 second
     assert [c["doc_id"] for c in fused] == [1, 2, 3]
+    from vexor_ray.refimpl.bm25 import tokenize
+
+    docs = [tokenize(f"{c['url']} {c['preview']}".strip()) for c in cands]
+    bm = bm25l_scores(tokenize("quantum flux capacitor"), docs)
+    assert bm[1] == max(bm) and bm[0] == bm[2] and bm[0] > 0
     by_id = {c["doc_id"]: c["score"] for c in fused}
-    assert math.isclose(by_id[1], 0.7, rel_tol=1e-9)
+    assert math.isclose(by_id[1], 0.7 * 1.0 + 0.3 * bm[0] / bm[1], rel_tol=1e-9)
     assert math.isclose(by_id[2], 0.7 * 0.5 + 0.3 * 1.0, rel_tol=1e-9)
+    assert math.isclose(by_id[3], 0.3 * bm[2] / bm[1], rel_tol=1e-9)
     from vexor_ray.query.rerank import resolve_rerank_candidates
     assert resolve_rerank_candidates(5) == 20
     assert resolve_rerank_candidates(50) == 100

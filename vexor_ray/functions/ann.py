@@ -52,14 +52,22 @@ def brute_force_topk(
                     "cosine": pa.array([], type=pa.float64()),
                 }
             )
-        sims = _normalize(mat) @ qm.T  # (n, nq)
+        # round BEFORE the local cut, and widen the candidate set to every
+        # row tying the k-th rounded score: exact duplicate embeddings at the
+        # boundary then survive to the driver merge, so the documented
+        # (cosine desc, vec_id asc) order is deterministic across any batch
+        # split — and the driver merge is exact with only ~k rows per batch
+        sims = np.round(_normalize(mat) @ qm.T, 6)  # (n, nq)
         out_q, out_id, out_s = [], [], []
         for qi in range(qm.shape[0]):
             s = sims[:, qi]
-            take = min(k, s.size)
-            cand = np.argpartition(-s, take - 1)[:take] if s.size > take else np.arange(s.size)
+            if s.size > k:
+                kth = -np.partition(-s, k - 1)[k - 1]
+                cand = np.flatnonzero(s >= kth)
+            else:
+                cand = np.arange(s.size)
             order = np.lexsort((ids[cand], -s[cand]))
-            sel = cand[order][:take]
+            sel = cand[order]
             out_q.append(np.full(sel.size, qi, dtype=np.int32))
             out_id.append(ids[sel])
             out_s.append(s[sel])
@@ -83,7 +91,7 @@ def brute_force_topk(
             rows["query_idx"].append(int(qi))
             rows["rank"].append(rank)
             rows["vec_id"].append(int(r["vec_id"]))
-            rows["cosine"].append(round(float(r["cosine"]), 6))
+            rows["cosine"].append(float(r["cosine"]))
     return pa.table(
         {
             "query_idx": pa.array(rows["query_idx"], type=pa.int32()),

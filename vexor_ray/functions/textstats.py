@@ -38,6 +38,14 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _round6_half_up(x: float) -> float:
+    """Round-half-up to 6 places (SQL ROUND semantics; Python's round() is
+    banker's rounding and disagrees on exact .5 boundaries, e.g. 105/128)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality features: n_chars, n_tokens, alpha_ratio, stop_ratio (rounded 6)."""
     texts = batch.column("text").to_pylist()
@@ -49,9 +57,9 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         n_chars.append(len(t))
         n_tokens.append(len(toks))
         n_alpha = sum(ch.isalpha() for ch in t)
-        alpha_ratio.append(round(n_alpha / len(t), 6) if t else 0.0)
+        alpha_ratio.append(_round6_half_up(n_alpha / len(t)) if t else 0.0)
         n_stop = sum(tok in stop for tok in toks)
-        stop_ratio.append(round(n_stop / len(toks), 6) if toks else 0.0)
+        stop_ratio.append(_round6_half_up(n_stop / len(toks)) if toks else 0.0)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

@@ -355,6 +355,26 @@ def _parquet_rows(files: list[str]) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def _normalize_pre_extracted(batch: pa.Table) -> pa.Table:
+    """normalize_text + drop null/empty rows for pre-extracted text inputs."""
+    from ..refimpl.textnorm import normalize_text
+
+    texts = batch.column("text").to_pylist()
+    keep_idx: list[int] = []
+    normed: list[str] = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        t = normalize_text(t)
+        if not t:
+            continue
+        keep_idx.append(i)
+        normed.append(t)
+    out = batch.take(pa.array(keep_idx, type=pa.int64()))
+    col = out.schema.get_field_index("text")
+    return out.set_column(col, "text", pa.array(normed, type=pa.large_string()))
+
+
 def _column_sum(files: list[str], column: str) -> int:
     total = 0
     for f in files:
@@ -407,6 +427,16 @@ def build_index(
                 batch_size=cfg.extract_batch_size,
                 zero_copy_batch=True,
             )
+        else:
+            # pre-extracted inputs get the same normalize-and-drop-empty the
+            # extraction path applies (refimpl.oracle:66-72 parity): without
+            # it, whitespace-only rows survive as doc_len=0 ghosts and skew
+            # doc_count / avg_doc_len / idf vs the oracle
+            ds = ds.map_batches(
+                _normalize_pre_extracted,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         ds = ds.map_batches(
             TokenizeDocs,
             fn_constructor_kwargs={
@@ -444,10 +474,23 @@ def build_index(
 
     # ---- stage 2: corpus stats (docIDs already assigned from lineage) ------
     # the docs_tok checkpoint IS the docs table: (doc_id, url, doc_len,
-    # terms, tfs); stats are exact global aggregates over its doc_len column
+    # terms, tfs); stats are exact global aggregates over its doc_len column.
+    # Files come from THIS run's committed group records — never a directory
+    # glob, which would silently fold stale checkpoints from an earlier build
+    # with a different input plan into doc_count / idf as ghost documents.
+    parts = manifest.load_partitions()
+    current_pids = [f"group-{gi:05d}" for gi in range(len(groups))]
     all_tok_files = sorted(
-        str(f) for f in (out / "docs_tok").glob("group-*/*.parquet")
+        f
+        for pid in current_pids
+        for f in parts[f"docs_tok--{pid}"].output_files
     )
+    keep_dirs = set(current_pids)
+    tok_root = out / "docs_tok"
+    if tok_root.exists():
+        for sub in tok_root.iterdir():
+            if sub.is_dir() and sub.name not in keep_dirs:
+                shutil.rmtree(sub)
     docs_fp = hashlib.sha1(
         (
             file_fingerprint(files)

@@ -50,12 +50,19 @@ def bm25l_scores(
     scores = [0.0] * n
     for term in query_tokens:
         df = dfs.get(term, 0)
+        if df == 0:
+            # rank_bm25's idf dict only holds corpus terms → missing terms
+            # contribute 0 (BM25L.get_scores: ``self.idf.get(q) or 0``)
+            continue
         idf = math.log((n + 1.0) / (df + 0.5))
         for i in range(n):
+            # rank_bm25.BM25L adds idf*(k1+1)*(ctd+delta)/(k1+ctd+delta) for
+            # EVERY doc — tf=0 included (ctd=0 → the delta floor) — whenever
+            # the term appears anywhere in the candidate corpus
             tf = tfs[i].get(term, 0)
-            if tf == 0 or doc_lens[i] == 0 or avgdl == 0:
-                continue
-            ctd = tf / (1.0 - b + b * doc_lens[i] / avgdl)
+            ctd = (
+                tf / (1.0 - b + b * doc_lens[i] / avgdl) if avgdl > 0 else 0.0
+            )
             scores[i] += idf * (k1 + 1.0) * (ctd + delta) / (k1 + ctd + delta)
     return scores
 
