@@ -166,12 +166,23 @@ def _q_knn_cosine(sf_dir: str):
 
 
 def _q_ann_lsh(sf_dir: str):
+    import pyarrow as pa
     import ray.data
 
     from vexor_ray.functions.ann import lsh_topk
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, _knn_queries(sf_dir), k=10)
+    tbl = lsh_topk(emb, _knn_queries(sf_dir), k=10)
+    return tbl.cast(
+        pa.schema(
+            [
+                ("query_idx", pa.int64()),
+                ("rank", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("cosine", pa.float64()),
+            ]
+        )
+    )
 
 
 def _q_multimodal_decode(sf_dir: str):
@@ -193,7 +204,23 @@ def _q_multimodal_decode(sf_dir: str):
     ds = _docs_ds(sf_dir).map_batches(
         to_payload, batch_format="pyarrow", zero_copy_batch=True
     )
-    return decode_images(ds, batch_size=64, concurrency=2)
+    decoded = decode_images(ds, batch_size=64, concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        # feat values are exact multiples of 1/16 → the float64 sum is exact
+        # and equals the oracle's integer-nibble-sum / 16
+        feats = batch.column("feat").to_pylist()
+        sums = [round(float(np.sum(np.asarray(f, dtype=np.float64))), 6) for f in feats]
+        return pa.table(
+            {
+                "id": batch.column("id"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "feat_sum": pa.array(sums, type=pa.float64()),
+            }
+        )
+
+    return decoded.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_sample_frames(sf_dir: str):
@@ -219,9 +246,9 @@ def _q_sample_frames(sf_dir: str):
 
 
 def _q_keywords(sf_dir: str):
-    from vexor_ray.functions.textstats import keywords
+    from vexor_ray.functions.textstats import keywords_exploded
 
-    return keywords(_docs_ds(sf_dir))
+    return keywords_exploded(_docs_ds(sf_dir))
 
 
 def _q_hybrid_rrf(sf_dir: str):
@@ -387,6 +414,112 @@ scores AS (
     )
 
 
+def _rolling_fp_sql() -> str:
+    """Rolling min-hash oracle: recompute every 16-byte window's polynomial
+    hash (base 257 mod 2^31-1) from precomputed weights and take the min.
+    Matches ``textstats.rolling_hash_batch`` exactly on ASCII text with
+    length >= 16 (the synthetic corpus guarantees both)."""
+    mod = (1 << 31) - 1
+    wt = ", ".join(f"({j}, {pow(257, 15 - j, mod)})" for j in range(16))
+    return f"""
+WITH wt(j, w) AS (VALUES {wt}),
+ch0 AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+  FROM documents),
+ch AS (SELECT doc_id, i, CAST(ord(substr(text, i, 1)) AS BIGINT) AS c FROM ch0),
+win AS (
+  SELECT doc_id, unnest(generate_series(1, length(text) - 15)) AS w0
+  FROM documents WHERE length(text) >= 16),
+h AS (
+  SELECT win.doc_id, win.w0, SUM(ch.c * wt.w) % 2147483647 AS hv
+  FROM win
+  JOIN ch ON ch.doc_id = win.doc_id AND ch.i BETWEEN win.w0 AND win.w0 + 15
+  JOIN wt ON wt.j = ch.i - win.w0
+  GROUP BY win.doc_id, win.w0)
+SELECT d.doc_id, CAST(COALESCE(m.h, 0) AS UBIGINT) AS rolling_min_hash
+FROM documents d
+LEFT JOIN (SELECT doc_id, MIN(hv) AS h FROM h GROUP BY doc_id) m USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+def _minhash_sql(threshold: float) -> str:
+    """MinHash-LSH oracle: same md5-derived shingle hashes, the engine's own
+    ``_minhash_params`` constants inlined, band keys as '-'-joined signature
+    strings, exact-Jaccard verification of colliding pairs."""
+    from vexor_ray.functions.dedup import _minhash_params
+
+    a, b = _minhash_params(64, seed=1)
+    perm = ", ".join(
+        f"({i}, {int(av)}, {int(bv)})" for i, (av, bv) in enumerate(zip(a, b))
+    )
+    return f"""
+WITH tl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh0 AS (SELECT doc_id,
+  CASE WHEN len(toks) >= 3
+       THEN list_transform(generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+       ELSE [] END AS shingles
+  FROM tl),
+hv AS (SELECT DISTINCT doc_id, CAST(md5_number_lower(s) % 4294967296 AS BIGINT) AS h
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh0)),
+perm(p_idx, a, b) AS (VALUES {perm}),
+sig AS (SELECT doc_id, p_idx, MIN((a * h + b) % 2147483647) AS sv
+        FROM hv CROSS JOIN perm GROUP BY doc_id, p_idx),
+band AS (SELECT doc_id, p_idx // 4 AS band,
+                string_agg(sv::VARCHAR, '-' ORDER BY p_idx) AS key
+         FROM sig GROUP BY doc_id, p_idx // 4),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM band x JOIN band y
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hv GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+          FROM cand c
+          JOIN hv x ON x.doc_id = c.doc_a
+          JOIN hv y ON y.doc_id = c.doc_b AND y.h = x.h
+          GROUP BY c.doc_a, c.doc_b),
+j AS (SELECT c.doc_a, c.doc_b,
+             COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)) AS jac
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+FROM j WHERE jac >= {threshold} ORDER BY doc_a, doc_b"""
+
+
+def _ann_lsh_sql() -> str:
+    """SRP-LSH oracle: integer md5-derived planes × floor-quantized
+    embeddings → bit-exact buckets; exact cosine over the candidate union."""
+    return """
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+pl AS (SELECT j.j, dims.d,
+              CAST(md5_number_lower('srp|5|' || j.j || '|' || (dims.d - 1)) % 2001 AS BIGINT) - 1000 AS w
+       FROM (SELECT unnest(generate_series(0, 11)) AS j) j CROSS JOIN dims),
+ev AS (SELECT vec_id, dims.d,
+              CAST(floor(CAST(embedding[dims.d] AS DOUBLE) * 1048576) AS BIGINT) AS e
+       FROM embeddings CROSS JOIN dims),
+dots AS (SELECT ev.vec_id, pl.j, SUM(ev.e * pl.w) AS dot
+         FROM ev JOIN pl ON pl.d = ev.d GROUP BY ev.vec_id, pl.j),
+buck AS (SELECT vec_id,
+                SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
+         FROM dots GROUP BY vec_id),
+qb AS (SELECT DISTINCT bucket FROM buck WHERE vec_id IN (0, 1, 2)),
+cands AS (SELECT e.vec_id, e.embedding FROM embeddings e
+          JOIN buck ON buck.vec_id = e.vec_id
+          WHERE buck.bucket IN (SELECT bucket FROM qb)),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (SELECT q.qid, c.vec_id,
+                  list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv) AS cos
+           FROM cands c CROSS JOIN q)
+SELECT CAST(qid AS BIGINT) AS query_idx, CAST(rank AS BIGINT) AS rank, vec_id,
+       ROUND(cos, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= 10 ORDER BY query_idx, rank"""
+
+
 def oracle_sql() -> dict[str, str]:
     en = "('the','a','of','and','to','in','is','that','for','it')"
     de = "('der','die','das','und','ist','ein','eine','zu','mit','von')"
@@ -427,6 +560,54 @@ SELECT doc_id,
             ELSE 'fr' END AS lang_pred
 FROM hits ORDER BY doc_id""",
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+        "rolling_fp": _rolling_fp_sql(),
+        "minhash_pairs": _minhash_sql(threshold=0.4),
+        "simhash": f"""
+WITH cnt AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t),
+hb AS (SELECT doc_id, c, md5_number_lower(t) AS h FROM cnt),
+bits AS (
+  SELECT doc_id, b.b,
+         SUM(c * (2 * CAST((h >> b.b) & 1 AS BIGINT) - 1)) AS votes
+  FROM hb, LATERAL generate_series(0, 63) AS b(b)
+  GROUP BY doc_id, b.b),
+sh AS (SELECT doc_id,
+              SUM(CASE WHEN votes > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS s
+       FROM bits GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(sh.s, 0) AS UBIGINT) AS simhash
+FROM documents d LEFT JOIN sh USING (doc_id) ORDER BY d.doc_id""",
+        "ann_lsh": _ann_lsh_sql(),
+        "multimodal_decode": """
+WITH h AS (SELECT doc_id AS id, md5_number_lower(text) AS H FROM documents),
+f AS (SELECT id, SUM(CAST((H >> (4 * j.j)) & 15 AS DOUBLE)) / 16.0 AS feat_sum
+      FROM h, LATERAL generate_series(0, 15) AS j(j) GROUP BY id)
+SELECT h.id, CAST(64 + H % 256 AS INT) AS width,
+       CAST(64 + (H >> 8) % 256 AS INT) AS height,
+       ROUND(f.feat_sum, 6) AS feat_sum
+FROM h JOIN f USING (id) ORDER BY h.id""",
+        "sample_frames": """
+WITH p AS (
+  SELECT doc_id AS id, text,
+         unnest(generate_series(0, octet_length(CAST(text AS BLOB)) % 100, 10)) AS frame
+  FROM documents)
+SELECT id, CAST(frame AS INT) AS frame,
+       md5(md5(text) || '#' || frame) AS frame_hash
+FROM p ORDER BY id, frame""",
+        "doc_keywords": f"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter({_TOKS}, t -> length(t) >= 3 AND t NOT IN {en}) AS toks
+  FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS tok, toks FROM tl),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c, MIN(list_position(toks, tok)) AS fpos
+        FROM ex GROUP BY doc_id, tok),
+rk AS (SELECT doc_id, tok,
+              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, fpos) AS kw_rank
+       FROM cnt)
+SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, tok AS keyword
+FROM rk WHERE kw_rank <= 20 ORDER BY doc_id, kw_rank""",
         "dedup_exact": """
 SELECT md5(text) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc_id
 FROM documents GROUP BY md5(text) ORDER BY fp""",

@@ -102,23 +102,45 @@ def brute_force_topk(
     )
 
 
+def srp_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic integer SRP planes in [-1000, 1000], md5-derived.
+
+    plane[d, j] = (md5_u64(f"srp|{seed}|{j}|{d}") % 2001) - 1000 — the exact
+    expression a SQL oracle can recompute with ``md5_number_lower``.  Integer
+    planes + floor-quantized embeddings make the sign bits bit-exact across
+    engines (no float-summation-order ambiguity at the dot≈0 boundary).
+    """
+    from .dedup import md5_u64
+
+    out = np.empty((dim, n_planes), dtype=np.int64)
+    for j in range(n_planes):
+        for d in range(dim):
+            out[d, j] = md5_u64(f"srp|{seed}|{j}|{d}".encode()) % 2001 - 1000
+    return out
+
+
+def srp_buckets(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """bucket = sum_j (dot_j > 0) << j over integer-quantized embeddings."""
+    q = np.floor(mat * 1048576.0).astype(np.int64)  # *2^20 is exact scaling
+    dots = q @ planes
+    bits = (dots > 0).astype(np.uint64)
+    shifts = np.arange(planes.shape[1], dtype=np.uint64)
+    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+
+
 class SrpBucketer:
     """Actor-pool stage: signed-random-projection bucket id per vector."""
 
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 5):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+        self.planes = srp_planes(dim, n_planes, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         if mat.size == 0:
-            bucket = np.zeros(0, dtype=np.uint32)
+            bucket = np.zeros(0, dtype=np.uint64)
         else:
-            bits = (mat @ self.planes) > 0
-            bucket = np.packbits(
-                np.pad(bits, ((0, 0), (0, (-bits.shape[1]) % 32))), axis=1
-            ).view(np.uint32)[:, 0]
-        return batch.append_column("bucket", pa.array(bucket, type=pa.uint32()))
+            bucket = srp_buckets(mat, self.planes)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.uint64()))
 
 
 def lsh_topk(
@@ -133,12 +155,7 @@ def lsh_topk(
     """Approximate cosine top-k: probe only the query's SRP bucket."""
     q = np.asarray(queries, dtype=np.float64)
     dim = q.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
-    qbits = (q @ planes) > 0
-    qbuckets = np.packbits(
-        np.pad(qbits, ((0, 0), (0, (-qbits.shape[1]) % 32))), axis=1
-    ).view(np.uint32)[:, 0]
+    qbuckets = srp_buckets(q, srp_planes(dim, n_planes, seed))
 
     bucketed = embeddings.map_batches(
         SrpBucketer,
@@ -147,7 +164,7 @@ def lsh_topk(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
-    wanted = pa.array(np.unique(qbuckets), type=pa.uint32())
+    wanted = pa.array(np.unique(qbuckets), type=pa.uint64())
     import pyarrow.compute as pc
 
     cands = bucketed.map_batches(

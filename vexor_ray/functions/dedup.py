@@ -4,85 +4,121 @@ Shapes follow the standard scale patterns (see Ray Data guide):
 
 - **exact**: vectorized content-hash per batch → ``groupby(hash)`` keep the
   smallest doc_id (one small shuffle of (hash, doc_id) pairs, never text);
-- **minhash_lsh**: per-batch shingle→minhash signatures (vectorized numpy)
-  → explode to (band, band_hash, doc_id) rows → ``groupby`` band buckets →
-  candidate pairs → exact-Jaccard verification of candidates only;
+- **minhash_lsh**: per-batch shingle→minhash signatures (vectorized uint64
+  numpy, no object dtype) → explode to (band, band_key, doc_id) rows →
+  ``groupby`` band buckets (size-capped: a degenerate bucket is dropped and
+  logged, never O(bucket²)-exploded) → candidate pairs as a *Dataset* →
+  map-side exact-Jaccard verification against broadcast candidate shingle
+  sets.  The driver never scans the corpus; it only collects the (small)
+  candidate id list and their shingle sets.
 - **simhash**: 64-bit simhash per doc; near-dup candidates = equal value of
   any of 4 16-bit sub-bands (Hamming ≤ 3 guarantee needs all bands; this is
-  the standard block-split recall trade-off), verified by Hamming distance;
+  the standard block-split recall trade-off), verified by vectorized Hamming
+  distance (popcount via unpackbits, no per-pair Python);
 - **ngram_jaccard**: exact pairwise Jaccard over n-gram sets, applied to a
   *candidate* pair list (never all-pairs at scale).
 
-All deterministic: fixed hash seeds, smallest-doc_id-wins.
+All hash primitives are md5-derived so every operator is exactly
+reproducible in ANSI SQL (DuckDB ``md5_number_lower``) — the driver oracle
+checks values, not just shapes.  Deterministic: fixed seeds,
+smallest-doc_id-wins.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
+import math
+import struct
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 from ..spec import TOKEN_RE
 
-_MERSENNE = (1 << 61) - 1
+logger = logging.getLogger(__name__)
+
+_MERSENNE31 = (1 << 31) - 1
+# buckets larger than this are dropped (logged) instead of pair-exploded:
+# one degenerate band bucket is O(n^2) pairs and melts the stage at scale
+DEFAULT_BUCKET_CAP = 256
+
+
+def md5_u64(data: bytes) -> int:
+    """uint64 from md5 digest bytes 8..16, little-endian — exactly DuckDB's
+    ``md5_number_lower``, the SQL-side twin of every hash in this module."""
+    return struct.unpack("<Q", hashlib.md5(data).digest()[8:])[0]
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Hashes of word n-gram shingles (uint64), deduplicated."""
+    """Hashes of word n-gram shingles (uint64 < 2^32), deduplicated.
+
+    32-bit range keeps ``a*h + b`` inside uint64/BIGINT for the MinHash
+    permutations (no object-dtype math, no SQL HUGEINT).
+    """
     toks = TOKEN_RE.findall((text or "").lower())
-    if len(toks) < n:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    if not shingles:
+    if not toks:
         return np.zeros(0, dtype=np.uint64)
-    hs = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-            for s in set(shingles)
-        ),
+    if len(toks) < n:
+        shingles = {" ".join(toks)}
+    else:
+        shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return np.fromiter(
+        (md5_u64(s.encode()) & 0xFFFFFFFF for s in shingles),
         dtype=np.uint64,
+        count=len(shingles),
     )
-    return hs
 
 
 def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) per permutation for ``(a*h + b) mod (2^31-1)`` — 32-bit inputs
+    in uint64, one matrix op per doc; the same constants are inlined into the
+    DuckDB oracle."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, _MERSENNE31, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE31, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 class MinHasher:
-    """Actor-pool stage: doc → minhash signature (num_perm x uint32)."""
+    """Actor-pool stage: doc → minhash signature (num_perm x uint32).
+
+    Docs with no shingles (no tokens) emit NO signature row: an empty doc
+    cannot be a near-dup, and keeping them out of banding avoids the
+    degenerate all-empties bucket.
+    """
 
     def __init__(self, num_perm: int = 64, shingle_n: int = 3, seed: int = 1):
         self.num_perm = num_perm
         self.shingle_n = shingle_n
         self.a, self.b = _minhash_params(num_perm, seed)
 
-    def signature(self, text: str) -> np.ndarray:
+    def signature(self, text: str) -> np.ndarray | None:
         hs = _shingle_hashes(text, self.shingle_n)
         if hs.size == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint32).max, dtype=np.uint32)
-        # (a*h + b) mod p, then take min over shingles per permutation
-        prods = (
-            hs[:, None].astype(object) * self.a[None, :].astype(object)
-            + self.b[None, :].astype(object)
-        ) % _MERSENNE  # object dtype avoids uint64 overflow; rows are small
-        sig = np.min(np.asarray(prods, dtype=np.uint64), axis=0)
-        return (sig & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            return None
+        # (a*h + b) mod p in pure uint64: a < 2^31, h < 2^32 → a*h < 2^63
+        prods = (hs[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(
+            _MERSENNE31
+        )
+        return np.min(prods, axis=0).astype(np.uint32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = [self.signature(t) for t in texts]
+        ids = batch.column("doc_id").to_pylist()
+        out_ids, out_sigs = [], []
+        for d, t in zip(ids, texts):
+            sig = self.signature(t)
+            if sig is not None:
+                out_ids.append(d)
+                out_sigs.append(sig.tolist())
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint32())),
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "sig": pa.array(out_sigs, type=pa.list_(pa.uint32())),
             }
         )
 
@@ -104,6 +140,28 @@ def exact_duplicates(docs: ray.data.Dataset) -> ray.data.Dataset:
     return out
 
 
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+
+def _bucket_pairs_fn(cap: int):
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group["doc_id"].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        if ids.size > cap:
+            logger.warning(
+                "minhash-lsh: dropping band bucket of %d docs (> cap %d); "
+                "recall for members of this bucket relies on their other bands",
+                ids.size,
+                cap,
+            )
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    return bucket_pairs
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     *,
@@ -111,18 +169,27 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    seed: int = 1,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
     concurrency: int | tuple = (1, 4),
-) -> pa.Table:
+) -> ray.data.Dataset:
     """MinHash-LSH near-dup candidate pairs verified by exact Jaccard.
 
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
-    Pipeline: signatures (actor pool) → band explode → band-bucket groupby →
-    per-bucket pairs → exact verify on the pair list.
+    Returns a Dataset of (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= threshold.  Pipeline: signatures (actor pool) → band explode →
+    band-bucket groupby (capped) → candidate-pair Dataset → map-side exact
+    verification against broadcast candidate shingle sets.  The only
+    driver-side materializations are the candidate id list and their shingle
+    sets — both bounded by the number of near-duplicates, not corpus size.
     """
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
         MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
+        fn_constructor_kwargs={
+            "num_perm": num_perm,
+            "shingle_n": shingle_n,
+            "seed": seed,
+        },
         batch_format="pyarrow",
         concurrency=concurrency,
         zero_copy_batch=True,
@@ -130,114 +197,142 @@ def minhash_lsh_pairs(
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
-        sig_arr = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint32)
-        if sig_arr.size == 0:
+        if doc_ids.size == 0:
             return pa.table(
                 {
                     "band": pa.array([], type=pa.int32()),
-                    "band_hash": pa.array([], type=pa.uint64()),
+                    "key": pa.array([], type=pa.string()),
                     "doc_id": pa.array([], type=pa.int64()),
                 }
             )
-        out_band, out_hash, out_doc = [], [], []
-        fnv = np.uint64(1099511628211)
+        sig_arr = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint32)
+        out_band, out_key, out_doc = [], [], []
         for b in range(bands):
             rows = sig_arr[:, b * rows_per_band : (b + 1) * rows_per_band]
-            hashes = np.zeros(doc_ids.size, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for c in range(rows_per_band):
-                    hashes = hashes * fnv + rows[:, c].astype(np.uint64)
+            # band key = '-'-joined signature values: unambiguous equality,
+            # reproducible by SQL string_agg
+            keys = ["-".join(map(str, r)) for r in rows.tolist()]
             out_band.append(np.full(doc_ids.size, b, dtype=np.int32))
-            out_hash.append(hashes)
+            out_key.extend(keys)
             out_doc.append(doc_ids)
         return pa.table(
             {
                 "band": pa.array(np.concatenate(out_band), type=pa.int32()),
-                "band_hash": pa.array(np.concatenate(out_hash), type=pa.uint64()),
+                "key": pa.array(out_key, type=pa.string()),
                 "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
             }
         )
 
     bands_ds = sigs.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    pairs = (
+        bands_ds.groupby(["band", "key"])
+        .map_groups(_bucket_pairs_fn(bucket_cap), batch_format="pandas")
+    )
+    # dedup (a pair can collide in several bands); pairs are a tiny table of
+    # int64 ids — materialized into the object store, never pandas-on-driver
+    from ray.data.aggregate import Count
 
     pairs = (
-        bands_ds.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
     )
-    if pairs.empty:
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+
+    # candidate ids: small driver-side list (bounded by #near-dups)
+    cand_ids: set[int] = set()
+    for b in pairs.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        cand_ids.update(b["doc_a"].to_pylist())
+        cand_ids.update(b["doc_b"].to_pylist())
+    cand_ref = ray.put(frozenset(cand_ids))
+
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_sh = [], []
+        for d, t in zip(ids, texts):
+            if d in wanted:
+                out_id.append(d)
+                out_sh.append(_shingle_hashes(t, shingle_n).tolist())
         return pa.table(
             {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "jaccard": pa.array([], type=pa.float64()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "shingles": pa.array(out_sh, type=pa.list_(pa.uint64())),
             }
         )
-    pairs = pairs.drop_duplicates().astype(np.int64)
 
-    # exact-Jaccard verification of the (small) candidate set: broadcast the
-    # shingle sets of candidate docs only
-    cand_set = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    cand_ids = sorted(cand_set)
-    texts = {}
-    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            if d in cand_set:
-                texts[d] = t
-    sh = {d: set(_shingle_hashes(texts.get(d, ""), shingle_n).tolist()) for d in cand_ids}
-    out_a, out_b, out_j = [], [], []
-    for a, b2 in pairs.itertuples(index=False):
-        sa, sb = sh.get(a, set()), sh.get(b2, set())
-        union = len(sa | sb)
-        j = len(sa & sb) / union if union else 0.0
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b2)
-            out_j.append(round(j, 6))
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, type=pa.int64()),
-            "doc_b": pa.array(out_b, type=pa.int64()),
-            "jaccard": pa.array(out_j, type=pa.float64()),
-        }
-    )
+    # distributed semi-join: full corpus streams through the filter; only
+    # candidate rows (small) come back to build the broadcast shingle map
+    sh_map: dict[int, frozenset[int]] = {}
+    for b in docs.map_batches(
+        cand_shingles, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for d, s in zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist()):
+            sh_map[d] = frozenset(s)
+    sh_ref = ray.put(sh_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        out_a, out_b, out_j = [], [], []
+        for a_, b_ in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            sa, sb = sh.get(a_, frozenset()), sh.get(b_, frozenset())
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= threshold:
+                out_a.append(a_)
+                out_b.append(b_)
+                # half-up rounding = SQL ROUND semantics
+                out_j.append(math.floor(j * 1e6 + 0.5) / 1e6)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class SimHasher:
-    """Actor-pool stage: doc → 64-bit simhash over token features."""
+    """Actor-pool stage: doc → 64-bit simhash over token features.
+
+    Token hash = md5-lower-uint64 (``md5_u64``) so the signature is exactly
+    reproducible in SQL; votes are weighted by term frequency and fully
+    vectorized over (distinct tokens × 64 bits).
+    """
 
     def __init__(self):
         import re
 
         self._re = re.compile(TOKEN_RE.pattern)
+        self._shifts = np.arange(64, dtype=np.uint64)
 
-    @staticmethod
-    def _simhash(tokens: list[str]) -> int:
+    def _simhash(self, tokens: list[str]) -> int:
         if not tokens:
             return 0
+        from collections import Counter
+
+        cnt = Counter(tokens)
+        uniq = list(cnt)
         hs = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                )
-                for t in tokens
-            ),
-            dtype=np.uint64,
+            (md5_u64(t.encode()) for t in uniq), dtype=np.uint64, count=len(uniq)
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = bits.sum(axis=0) * 2 - len(tokens)  # +1 / -1 votes
-        return int(
-            np.sum((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
-        )
+        w = np.fromiter((cnt[t] for t in uniq), dtype=np.int64, count=len(uniq))
+        bits = ((hs[:, None] >> self._shifts) & np.uint64(1)).astype(np.int64)
+        votes = (bits * w[:, None]).sum(axis=0) * 2 - w.sum()
+        return int(np.sum((votes > 0).astype(np.uint64) << self._shifts))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -256,10 +351,25 @@ def simhash_signatures(docs: ray.data.Dataset, concurrency: int | tuple = (1, 4)
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via byte unpacking."""
+    return np.unpackbits(x.view(np.uint8).reshape(x.size, 8), axis=1).sum(
+        axis=1, dtype=np.int64
+    )
+
+
 def simhash_dup_pairs(
-    docs: ray.data.Dataset, *, max_hamming: int = 3, concurrency: int | tuple = (1, 4)
-) -> pa.Table:
-    """Near-dup pairs by simhash: 16-bit band buckets → verify Hamming dist."""
+    docs: ray.data.Dataset,
+    *,
+    max_hamming: int = 3,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    concurrency: int | tuple = (1, 4),
+) -> ray.data.Dataset:
+    """Near-dup pairs by simhash: 16-bit band buckets → verify Hamming dist.
+
+    Returns a Dataset (doc_a, doc_b, hamming); buckets beyond ``bucket_cap``
+    are dropped and logged (same policy as MinHash-LSH).
+    """
     sigs = simhash_signatures(docs, concurrency)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -287,34 +397,32 @@ def simhash_dup_pairs(
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
         if ids.size < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        if ids.size > bucket_cap:
+            logger.warning(
+                "simhash: dropping band bucket of %d docs (> cap %d)",
+                ids.size,
+                bucket_cap,
+            )
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        hs = g["simhash"].to_numpy().astype(np.uint64)
         ia, ib = np.triu_indices(ids.size, k=1)
-        x = hs[ia] ^ hs[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        ham = _popcount64(hs[ia] ^ hs[ib])
         keep = ham <= max_hamming
         return pd.DataFrame(
             {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]}
         )
 
-    pairs = (
-        bands_ds.groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+    pairs = bands_ds.groupby(["band", "key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
     )
-    if pairs.empty:
-        return pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "hamming": pa.array([], type=pa.int64()),
-            }
-        )
-    pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"]).sort_values(
-        ["doc_a", "doc_b"]
+    from ray.data.aggregate import Min
+
+    # dedup across bands (hamming is identical wherever the pair collides)
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
-    return pa.Table.from_pandas(pairs.astype(np.int64), preserve_index=False)
 
 
 def ngram_jaccard(

@@ -55,14 +55,19 @@ class DecodeImage:
         return img.width, img.height, feat
 
     def _decode_fake(self, payload: bytes):
-        h = hashlib.blake2b(payload or b"", digest_size=32).digest()
-        width = 64 + h[0]
-        height = 64 + h[1]
-        feat = (
-            np.frombuffer(h[: self.feat_dim * 2], dtype=np.uint16).astype(np.float64)
-            / 65535.0
+        # all values are md5-derived (DuckDB md5_number_lower parity) so the
+        # stub is value-checkable by the SQL oracle, not just shape-checked;
+        # nibble/16 is a power-of-two quotient → exact in float32 AND double
+        from .dedup import md5_u64
+
+        h = md5_u64(payload or b"")
+        width = 64 + (h & 0xFF)
+        height = 64 + ((h >> 8) & 0xFF)
+        nibbles = np.array(
+            [(h >> (4 * (j % 16))) & 0xF for j in range(self.feat_dim)],
+            dtype=np.float64,
         )
-        feat = np.resize(feat, self.feat_dim)
+        feat = nibbles / 16.0
         return width, height, feat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -106,13 +111,14 @@ class SampleFrames:
         out_id, out_frame, out_hash = [], [], []
         for i, p in zip(ids, payloads):
             n_frames = 1 + (len(p or b"") % 100)
+            # frame hash = md5(md5(payload) || '#' || frame) — string-domain
+            # composition so SQL reproduces it with its own md5()
+            base = hashlib.md5(p or b"").hexdigest()
             for f in range(0, n_frames, self.every_n):
                 out_id.append(i)
                 out_frame.append(f)
                 out_hash.append(
-                    hashlib.blake2b(
-                        (p or b"") + f.to_bytes(4, "big"), digest_size=8
-                    ).hexdigest()
+                    hashlib.md5(f"{base}#{f}".encode()).hexdigest()
                 )
         return pa.table(
             {

@@ -181,8 +181,44 @@ def keywords_batch(batch: pa.Table, *, limit: int = _KEYWORD_LIMIT) -> pa.Table:
     )
 
 
+def keywords_exploded_batch(
+    batch: pa.Table, *, limit: int = _KEYWORD_LIMIT
+) -> pa.Table:
+    """Keyword brief as flat rows (doc_id, kw_rank, keyword) — same ranking
+    as ``keywords_batch`` (count desc, first-seen asc), SQL-checkable form."""
+    from collections import Counter
+
+    stop = _LANG_STOPWORDS["en"]
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_id, out_rank, out_kw = [], [], []
+    for d, t in zip(ids, texts):
+        toks = [
+            w
+            for w in TOKEN_RE.findall((t or "").lower())
+            if len(w) >= _KEYWORD_MIN_LEN and w not in stop
+        ]
+        for rank, (w, _) in enumerate(Counter(toks).most_common(limit), start=1):
+            out_id.append(d)
+            out_rank.append(rank)
+            out_kw.append(w)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "kw_rank": pa.array(out_rank, type=pa.int64()),
+            "keyword": pa.array(out_kw, type=pa.string()),
+        }
+    )
+
+
 def keywords(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(keywords_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def keywords_exploded(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(
+        keywords_exploded_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
