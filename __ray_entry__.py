@@ -252,28 +252,54 @@ def _q_keywords(sf_dir: str):
 
 
 def _q_hybrid_rrf(sf_dir: str):
-    """RRF fusion of a deterministic dense ranking with BM25 (rows-only)."""
+    """RRF fusion of a REAL dense arm with BM25, float32-parity output.
+
+    Dense ranking: top-50 by cosine against vec 0's embedding (the engine's
+    ``brute_force_topk`` — rounded, tie-deterministic).  BM25 ranking: all
+    docs with positive rounded score from the engine's exact scorer, ordered
+    (score desc, doc_id asc).  Fusion: ``rrf_fuse_orders`` — the same
+    float32 accumulator ``Searcher.search_hybrid`` uses (reference
+    ``vexor/bm25.py:92-115``).  Output = every doc in the union with its
+    fused score; the oracle reproduces the float32 arithmetic with SQL
+    FLOAT casts, so values hash-match bit-for-bit.
+    """
     import pyarrow as pa
+    import ray.data
 
-    from vexor_ray.pipelines.corpus import DocumentsSearcher
+    from vexor_ray.functions.ann import brute_force_topk
+    from vexor_ray.pipelines.corpus import bm25_scores_table
+    from vexor_ray.query.searcher import rrf_fuse_orders
 
-    s = DocumentsSearcher(sf_dir)
-    # deterministic stand-in dense ranking: first 50 original doc ids
-    # ascending (the fusion semantics, not the dense model, are under test)
-    inv = {orig: internal for internal, orig in s._orig.items()}
-    dense_internal = [inv[o] for o in sorted(inv)[:50]]
-    fused = s.searcher.search_hybrid(_BM25_QUERY, dense_internal, k=20)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    dense = brute_force_topk(emb, _knn_queries(sf_dir)[:1], k=50)
+    dense_order = dense.column("vec_id").to_pylist()  # already rank-ordered
+    bm = bm25_scores_table(sf_dir, _BM25_QUERY)  # (doc_id, score rounded 6)
+    pairs = sorted(
+        zip(bm.column("doc_id").to_pylist(), bm.column("score").to_pylist()),
+        key=lambda p: (-p[1], p[0]),
+    )
+    bm25_order = [d for d, s in pairs if s > 0]
+    fused = rrf_fuse_orders(dense_order, bm25_order)
+    ids = sorted(fused)
     return pa.table(
         {
-            "doc_id": pa.array([s._orig[d] for d, _ in fused], type=pa.int64()),
-            "fused": pa.array([round(f, 6) for _, f in fused], type=pa.float64()),
-            "rank": pa.array(range(1, len(fused) + 1), type=pa.int32()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "fused": pa.array(
+                [round(float(fused[d]), 6) for d in ids], type=pa.float64()
+            ),
         }
     )
 
 
 def _q_chunked_bm25(sf_dir: str):
-    """Sliding-window chunk corpus build + search (rows-only)."""
+    """Sliding-window chunk corpus (200/20) build + BM25 top-10 per query.
+
+    Output (query_id, rank, url, score): rank by (rounded score desc, url
+    asc) — internal chunk docIDs are lineage-ordered and the chunk url
+    embeds (zero-padded page id, chunk index), so url order IS docID order
+    and the ranking is engine/SQL deterministic.  The oracle reconstructs
+    the exact chunk windows with substr arithmetic.
+    """
     import hashlib
 
     import pyarrow as pa
@@ -281,6 +307,7 @@ def _q_chunked_bm25(sf_dir: str):
     from vexor_ray.hashing import file_fingerprint
     from vexor_ray.index.build import BuildConfig, build_index
     from vexor_ray.index.manifest import MANIFEST_NAME
+    from vexor_ray.pipelines.corpus import documents_as_pages, write_pages_shards
     from vexor_ray.query.searcher import Searcher
     from vexor_ray.stages.chunker import chunk_pages
     from pathlib import Path
@@ -291,21 +318,10 @@ def _q_chunked_bm25(sf_dir: str):
     base = Path(f"/tmp/vexor_ray_cache/chunked_{key}")
     idx = base / "idx"
     if not (idx / MANIFEST_NAME).exists():
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(src, columns=["doc_id", "text"])
-        pages = pa.table(
-            {
-                "url": pa.array(
-                    [f"{d:020d}" for d in tbl.column("doc_id").to_pylist()]
-                ),
-                "text": tbl.column("text"),
-            }
-        )
         base.mkdir(parents=True, exist_ok=True)
-        pq.write_table(pages, base / "pages.parquet")
+        pages_files = write_pages_shards(documents_as_pages(sf_dir), base / "pages")
         files = chunk_pages(
-            [str(base / "pages.parquet")], base / "chunks",
+            pages_files, base / "chunks",
             chunk_size=200, overlap=20, pre_extracted=True,
         )
         build_index(
@@ -314,9 +330,25 @@ def _q_chunked_bm25(sf_dir: str):
                         shard_group_size=4, tokenize_concurrency=2),
         )
     s = Searcher(idx)
-    return s.search_hits(
-        [{"query_id": 1, "query": _BM25_QUERY, "k": 10},
-         {"query_id": 2, "query": _TOPK_QUERY, "k": 10}]
+    rows = {"query_id": [], "rank": [], "url": [], "score": []}
+    for qid, qtext in [(1, _BM25_QUERY), (2, _TOPK_QUERY)]:
+        res = s.search(qtext, k=s.doc_count, method="exact")
+        pairs = sorted(
+            ((d, round(sc, 6)) for d, sc in res), key=lambda p: (-p[1], p[0])
+        )[:10]
+        urls = s.lookup_urls([d for d, _ in pairs])
+        for rank, (d, sc) in enumerate(pairs, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["url"].append(urls[d])
+            rows["score"].append(sc)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "url": pa.array(rows["url"], type=pa.string()),
+            "score": pa.array(rows["score"], type=pa.float64()),
+        }
     )
 
 
@@ -387,10 +419,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _bm25_sql(query_terms: list[str], topk: int | None) -> str:
+def _bm25_cte(query_terms: list[str]) -> str:
+    """Shared CTE block computing BM25 ``scores(doc_id, s)`` over documents."""
     terms_values = ", ".join(f"('{t}')" for t in query_terms)
-    base = f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -405,6 +437,10 @@ scores AS (
   FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
 )"""
+
+
+def _bm25_sql(query_terms: list[str], topk: int | None) -> str:
+    base = "\nWITH " + _bm25_cte(query_terms)
     if topk is None:
         return base + "\nSELECT doc_id, ROUND(s, 6) AS score FROM scores ORDER BY doc_id"
     return base + (
@@ -486,6 +522,91 @@ j AS (SELECT c.doc_a, c.doc_b,
       JOIN sizes sb ON sb.doc_id = c.doc_b)
 SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
 FROM j WHERE jac >= {threshold} ORDER BY doc_a, doc_b"""
+
+
+def _hybrid_rrf_sql() -> str:
+    """Hybrid RRF oracle: dense rank = rounded cosine vs vec 0's embedding;
+    BM25 rank = rounded exact scores; fusion reproduces the engine's float32
+    accumulation (``rrf_fuse_orders``) with SQL FLOAT casts — DuckDB FLOAT
+    arithmetic is IEEE float32, bit-identical to numpy."""
+    return f"""
+WITH {_bm25_cte(_BM25_QUERY.split())},
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+dcos AS (SELECT e.vec_id AS doc_id,
+                ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v), 6) AS cos
+         FROM embeddings e CROSS JOIN qv),
+dense AS (SELECT doc_id, rnk AS drank
+          FROM (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rnk FROM dcos)
+          WHERE rnk <= 50),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS brank
+        FROM scores WHERE ROUND(s, 6) > 0),
+un AS (SELECT COALESCE(d.doc_id, b.doc_id) AS doc_id, d.drank, b.brank
+       FROM dense d FULL JOIN bmr b ON d.doc_id = b.doc_id),
+f AS (SELECT doc_id,
+        CASE WHEN drank IS NOT NULL AND brank IS NOT NULL THEN
+               CAST(CAST((0.7::DOUBLE * 61.0::DOUBLE) / (60 + drank) AS FLOAT)
+                    + (0.3::DOUBLE * 61.0::DOUBLE) / (60 + brank) AS FLOAT)
+             WHEN drank IS NOT NULL THEN
+               CAST((0.7::DOUBLE * 61.0::DOUBLE) / (60 + drank) AS FLOAT)
+             ELSE CAST((0.3::DOUBLE * 61.0::DOUBLE) / (60 + brank) AS FLOAT)
+        END AS fs
+      FROM un)
+SELECT doc_id, ROUND(CAST(fs AS DOUBLE), 6) AS fused FROM f ORDER BY doc_id"""
+
+
+def _chunked_bm25_sql() -> str:
+    """Chunked-BM25 oracle: reconstruct the 200/20 sliding windows (Python
+    ``chunk_text`` semantics: CRLF→LF + strip, stride 180, per-window strip,
+    empty windows dropped before chunk numbering) and score BM25 over the
+    chunk corpus; rank by (rounded score desc, url asc) — url order equals
+    the engine's lineage docID order by construction."""
+    q1 = ", ".join(f"(1, '{t}')" for t in _BM25_QUERY.split())
+    q2 = ", ".join(f"(2, '{t}')" for t in _TOPK_QUERY.split())
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(replace(text, chr(13) || chr(10), chr(10)),
+              ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS t
+  FROM documents),
+nn AS (SELECT doc_id, t FROM norm WHERE t != ''),
+starts AS (SELECT doc_id, t,
+                  unnest(generate_series(0, greatest((length(t) - 21) // 180, 0))) AS k
+           FROM nn),
+rawc AS (SELECT doc_id, k,
+                trim(substr(t, k * 180 + 1, 200),
+                     ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS chunk
+         FROM starts),
+chunksq AS (SELECT doc_id, chunk,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS j
+            FROM rawc WHERE chunk != ''),
+chunks AS (SELECT lpad(CAST(doc_id AS VARCHAR), 20, '0') || '#chunk'
+                  || lpad(CAST(j AS VARCHAR), 5, '0') AS url,
+                  chunk AS text
+           FROM chunksq),
+ctoks AS (SELECT url, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM chunks),
+ctf AS (SELECT url, term, COUNT(*) AS tf FROM ctoks GROUP BY url, term),
+cdl AS (SELECT url, COUNT(*) AS dl FROM ctoks GROUP BY url),
+cstats AS (SELECT (SELECT COUNT(*) FROM chunks) AS n,
+                  (SELECT COALESCE(SUM(dl), 0) FROM cdl) * 1.0
+                  / (SELECT COUNT(*) FROM chunks) AS avgdl),
+qt(query_id, term) AS (VALUES {q1}, {q2}),
+cdf AS (SELECT term, COUNT(*) AS df FROM ctf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+cscores AS (
+  SELECT qt.query_id, ctf.url,
+         SUM( ln((cstats.n - cdf.df + 0.5) / (cdf.df + 0.5) + 1.0) * ctf.tf * 2.5
+              / (ctf.tf + 1.5 * (1.0 - 0.75 + 0.75 * cdl.dl / cstats.avgdl)) ) AS s
+  FROM ctf
+  JOIN qt ON qt.term = ctf.term
+  JOIN cdf ON cdf.term = ctf.term
+  JOIN cdl ON cdl.url = ctf.url
+  CROSS JOIN cstats
+  GROUP BY qt.query_id, ctf.url)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, url, score FROM (
+  SELECT query_id, url, ROUND(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY ROUND(s, 6) DESC, url) AS rank
+  FROM cscores)
+WHERE rank <= 10 ORDER BY query_id, rank"""
 
 
 def _ann_lsh_sql() -> str:
@@ -595,6 +716,8 @@ WITH p AS (
 SELECT id, CAST(frame AS INT) AS frame,
        md5(md5(text) || '#' || frame) AS frame_hash
 FROM p ORDER BY id, frame""",
+        "hybrid_rrf": _hybrid_rrf_sql(),
+        "chunked_bm25": _chunked_bm25_sql(),
         "doc_keywords": f"""
 WITH tl AS (
   SELECT doc_id,

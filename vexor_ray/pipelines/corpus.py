@@ -47,6 +47,43 @@ def documents_as_pages(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def write_pages_shards(pages: ray.data.Dataset, out_dir: Path) -> list[str]:
+    """Streaming sharded parquet write whose sorted FILENAMES follow url order.
+
+    The index build derives lineage docIDs from (position of file in the
+    sorted input list, row in file), and the corpus pipelines rely on
+    internal docID order ≡ url order.  Ray's write tasks can finish out of
+    order, so shards are renamed ``pages-{i:05d}.parquet`` by their first
+    url after the (parallel, streaming) write — a #shards-sized metadata
+    pass, never a corpus materialization.
+    """
+    tmp = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp.exists():
+        import shutil
+
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True, exist_ok=True)
+    pages.write_parquet(str(tmp))
+    shards = []
+    for f in tmp.glob("*.parquet"):
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows == 0:
+            continue
+        first_url = pf.read_row_group(0, columns=["url"]).column("url")[0].as_py()
+        shards.append((first_url, f))
+    shards.sort()
+    for i, (_, f) in enumerate(shards):
+        f.rename(tmp / f"pages-{i:05d}.parquet")
+    import os
+
+    if out_dir.exists():
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return sorted(str(f) for f in out_dir.glob("pages-*.parquet"))
+
+
 def documents_index(sf_dir: str) -> Path:
     """Build (or reuse) the BM25 index over ``{sf_dir}/documents.parquet``."""
     src = f"{sf_dir}/documents.parquet"
@@ -56,14 +93,7 @@ def documents_index(sf_dir: str) -> Path:
     idx_dir = _CACHE_ROOT / f"docs_index_{key}"
     if not (idx_dir / MANIFEST_NAME).exists():
         tmp_pages = idx_dir.parent / (idx_dir.name + "_pages")
-        tmp_pages.mkdir(parents=True, exist_ok=True)
-        pages_file = tmp_pages / "pages.parquet"
-        if not pages_file.exists():
-            tbl = pa.concat_tables(
-                [b for b in documents_as_pages(sf_dir).iter_batches(
-                    batch_size=65536, batch_format="pyarrow")]
-            )
-            pq.write_table(tbl, pages_file)
+        files = write_pages_shards(documents_as_pages(sf_dir), tmp_pages)
         cfg = BuildConfig(
             pre_extracted=True,
             text_only=True,
@@ -72,36 +102,47 @@ def documents_index(sf_dir: str) -> Path:
             shard_group_size=8,
             tokenize_concurrency=2,
         )
-        build_index([str(pages_file)], idx_dir, cfg)
+        build_index(files, idx_dir, cfg)
     return idx_dir
 
 
 class DocumentsSearcher:
-    """Searcher over the documents corpus, reporting ORIGINAL doc_ids."""
+    """Searcher over the documents corpus, reporting ORIGINAL doc_ids.
+
+    The url IS the zero-padded original id, so internal→original mapping is
+    ``int(url)`` on the (≤ result-sized) hit set — no driver-side full
+    docID map (the docs table stays on disk, row-group pruned).
+    """
 
     def __init__(self, sf_dir: str):
         self.index_dir = documents_index(sf_dir)
         self.searcher = Searcher(self.index_dir)
-        # internal docID -> original documents.doc_id (url is the zero-padded
-        # original id); small table, loaded once
-        docs = pq.read_table(
-            self.searcher.manifest["docs_files"], columns=["doc_id", "url"]
+
+    def _to_orig(self, results: list[tuple[int, float]]) -> list[tuple[int, float]]:
+        urls = self.searcher.lookup_urls([d for d, _ in results])
+        return [(int(urls[d]), s) for d, s in results]
+
+    def internal_ids(self, orig_ids: list[int]) -> dict[int, int]:
+        """original doc_id → internal docID, via a pruned url lookup."""
+        urls = [f"{o:020d}" for o in orig_ids]
+        import pyarrow.compute as pc
+
+        tbl = self.searcher._docs_ds.to_table(
+            columns=["doc_id", "url"],
+            filter=pc.field("url").isin(pa.array(urls, type=pa.string())),
         )
-        self._orig = dict(
-            zip(
-                docs.column("doc_id").to_pylist(),
-                (int(u) for u in docs.column("url").to_pylist()),
-            )
-        )
+        return {
+            int(u): int(d)
+            for d, u in zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist())
+        }
 
     def scores(self, query: str) -> list[tuple[int, float]]:
         """All matching docs: [(original_doc_id, exact score)]."""
         results = self.searcher.search(query, k=self.searcher.doc_count)
-        return [(self._orig[d], s) for d, s in results]
+        return self._to_orig(results)
 
     def topk(self, query: str, k: int = 10, method: str = "exact") -> list[tuple[int, float]]:
-        results = self.searcher.search(query, k=k, method=method)
-        return [(self._orig[d], s) for d, s in results]
+        return self._to_orig(self.searcher.search(query, k=k, method=method))
 
 
 def bm25_scores_table(sf_dir: str, query: str) -> pa.Table:

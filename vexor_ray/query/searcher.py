@@ -34,6 +34,42 @@ from ..refimpl import bm25 as refbm25
 from ..index.manifest import load_manifest
 
 
+def rrf_fuse_orders(
+    dense_order: list[int],
+    bm25_order: list[int],
+    *,
+    rrf_k: int | None = None,
+    dense_weight: float | None = None,
+    bm25_weight: float | None = None,
+) -> dict[int, "np.float32"]:
+    """Weighted reciprocal-rank fusion of two rankings — reference parity.
+
+    Mirrors the reference's ``rrf_fuse`` (``vexor/bm25.py:92-115``) exactly:
+    a float32 accumulator receives ``w * (k + 1.0) / (k + rank)`` computed in
+    float64 and rounded to float32 at each ``+=`` (numpy in-place-add
+    semantics on a float32 array), dense contributions first.  The same
+    arithmetic is expressible in SQL with FLOAT casts, so fusion output is
+    value-checkable bit-for-bit.
+    """
+    from ..spec import RRF_BM25_WEIGHT, RRF_DENSE_WEIGHT, RRF_K
+
+    kk = RRF_K if rrf_k is None else rrf_k
+    wd = RRF_DENSE_WEIGHT if dense_weight is None else dense_weight
+    wb = RRF_BM25_WEIGHT if bm25_weight is None else bm25_weight
+    fused: dict[int, np.float32] = {}
+    for rank, d in enumerate(dense_order, start=1):
+        # np.float32 + python-float promotes to float64, then the store
+        # narrows to float32 — identical to ``arr_f32[i] += expr_f64``
+        fused[d] = np.float32(
+            fused.get(d, np.float32(0.0)) + wd * (kk + 1.0) / (kk + rank)
+        )
+    for rank, d in enumerate(bm25_order, start=1):
+        fused[d] = np.float32(
+            fused.get(d, np.float32(0.0)) + wb * (kk + 1.0) / (kk + rank)
+        )
+    return fused
+
+
 def _chunks_from_table(tbl: pa.Table) -> list[tuple[str, dict]]:
     """Chunk dicts from a segment-row table, zero-copy for blobs and lists."""
     tbl = tbl.combine_chunks()
@@ -251,11 +287,6 @@ class Searcher:
         docs with positive BM25 score ordered by (-score, docID); final
         ranking by (fused desc, docID asc).
         """
-        from ..spec import RRF_BM25_WEIGHT, RRF_DENSE_WEIGHT, RRF_K
-
-        kk = RRF_K if rrf_k is None else rrf_k
-        wd = RRF_DENSE_WEIGHT if dense_weight is None else dense_weight
-        wb = RRF_BM25_WEIGHT if bm25_weight is None else bm25_weight
         terms = refbm25.preprocess_query(query)
         chunks_by_term = self.term_chunks(terms) if terms else {}
         doc_ids, scores = (
@@ -263,19 +294,20 @@ class Searcher:
             if terms
             else (np.zeros(0, dtype=np.uint64), np.zeros(0))
         )
-        fused: dict[int, np.float32] = {}
-        for rank, d in enumerate(dense_order, start=1):
-            fused[d] = fused.get(d, np.float32(0.0)) + np.float32(
-                wd * (kk + 1.0) / (kk + rank)
+        bm25_order = [
+            d
+            for d, _ in sorted(
+                ((int(d), s) for d, s in zip(doc_ids, scores) if s > 0),
+                key=lambda item: (-item[1], item[0]),
             )
-        bm25_order = sorted(
-            ((int(d), s) for d, s in zip(doc_ids, scores) if s > 0),
-            key=lambda item: (-item[1], item[0]),
+        ]
+        fused = rrf_fuse_orders(
+            dense_order,
+            bm25_order,
+            rrf_k=rrf_k,
+            dense_weight=dense_weight,
+            bm25_weight=bm25_weight,
         )
-        for rank, (d, _s) in enumerate(bm25_order, start=1):
-            fused[d] = fused.get(d, np.float32(0.0)) + np.float32(
-                wb * (kk + 1.0) / (kk + rank)
-            )
         ranked = sorted(fused.items(), key=lambda item: (-item[1], item[0]))
         return [(d, float(s)) for d, s in ranked[:k]]
 
