@@ -166,8 +166,14 @@ def run_bench() -> dict:
         f.read_bytes()
 
     build = bench_build(pages, NUM_CPUS)
-    queries = bench_queries(build["index_dir"])
-    ops = bench_operators()
+    if os.environ.get("VEXOR_BENCH_BUILD_ONLY"):
+        # scaling legs time the build alone: the north-rule efficiency metric
+        # is indexing throughput, and the query/operator suite would add
+        # minutes of unrelated wall time per fresh process
+        queries, ops = {}, {}
+    else:
+        queries = bench_queries(build["index_dir"])
+        ops = bench_operators()
     ray.shutdown()
 
     q = {
@@ -200,7 +206,7 @@ def run_scaling(repeats: int = 3) -> dict:
     for _ in range(repeats):
         for ncpu in (8, 32):
             env = dict(
-                os.environ, RAY_GRAFT_CPUS=str(ncpu), VEXOR_BENCH_QUERIES="40"
+                os.environ, RAY_GRAFT_CPUS=str(ncpu), VEXOR_BENCH_BUILD_ONLY="1"
             )
             # scaling is measured at 4x the default corpus so parallel
             # compute dominates the per-execution fixed costs

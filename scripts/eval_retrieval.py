@@ -1,0 +1,173 @@
+"""Retrieval-quality eval: MRR@10 / Hit@1 / Hit@5 per retrieval arm.
+
+Port of the reference's quality harness shape (``scripts/eval_hybrid.py:
+59-139``: query set → per-arm ranked lists → MRR/Hit metrics) onto the
+fixture corpus: each eval query is a 6-token phrase sampled from the middle
+of one page, whose docID is the single relevant result.  Arms:
+
+- ``bm25_exact`` / ``bm25_wand`` — the engine's two scorers (must tie);
+- ``dense`` — cosine over char-3-gram hash embeddings (functions/embed.py);
+- ``hybrid`` — weighted RRF of dense + BM25 (query/searcher.py);
+- ``rerank_bm25l`` — BM25L candidate rerank arm (query/rerank.py).
+
+Usage: ``python scripts/eval_retrieval.py [n_pages] [n_queries]`` — prints
+one JSON line {arm: {mrr_at_10, hit_at_1, hit_at_5}, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def build_eval_queries(pages_dir: Path, n_queries: int, seed: int = 9):
+    """[(query_text, relevant_docID)] — phrases sampled from page middles."""
+    import pyarrow.parquet as pq
+
+    from vexor_ray.refimpl.bm25 import tokenize
+    from vexor_ray.refimpl.textnorm import extract_text
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for fi, f in enumerate(sorted(pages_dir.glob("part-*.parquet"))):
+        t = pq.read_table(f, columns=["url", "html"])
+        for ri, h in enumerate(t["html"].to_pylist()):
+            rows.append(((fi << 32) | ri, h))
+    picks = rng.choice(len(rows), size=min(4 * n_queries, len(rows)), replace=False)
+    out = []
+    for idx in picks:
+        doc_id, html = rows[int(idx)]
+        text = extract_text(html)
+        if not text:
+            continue
+        toks = tokenize(text)
+        if len(toks) < 24:
+            continue
+        start = len(toks) // 2
+        phrase = " ".join(toks[start : start + 6])
+        out.append((phrase, doc_id))
+        if len(out) >= n_queries:
+            break
+    return out
+
+
+def metrics(ranked_ids: list[list[int]], relevant: list[int]) -> dict:
+    rr, h1, h5 = [], 0, 0
+    for ids, rel in zip(ranked_ids, relevant):
+        try:
+            rank = ids.index(rel) + 1
+        except ValueError:
+            rank = None
+        rr.append(1.0 / rank if rank and rank <= 10 else 0.0)
+        h1 += 1 if rank == 1 else 0
+        h5 += 1 if rank and rank <= 5 else 0
+    n = len(relevant) or 1
+    return {
+        "mrr_at_10": round(sum(rr) / n, 4),
+        "hit_at_1": round(h1 / n, 4),
+        "hit_at_5": round(h5 / n, 4),
+    }
+
+
+def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
+    import pyarrow as pa
+    import ray.data
+
+    from vexor_ray.fixtures.pages import write_pages
+    from vexor_ray.functions.ann import brute_force_topk
+    from vexor_ray.functions.embed import hash_embed, hash_embed_batch
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.index.manifest import MANIFEST_NAME
+    from vexor_ray.query.rerank import rerank_bm25l, resolve_rerank_candidates
+    from vexor_ray.query.searcher import Searcher, rrf_fuse_orders
+    from vexor_ray.stages.docids import read_with_doc_ids
+    from vexor_ray.stages.extract import make_extract_fn
+
+    pages = write_pages(f"/tmp/vx_eval_pages_{n_pages}", n_pages, seed=42,
+                        rows_per_file=max(n_pages // 8, 1))
+    idx = Path(f"/tmp/vx_eval_idx_{n_pages}")
+    if not (idx / MANIFEST_NAME).exists():
+        build_index(pages, idx, BuildConfig(num_waves=2, partitions_per_wave=8,
+                                            tokenize_concurrency=8))
+    s = Searcher(idx)
+    queries = build_eval_queries(Path(pages), n_queries)
+    qtexts = [q for q, _ in queries]
+    relevant = [r for _, r in queries]
+
+    # dense arm: embed the corpus with the lineage docIDs (Ray pipeline),
+    # embed the queries driver-side, broadcast + partial top-k
+    files = sorted(str(f) for f in Path(pages).glob("part-*.parquet"))
+    ds = read_with_doc_ids(files, ["url", "html"])
+    ds = ds.map_batches(make_extract_fn(), batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    emb_ds = ds.map_batches(hash_embed_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    qemb = hash_embed(qtexts)
+    dense_top = brute_force_topk(emb_ds, qemb.astype(np.float64), k=50,
+                                 id_col="doc_id")
+    dense_by_q: dict[int, list[int]] = {}
+    dcos_by_q: dict[int, dict[int, float]] = {}
+    dt = dense_top.to_pydict()
+    for qi, vid, cos in zip(dt["query_idx"], dt["vec_id"], dt["cosine"]):
+        dense_by_q.setdefault(qi, []).append(vid)
+        dcos_by_q.setdefault(qi, {})[vid] = cos
+
+    arms: dict[str, list[list[int]]] = {
+        "bm25_exact": [], "bm25_wand": [], "dense": [], "hybrid": [],
+        "rerank_bm25l": [],
+    }
+    for qi, qtext in enumerate(qtexts):
+        exact = s.search(qtext, k=10, method="exact")
+        arms["bm25_exact"].append([d for d, _ in exact])
+        arms["bm25_wand"].append(
+            [d for d, _ in s.search(qtext, k=10, method="wand")]
+        )
+        dense_order = dense_by_q.get(qi, [])
+        arms["dense"].append(dense_order[:10])
+        fused = s.search_hybrid(qtext, dense_order, k=10)
+        arms["hybrid"].append([d for d, _ in fused])
+        # rerank arm: BM25 candidates + dense cosine as the semantic score
+        n_cand = resolve_rerank_candidates(10)
+        cands_scored = s.search(qtext, k=n_cand, method="exact")
+        meta = s.lookup_meta([d for d, _ in cands_scored])
+        dcos = dcos_by_q.get(qi, {})
+        cands = [
+            {
+                "doc_id": d,
+                "score": max(dcos.get(d, 0.0), 0.0),
+                "url": meta.get(d, ("", None))[0],
+                "preview": meta.get(d, ("", None))[1],
+            }
+            for d, _ in cands_scored
+        ]
+        arms["rerank_bm25l"].append(
+            [c["doc_id"] for c in rerank_bm25l(qtext, cands)[:10]]
+        )
+
+    return {
+        "n_pages": n_pages,
+        "n_queries": len(qtexts),
+        "arms": {name: metrics(ranked, relevant) for name, ranked in arms.items()},
+    }
+
+
+def main():
+    import ray
+
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    out = run_eval(n_pages, n_queries)
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

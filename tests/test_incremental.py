@@ -1,0 +1,117 @@
+"""Row-level incrementality: changing one shard re-tokenizes only that shard
+and rebuilds only a delta GENERATION of postings — not the whole index —
+while queries over the incrementally-updated index stay exactly equal to a
+from-scratch build over the same corpus (reference behavior analogue:
+``vexor/services/index_service.py:565-643`` re-indexes only changed files).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from vexor_ray.fixtures.pages import generate_pages, generate_queries, write_pages
+from vexor_ray.index.build import BuildConfig, build_index
+from vexor_ray.query.searcher import Searcher
+
+
+def _cfg(**kw):
+    base = dict(
+        num_waves=2,
+        partitions_per_wave=2,
+        shard_group_size=1,
+        tokenize_concurrency=2,
+        salt_shift=8,
+        shuffle_backend="hash",
+    )
+    base.update(kw)
+    return BuildConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def incr_setup(ray_session, tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("incr")
+    pages = write_pages(tmp_path / "pages", 400, seed=42, rows_per_file=100)
+    idx = tmp_path / "idx"
+    build_index(pages, idx, _cfg())
+
+    # change the CONTENT of one middle shard (different page set, fewer rows)
+    shards = sorted(pages.glob("part-*.parquet"))
+    other = generate_pages(120, seed=77)
+    pq.write_table(other.slice(40, 60), shards[2])
+
+    rec_dir = idx / "_manifest"
+    before_tok = {p.name: p.read_text() for p in rec_dir.glob("docs_tok--*.json")}
+    manifest = build_index(pages, idx, _cfg())
+    after_tok = {p.name: p.read_text() for p in rec_dir.glob("docs_tok--*.json")}
+
+    fresh = tmp_path / "idx_fresh"
+    fresh_manifest = build_index(pages, fresh, _cfg())
+    return {
+        "pages": pages,
+        "idx": idx,
+        "fresh": fresh,
+        "manifest": manifest,
+        "fresh_manifest": fresh_manifest,
+        "before_tok": before_tok,
+        "after_tok": after_tok,
+    }
+
+
+def test_only_changed_shard_retokenized(incr_setup):
+    changed = [
+        n
+        for n in incr_setup["before_tok"]
+        if incr_setup["before_tok"][n] != incr_setup["after_tok"][n]
+    ]
+    assert changed == ["docs_tok--group-00002.json"]
+
+
+def test_delta_generation_covers_only_changed_file(incr_setup):
+    manifest = incr_setup["manifest"]
+    gens_by_wave = manifest["wave_gens"]
+    for w, gens in gens_by_wave.items():
+        assert [g["gen"] for g in gens] == [0, 1]
+        assert gens[1]["covers_files"] == [2]
+        # the delta generation is small: it holds postings for one shard
+        delta_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in gens[1]["files"]
+        )
+        full_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in gens[0]["files"]
+        )
+        assert 0 < delta_rows < full_rows
+
+
+def test_incremental_stats_match_fresh(incr_setup):
+    assert incr_setup["manifest"]["stats"] == incr_setup["fresh_manifest"]["stats"]
+
+
+def test_incremental_queries_match_fresh_build(incr_setup):
+    s_incr = Searcher(incr_setup["idx"])
+    s_fresh = Searcher(incr_setup["fresh"])
+    queries = generate_queries(40, seed=7)
+    for q in queries:
+        exact_incr = s_incr.search(q["query"], k=10, method="exact")
+        exact_fresh = s_fresh.search(q["query"], k=10, method="exact")
+        assert exact_incr == exact_fresh, q["query"]
+        # WAND over scaled old-generation bounds stays rank-identical
+        wand_incr = s_incr.search(q["query"], k=10, method="wand")
+        assert wand_incr == exact_fresh, q["query"]
+
+
+def test_noop_rebuild_adds_no_generation(incr_setup):
+    manifest = build_index(incr_setup["pages"], incr_setup["idx"], _cfg())
+    for w, gens in manifest["wave_gens"].items():
+        assert [g["gen"] for g in gens] == [0, 1]
+
+
+def test_config_change_forces_full_rebuild(incr_setup, tmp_path):
+    manifest = build_index(
+        incr_setup["pages"], incr_setup["idx"], _cfg(block_size=64)
+    )
+    for w, gens in manifest["wave_gens"].items():
+        assert [g["gen"] for g in gens] == [0]
+        assert gens[0]["covers_files"] == [0, 1, 2, 3]

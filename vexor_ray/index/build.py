@@ -67,6 +67,7 @@ class BuildConfig:
     text_only: bool = False  # lexical doc = text alone (no url prefix)
     doc_builder: str = "url_text"  # url_text | text | head (stages/tokenize.py)
     token_pattern: str = TOKEN_PATTERN
+    tokenizer: str = "regex"  # regex | bert_union (stages/berttok.py)
     block_size: int = POSTING_BLOCK_SIZE
     salt_shift: int = DEFAULT_SALT_SHIFT
     num_waves: int = DEFAULT_NUM_WAVES
@@ -405,9 +406,18 @@ def build_index(
         files[i : i + cfg.shard_group_size]
         for i in range(0, len(files), cfg.shard_group_size)
     ]
+    # tokenize-relevant config is part of the group fingerprint: changing the
+    # tokenizer / doc builder must re-tokenize even when inputs are unchanged
+    tok_fp = f"|{cfg.token_pattern}|{cfg.text_only}|{cfg.doc_builder}|{cfg.tokenizer}|{cfg.char_limit}|{cfg.pre_extracted}"
+    group_fp_now: dict[str, str] = {}
+    group_file_indices: dict[str, list[int]] = {}
     for gi, group in enumerate(groups):
         pid = f"group-{gi:05d}"
-        fp = file_fingerprint(group)
+        fp = hashlib.sha1((file_fingerprint(group) + tok_fp).encode()).hexdigest()
+        group_fp_now[pid] = fp
+        group_file_indices[pid] = list(
+            range(gi * cfg.shard_group_size, gi * cfg.shard_group_size + len(group))
+        )
         gdir = out / "docs_tok" / pid
         if manifest.is_done("docs_tok", pid, fp):
             continue
@@ -443,6 +453,7 @@ def build_index(
                 "text_only": cfg.text_only,
                 "token_pattern": cfg.token_pattern,
                 "doc_builder": cfg.doc_builder,
+                "tokenizer": cfg.tokenizer,
             },
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
@@ -491,14 +502,7 @@ def build_index(
         for sub in tok_root.iterdir():
             if sub.is_dir() and sub.name not in keep_dirs:
                 shutil.rmtree(sub)
-    docs_fp = hashlib.sha1(
-        (
-            file_fingerprint(files)
-            + cfg.token_pattern
-            + str(cfg.text_only)
-            + cfg.doc_builder
-        ).encode()
-    ).hexdigest()
+    docs_fp = hashlib.sha1((file_fingerprint(files) + tok_fp).encode()).hexdigest()
     if not manifest.is_done("docs", "global", docs_fp):
         t0 = time.perf_counter()
         doc_count = _parquet_rows(all_tok_files)
@@ -535,15 +539,79 @@ def build_index(
         # bound aggregator actor count: too many concurrent actor spawns
         # destabilize small nodes and buy nothing on one machine
         ctx.max_hash_shuffle_aggregators = min(8, cfg.partitions_per_wave)
+    import json as _json
+
+    cfg_fp = hashlib.sha1(
+        _json.dumps(cfg.public_dict(), sort_keys=True).encode()
+    ).hexdigest()
     try:
         for wave in range(cfg.num_waves):
-            pid = f"wave-{wave:04d}"
+            # ---- generation planning (row-level incrementality) ----------
+            # Each committed segment partition is one GENERATION of this
+            # wave: gen 0 covers every shard group; later gens re-index only
+            # the groups whose content fingerprint changed.  A group's docID
+            # range is a whole number of salt ranges (salt_shift <= 32), so
+            # the query layer drops superseded postings at chunk granularity
+            # — reference behavior analogue: vexor re-indexes only changed
+            # files (services/index_service.py:565-643).
+            parts_now = manifest.load_partitions()
+            gens = sorted(
+                (
+                    r
+                    for r in parts_now.values()
+                    if r.stage == "segments" and r.lineage.get("wave") == wave
+                ),
+                key=lambda r: r.lineage.get("gen", 0),
+            )
+            prev_cover: dict[str, str] = {}
+            for r in gens:
+                prev_cover.update(r.lineage.get("group_fps", {}))
+            incremental = (
+                bool(gens)
+                and all(r.lineage.get("cfg_fp") == cfg_fp for r in gens)
+                and set(prev_cover) == set(group_fp_now)
+                and all(
+                    Path(f).exists() for r in gens for f in r.output_files
+                )
+            )
+            if incremental:
+                dirty = sorted(
+                    gid
+                    for gid, fp in group_fp_now.items()
+                    if prev_cover[gid] != fp
+                )
+                if not dirty:
+                    continue  # wave fully up to date
+                next_gen = gens[-1].lineage.get("gen", 0) + 1
+            else:
+                # config / input-plan change (or first build): wipe stale
+                # generations and rebuild this wave from all groups
+                for r in gens:
+                    manifest.delete_partition(r.key())
+                    gdir = out / "segments" / r.partition_id
+                    if gdir.exists():
+                        shutil.rmtree(gdir)
+                dirty = sorted(group_fp_now)
+                next_gen = 0
+            pid = f"wave-{wave:04d}-gen-{next_gen:04d}"
             wave_fp = hashlib.sha1(
-                f"{docs_fp}|{wave}|{cfg.num_waves}|{cfg.salt_shift}|"
-                f"{cfg.block_size}|{cfg.k1}|{cfg.b}".encode()
+                (
+                    "|".join(f"{g}:{group_fp_now[g]}" for g in dirty)
+                    + f"|{wave}|{cfg.num_waves}|{cfg.salt_shift}|"
+                    f"{cfg.block_size}|{cfg.k1}|{cfg.b}|{avg_doc_len!r}"
+                ).encode()
             ).hexdigest()
-            if manifest.is_done("segments", pid, wave_fp):
-                continue
+            gen_lineage = {
+                "wave": wave,
+                "gen": next_gen,
+                "cfg_fp": cfg_fp,
+                "avgdl": avg_doc_len,
+                "group_fps": {g: group_fp_now[g] for g in dirty},
+                "covers_files": sorted(
+                    fi for g in dirty for fi in group_file_indices[g]
+                ),
+                "config": cfg.public_dict(),
+            }
             if doc_count == 0:
                 manifest.commit_partition(
                     PartitionRecord(
@@ -551,18 +619,23 @@ def build_index(
                         partition_id=pid,
                         input_fingerprint=wave_fp,
                         metrics={"postings": 0, "chunk_rows": 0, "wall_s": 0.0},
-                        lineage={"wave": wave, "config": cfg.public_dict()},
+                        lineage=gen_lineage,
                     )
                 )
                 continue
             t0 = time.perf_counter()
+            dirty_files = sorted(
+                f
+                for g in dirty
+                for f in parts_now[f"docs_tok--{g}"].output_files
+            )
             # bound the block count into the sort: the sort-shuffle creates
             # (#map blocks x #output partitions) intermediate objects, which
             # at fine block granularity melts the scheduler (observed 4x data
             # -> 20x wave time); 2x partitions_per_wave blocks keeps the
             # exchange quadratic-in-partitions, not in input files
             ds = ray.data.read_parquet(
-                docs_files,
+                dirty_files,
                 columns=["doc_id", "doc_len", "terms", "tfs"],
                 override_num_blocks=cfg.partitions_per_wave * 2,
             )
@@ -614,7 +687,7 @@ def build_index(
                         "bytes": sum(Path(f).stat().st_size for f in seg_files),
                         "wall_s": round(time.perf_counter() - t0, 3),
                     },
-                    lineage={"wave": wave, "config": cfg.public_dict()},
+                    lineage=gen_lineage,
                 )
             )
     finally:
@@ -622,10 +695,23 @@ def build_index(
         ctx.max_hash_shuffle_aggregators = prev_max_agg
 
     # ---- finalize ----------------------------------------------------------
-    waves = {}
-    for key, rec in manifest.load_partitions().items():
+    # waves        — flat file lists (all generations), for simple consumers;
+    # wave_gens    — per-wave generation list in ascending gen order with the
+    #                file-index coverage + encode-time avgdl the query layer
+    #                needs to drop superseded chunks and rescale WAND bounds
+    wave_gens: dict[int, list[dict]] = {}
+    for rec in manifest.load_partitions().values():
         if rec.stage == "segments":
-            waves[int(rec.partition_id.split("-")[1])] = rec.output_files
+            wave_gens.setdefault(rec.lineage["wave"], []).append(
+                {
+                    "gen": rec.lineage.get("gen", 0),
+                    "files": rec.output_files,
+                    "covers_files": rec.lineage.get("covers_files", []),
+                    "avgdl": rec.lineage.get("avgdl", avg_doc_len),
+                }
+            )
+    for gens in wave_gens.values():
+        gens.sort(key=lambda g: g["gen"])
     return manifest.finalize(
         config=cfg.public_dict(),
         stats={
@@ -637,6 +723,12 @@ def build_index(
             "input_files": files,
             "input_fingerprint": file_fingerprint(files),
             "docs_files": docs_files,
-            "waves": {str(w): f for w, f in sorted(waves.items())},
+            "waves": {
+                str(w): [f for g in gens for f in g["files"]]
+                for w, gens in sorted(wave_gens.items())
+            },
+            "wave_gens": {
+                str(w): gens for w, gens in sorted(wave_gens.items())
+            },
         },
     )

@@ -88,6 +88,13 @@ class BuildManifest:
             return False
         return all(Path(f).exists() for f in rec.output_files)
 
+    def delete_partition(self, key: str) -> None:
+        """Drop a committed record (full-rebuild invalidation of stale
+        generations); atomic at the file level."""
+        p = self.partial_dir / f"{key}.json"
+        if p.exists():
+            p.unlink()
+
     # -- commit ------------------------------------------------------------
     def commit_partition(self, record: PartitionRecord) -> None:
         record.committed_at = time.time()

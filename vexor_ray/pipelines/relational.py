@@ -9,7 +9,6 @@ the small groupby — the partial+final shape from SURVEY.md §2.5 A6).
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -29,18 +28,29 @@ def agg_lineitem(sf_dir: str) -> pa.Table:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_price=("l_extendedprice", "sum"),
-                revenue=("revenue", "sum"),
-                n_rows=("l_quantity", "size"),
-            )
+        # pure-Arrow map-side combine: no pandas conversion in the hot path
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = batch.append_column("revenue", revenue)
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("revenue", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["l_quantity_sum"],
+                "sum_price": g["l_extendedprice_sum"],
+                "revenue": g["revenue_sum"],
+                "n_rows": pc.cast(g["l_quantity_count"], pa.int64()),
+            }
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = (
@@ -137,28 +147,48 @@ def events_window_agg(sf_dir: str) -> pa.Table:
     """Stream-shaped: per-user tumbling 1-hour windows over the events log.
 
     Ray Data has no watermarks; the events table is treated as a partitioned
-    ordered log — groupby(user) and window within the sorted group
-    (``map_groups``).  Output: (user_id, window_start, n_events, sum_value).
+    ordered log.  The window key is computed map-side (``floor_temporal``)
+    with a per-batch partial combine, then one small ``groupby`` finishes —
+    no per-user ``map_groups``, so a hot user cannot skew a reducer.
+    Output: (user_id, window_start, n_events, sum_value).
     """
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def windows(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        win = g["ts"].dt.floor("1h")
-        out = (
-            g.assign(window_start=win)
-            .groupby("window_start", as_index=False)
-            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+    def partial(batch: pa.Table) -> pa.Table:
+        # map-side combine on (user, hour): the shuffle moves one row per
+        # (user, window) per batch, not one per event, and a hot user cannot
+        # skew a reducer (no per-user map_groups)
+        win = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "window_start": win,
+                "value": batch["value"],
+            }
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["sum_value"] = out["sum_value"].round(6)
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+        g = pa.TableGroupBy(t, ["user_id", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "window_start": g["window_start"],
+                "sum_value": g["value_sum"],
+                "n_events": pc.cast(g["value_count"], pa.int64()),
+            }
+        )
 
     out = (
-        ds.groupby("user_id")
-        .map_groups(windows, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Sum("sum_value", alias_name="sum_value"),
+            Sum("n_events", alias_name="n_events"),
+        )
         .to_pandas()
-        .sort_values(["user_id", "window_start"])
     )
+    out = out.sort_values(["user_id", "window_start"])
+    out["sum_value"] = out["sum_value"].round(6)
+    out["n_events"] = out["n_events"].astype("int64")
+    out = out[["user_id", "window_start", "n_events", "sum_value"]]
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -113,11 +113,59 @@ class Searcher:
         self.k1: float = cfg["k1"]
         self.b: float = cfg["b"]
         self.num_waves: int = cfg["num_waves"]
-        self._wave_ds: dict[int, pads.Dataset] = {}
-        for w, files in self.manifest["waves"].items():
-            if files:
-                self._wave_ds[int(w)] = pads.dataset(files)
+        self.salt_shift: int = cfg.get("salt_shift", 20)
+        # per-wave generation list (incremental builds append generations;
+        # a chunk from gen g is superseded when its salt's file index was
+        # re-indexed by a LATER generation — salt ranges nest inside file
+        # docID ranges because salt_shift <= 32, so supersede is exact at
+        # chunk granularity).  block_ub was encoded with that generation's
+        # avgdl; scaling by max(1, avg_now/avg_gen) keeps WAND bounds
+        # conservative (comp is monotone in avgdl with ratio <= avg ratio).
+        raw_gens = self.manifest.get("wave_gens")
+        if raw_gens is None:  # legacy single-generation manifests
+            raw_gens = {
+                w: [
+                    {
+                        "gen": 0,
+                        "files": files,
+                        "covers_files": [],
+                        "avgdl": self.avg_doc_len,
+                    }
+                ]
+                for w, files in self.manifest["waves"].items()
+            }
+        self._wave_gens: dict[int, list[dict]] = {}
+        for w, gens in raw_gens.items():
+            gens = sorted(gens, key=lambda g: g["gen"])
+            out = []
+            for i, g in enumerate(gens):
+                if not g["files"]:
+                    continue
+                superseded: set[int] = set()
+                for g2 in gens[i + 1 :]:
+                    superseded.update(g2.get("covers_files", []))
+                avgdl_gen = g.get("avgdl") or self.avg_doc_len
+                out.append(
+                    {
+                        "ds": pads.dataset(g["files"]),
+                        "superseded": np.array(sorted(superseded), dtype=np.uint64),
+                        "ub_scale": (
+                            max(1.0, self.avg_doc_len / avgdl_gen)
+                            if avgdl_gen > 0
+                            else 1.0
+                        ),
+                    }
+                )
+            if out:
+                self._wave_gens[int(w)] = out
         self._docs_ds = pads.dataset(self.manifest["docs_files"])
+        # query tokenization must match the tokenizer the index was built
+        # with (regex default, or the bert_union two-path plug-in)
+        from ..stages.berttok import make_tokenizer
+
+        self._query_tokenize = make_tokenizer(
+            cfg.get("tokenizer", "regex"), cfg.get("token_pattern")
+        )
         # small decoded-chunk LRU: repeated query terms skip the parquet read
         # (the analogue of the reference's query cache, scoped per process)
         self._chunk_cache: dict[str, list[dict]] = {}
@@ -150,26 +198,50 @@ class Searcher:
         else:
             by_wave[0] = list(terms)
         for w, wave_terms in by_wave.items():
-            ds = self._wave_ds.get(w)
-            if ds is None:
+            gens = self._wave_gens.get(w)
+            if not gens:
                 continue
             # th (uint64 term hash) prunes parquet row groups — segment rows
             # are sorted by th; the term equality filter resolves collisions
             ths = hash_terms(np.asarray(wave_terms, dtype=object))
-            tbl = ds.to_table(
-                filter=pc.field("th").isin(pa.array(ths, type=pa.uint64()))
-                & pc.field("term").isin(wave_terms)
-            )
-            if tbl.num_rows == 0:
-                continue
-            tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
-            for term, chunk in _chunks_from_table(tbl):
-                out[term].append(chunk)
+            flt = pc.field("th").isin(pa.array(ths, type=pa.uint64())) & pc.field(
+                "term"
+            ).isin(wave_terms)
+            for gen in gens:
+                tbl = gen["ds"].to_table(filter=flt)
+                if tbl.num_rows == 0:
+                    continue
+                if gen["superseded"].size:
+                    file_idx = pc.shift_right(
+                        tbl.column("salt"),
+                        pa.scalar(32 - self.salt_shift, pa.uint64()),
+                    )
+                    keep = np.isin(
+                        file_idx.to_numpy(zero_copy_only=False),
+                        gen["superseded"],
+                        invert=True,
+                    )
+                    if not keep.all():
+                        tbl = tbl.filter(pa.array(keep))
+                    if tbl.num_rows == 0:
+                        continue
+                tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
+                scale = gen["ub_scale"]
+                for term, chunk in _chunks_from_table(tbl):
+                    if scale != 1.0:
+                        chunk["block_ub"] = chunk["block_ub"] * np.float32(scale)
+                    out[term].append(chunk)
         if len(self._chunk_cache) + len(terms) > self._chunk_cache_cap:
             self._chunk_cache.clear()
         for t in terms:
             self._chunk_cache[t] = out[t]
         return out
+
+    def preprocess_query(self, query: str) -> list[str]:
+        """Tokenize with the index's tokenizer; order-preserving dedup, cap."""
+        from ..spec import MAX_QUERY_TERMS
+
+        return list(dict.fromkeys(self._query_tokenize(query)))[:MAX_QUERY_TERMS]
 
     def df(self, term: str) -> int:
         chunks = self.term_chunks([term])[term]
@@ -186,17 +258,35 @@ class Searcher:
         return doc_ids, tfs, dls
 
     def _exact_scores(
-        self, terms: list[str], chunks_by_term: dict[str, list[dict]]
+        self,
+        terms: list[str],
+        chunks_by_term: dict[str, list[dict]],
+        *,
+        doc_count: int | None = None,
+        avg_doc_len: float | None = None,
+        df_by_term: dict[str, int] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_ids, scores) for all matching docs — oracle-identical floats."""
-        k1, b, avgdl, n_docs = self.k1, self.b, self.avg_doc_len, self.doc_count
+        """(doc_ids, scores) for all matching docs — oracle-identical floats.
+
+        The keyword overrides let a federation layer score this index's
+        postings under GLOBAL corpus statistics (union doc_count / avgdl /
+        df), keeping per-doc float association order — and therefore exact
+        score parity with a single union index — intact.
+        """
+        k1, b = self.k1, self.b
+        avgdl = self.avg_doc_len if avg_doc_len is None else avg_doc_len
+        n_docs = self.doc_count if doc_count is None else doc_count
         doc_parts: list[np.ndarray] = []
         contrib_parts: list[np.ndarray] = []
         for term in terms:
             chunks = chunks_by_term.get(term, [])
             if not chunks:
                 continue
-            df = sum(c["n_postings"] for c in chunks)
+            df = (
+                df_by_term[term]
+                if df_by_term is not None
+                else sum(c["n_postings"] for c in chunks)
+            )
             idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
             doc_ids, tfs, dls = self._term_postings(chunks)
             tf = tfs.astype(np.float64)
@@ -241,7 +331,7 @@ class Searcher:
         WAND), or "auto" — pick per query by candidate volume.  All three
         are rank-identical; auto only chooses the faster engine.
         """
-        terms = refbm25.preprocess_query(query)
+        terms = self.preprocess_query(query)
         if not terms or self.doc_count == 0 or self.avg_doc_len <= 0:
             return []
         chunks_by_term = self.term_chunks(terms)
@@ -287,7 +377,7 @@ class Searcher:
         docs with positive BM25 score ordered by (-score, docID); final
         ranking by (fused desc, docID asc).
         """
-        terms = refbm25.preprocess_query(query)
+        terms = self.preprocess_query(query)
         chunks_by_term = self.term_chunks(terms) if terms else {}
         doc_ids, scores = (
             self._exact_scores(terms, chunks_by_term)

@@ -119,14 +119,23 @@ def block_max_wand(
     k: int,
     k1: float,
     b: float,
+    df_by_term: dict[str, int] | None = None,
 ) -> list[tuple[int, float]]:
-    """Top-k ``[(doc_id, score)]`` — rank-identical to the exact scorer."""
+    """Top-k ``[(doc_id, score)]`` — rank-identical to the exact scorer.
+
+    ``df_by_term`` overrides per-term document frequency with global values
+    (federated querying across disjoint indexes).
+    """
     if k <= 0 or doc_count <= 0 or avg_doc_len <= 0:
         return []
     cursors: list[_Cursor] = []
     for ti, term in enumerate(terms):
         chunks = chunks_by_term.get(term, [])
-        df = sum(c["n_postings"] for c in chunks)
+        df = (
+            df_by_term[term]
+            if df_by_term is not None
+            else sum(c["n_postings"] for c in chunks)
+        )
         if df == 0:
             continue
         idf = math.log((doc_count - df + 0.5) / (df + 0.5) + 1.0)

@@ -46,6 +46,7 @@ def build_oracle_index(
     text_only: bool = False,
     ids: list[int] | None = None,
     doc_builder: str = "url_text",
+    tokenizer: str = "regex",
 ) -> OracleIndex:
     """Index a list of ``(url, html)`` pairs (or ``(key, None, text)`` rows).
 
@@ -82,7 +83,7 @@ def build_oracle_index(
             document = bm25.build_document(url, textnorm.head_snippet(text) or "")
         else:
             document = bm25.build_document(url, text)
-        tokens = bm25.tokenize(document)
+        tokens = _tokenize_fn(tokenizer)(document)
         tfs = bm25.term_frequencies(tokens)
         doc_len = len(tokens)
         index.urls[doc_id] = url
@@ -96,9 +97,20 @@ def build_oracle_index(
     return index
 
 
-def search(index: OracleIndex, query: str, k: int = 10) -> list[tuple[int, float]]:
+def _tokenize_fn(tokenizer: str):
+    """Tokenizer routing for the oracle (same factory as the engine)."""
+    from ..stages.berttok import make_tokenizer
+
+    return make_tokenizer(tokenizer)
+
+
+def search(
+    index: OracleIndex, query: str, k: int = 10, tokenizer: str = "regex"
+) -> list[tuple[int, float]]:
     """BM25 top-k over the oracle index: [(doc_id, score)] ranked."""
-    terms = bm25.preprocess_query(query)
+    from ..spec import MAX_QUERY_TERMS
+
+    terms = list(dict.fromkeys(_tokenize_fn(tokenizer)(query)))[:MAX_QUERY_TERMS]
     if not terms:
         return []
     scores = bm25.score_postings(

@@ -1,0 +1,100 @@
+"""Bert-pre-tokenizer ∪ regex-whole-token path — the reference's two-path
+tokenizer (``vexor/bm25.py:24-51``), re-implemented from scratch.
+
+The reference delegates to HuggingFace ``tokenizers.pre_tokenizers.
+BertPreTokenizer`` when importable and falls back to the plain regex path
+otherwise.  The Bert pre-tokenization ALGORITHM is public and tiny: split on
+whitespace, then isolate every punctuation character as its own token
+(punctuation = ASCII blocks 33-47 / 58-64 / 91-96 / 123-126 plus any Unicode
+``P*`` category).  ``bert_pre_tokenize`` implements exactly that, so the
+union path works — and stays deterministic — without the package; when
+``tokenizers`` IS importable a parity test pins our implementation to it
+(``tests/test_berttok.py``).
+
+Union semantics (reference ``bm25.py:37-51``): pre-tokenize, strip, keep
+tokens containing any alphanumeric, lowercase; then append each lowercased
+regex whole-token (``[A-Za-z0-9_]+``) not already present in the sub-token
+set — so ``snake_case_name`` is indexed both split and whole.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from ..spec import TOKEN_RE
+
+
+def _is_punctuation(ch: str) -> bool:
+    cp = ord(ch)
+    if (
+        (33 <= cp <= 47)
+        or (58 <= cp <= 64)
+        or (91 <= cp <= 96)
+        or (123 <= cp <= 126)
+    ):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def bert_pre_tokenize(text: str) -> list[str]:
+    """Whitespace split + punctuation isolation (BertPreTokenizer algorithm)."""
+    out: list[str] = []
+    word: list[str] = []
+    for ch in text:
+        if ch.isspace():
+            if word:
+                out.append("".join(word))
+                word = []
+        elif _is_punctuation(ch):
+            if word:
+                out.append("".join(word))
+                word = []
+            out.append(ch)
+        else:
+            word.append(ch)
+    if word:
+        out.append("".join(word))
+    return out
+
+
+def tokenize_bert_union(text: str) -> list[str]:
+    """Bert sub-tokens ∪ regex whole-tokens (reference ``bm25.py:37-51``)."""
+    normalized: list[str] = []
+    for token in bert_pre_tokenize(text):
+        cleaned = token.strip()
+        if not cleaned:
+            continue
+        if any(ch.isalnum() for ch in cleaned):
+            normalized.append(cleaned.lower())
+    sub_tokens = set(normalized)
+    normalized.extend(
+        whole_token
+        for whole_token in TOKEN_RE.findall(text.lower())
+        if whole_token not in sub_tokens
+    )
+    return normalized
+
+
+TOKENIZERS = ("regex", "bert_union")
+
+
+def make_tokenizer(name: str, token_pattern: str | None = None):
+    """Tokenizer factory for the build/query stages.
+
+    ``regex``: ``pattern.findall(text.lower())`` (the deterministic default);
+    ``bert_union``: the reference's two-path union above.
+    """
+    if name == "bert_union":
+        return tokenize_bert_union
+    if name == "regex":
+        import re
+
+        from ..spec import TOKEN_PATTERN
+
+        rx = re.compile(token_pattern or TOKEN_PATTERN)
+
+        def _regex_tokenize(text: str) -> list[str]:
+            return rx.findall(text.lower())
+
+        return _regex_tokenize
+    raise ValueError(f"unknown tokenizer {name!r} (expected one of {TOKENIZERS})")

@@ -40,10 +40,11 @@ class TokenizeDocs:
         token_pattern: str = TOKEN_PATTERN,
         doc_builder: str = "url_text",
         with_preview: bool = True,
+        tokenizer: str = "regex",
     ):
-        import re
+        from .berttok import make_tokenizer
 
-        self._re = re.compile(token_pattern)
+        self._tokenize = make_tokenizer(tokenizer, token_pattern)
         self._builder = "text" if text_only else doc_builder
         if self._builder not in DOC_BUILDERS:
             raise ValueError(f"unknown doc_builder {self._builder!r}")
@@ -56,7 +57,7 @@ class TokenizeDocs:
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         texts = batch.column("text").to_pylist()
-        findall = self._re.findall
+        tokenize = self._tokenize
         doc_lens: list[int] = []
         terms_col: list[list[str]] = []
         tfs_col: list[list[int]] = []
@@ -67,7 +68,7 @@ class TokenizeDocs:
         else:
             docs = [f"{u} {t}" for u, t in zip(urls, texts)]
         for doc in docs:
-            tokens = findall(doc.lower())
+            tokens = tokenize(doc)
             counts = Counter(tokens)
             doc_lens.append(len(tokens))
             terms_col.append(list(counts.keys()))
