@@ -170,6 +170,17 @@ class Searcher:
         # (the analogue of the reference's query cache, scoped per process)
         self._chunk_cache: dict[str, list[dict]] = {}
         self._chunk_cache_cap = 4096
+        # decoded-postings LRU for HOT terms: stop-word-class terms decode
+        # ~doc_count postings per query on the exact path; caching the
+        # decoded arrays turns repeat hot-term queries into pure vector math.
+        # Budget is in postings (~24 B each) so memory stays bounded and the
+        # budget is spent on the terms where decode actually costs.
+        from collections import OrderedDict
+
+        self._postings_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._postings_cache_budget = 4_000_000  # ~100 MB ceiling
+        self._postings_cache_used = 0
+        self._postings_cache_min = 4096  # don't spend budget on cheap terms
 
     # -- segment access ----------------------------------------------------
     def term_chunks(self, terms: list[str]) -> dict[str, list[dict]]:
@@ -237,6 +248,37 @@ class Searcher:
             self._chunk_cache[t] = out[t]
         return out
 
+    def warm_hot_terms(self, max_terms: int = 64) -> int:
+        """Pre-decode the heaviest terms into the postings cache.
+
+        A serving worker calls this once at startup: the cold exact-path
+        tail (first-touch decode of stop-word-class posting lists) moves to
+        init time.  Cost = one (term, n_postings) column scan over the
+        segment metadata + one decode per hot term.
+        """
+        from collections import Counter
+
+        agg: Counter = Counter()
+        for gens in self._wave_gens.values():
+            for gen in gens:
+                tbl = gen["ds"].to_table(columns=["term", "n_postings"])
+                terms_np = tbl.column("term").to_pylist()
+                counts = tbl.column("n_postings").to_numpy()
+                for t, n in zip(terms_np, counts):
+                    agg[t] += int(n)
+        hot = [
+            t
+            for t, n in agg.most_common(max_terms)
+            if n >= self._postings_cache_min
+        ]
+        if not hot:
+            return 0
+        chunks_by_term = self.term_chunks(hot)
+        for t in hot:
+            if chunks_by_term.get(t):
+                self._term_postings(chunks_by_term[t], t)
+        return len(hot)
+
     def preprocess_query(self, query: str) -> list[str]:
         """Tokenize with the index's tokenizer; order-preserving dedup, cap."""
         from ..spec import MAX_QUERY_TERMS
@@ -248,14 +290,56 @@ class Searcher:
         return sum(c["n_postings"] for c in chunks)
 
     # -- scoring -----------------------------------------------------------
-    def _term_postings(self, chunks: list[dict]):
+    def _doc_id_index(self) -> np.ndarray:
+        """Sorted array of every docID in the corpus (lazy, ~8 B/doc).
+
+        Gives postings a DENSE coordinate space: per-term ``searchsorted``
+        replaces the per-query ``np.unique`` over the concatenated posting
+        lists (argsort over millions of rows — the old exact-path hot spot).
+        """
+        if getattr(self, "_all_doc_ids", None) is None:
+            tbl = self._docs_ds.to_table(columns=["doc_id"])
+            ids = tbl.column("doc_id").to_numpy().astype(np.uint64)
+            ids.sort()
+            self._all_doc_ids = ids
+        return self._all_doc_ids
+
+    def _term_postings(self, chunks: list[dict], term: str | None = None):
+        """Decoded postings in dense coordinates: (idx, tf_f64, denom_base).
+
+        ``denom_base = k1*(1-b + b*dl/avgdl)`` is the per-posting part of
+        the BM25 denominator that does not depend on the query — cached per
+        hot term so a warm stop-word query is three vector ops + bincount.
+        """
+        if term is not None:
+            hit = self._postings_cache.get(term)
+            if hit is not None:
+                self._postings_cache.move_to_end(term)
+                return hit
         from ..index.codec import decode_chunk
 
         parts = [decode_chunk(c) for c in chunks]
         doc_ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         dls = np.concatenate([p[2] for p in parts])
-        return doc_ids, tfs, dls
+        idx = np.searchsorted(self._doc_id_index(), doc_ids)
+        tf_f = tfs.astype(np.float64)
+        dl_f = dls.astype(np.float64)
+        k1, b = self.k1, self.b
+        denom_base = k1 * ((1.0 - b) + (b * dl_f) / self.avg_doc_len)
+        out = (idx, tf_f, denom_base, dl_f)
+        n = int(idx.size)
+        if term is not None and n >= self._postings_cache_min:
+            while (
+                self._postings_cache
+                and self._postings_cache_used + n > self._postings_cache_budget
+            ):
+                _, (old, *_rest) = self._postings_cache.popitem(last=False)
+                self._postings_cache_used -= int(old.size)
+            if self._postings_cache_used + n <= self._postings_cache_budget:
+                self._postings_cache[term] = out
+                self._postings_cache_used += n
+        return out
 
     def _exact_scores(
         self,
@@ -276,7 +360,8 @@ class Searcher:
         k1, b = self.k1, self.b
         avgdl = self.avg_doc_len if avg_doc_len is None else avg_doc_len
         n_docs = self.doc_count if doc_count is None else doc_count
-        doc_parts: list[np.ndarray] = []
+        override_avg = avg_doc_len is not None and avg_doc_len != self.avg_doc_len
+        idx_parts: list[np.ndarray] = []
         contrib_parts: list[np.ndarray] = []
         for term in terms:
             chunks = chunks_by_term.get(term, [])
@@ -288,20 +373,26 @@ class Searcher:
                 else sum(c["n_postings"] for c in chunks)
             )
             idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-            doc_ids, tfs, dls = self._term_postings(chunks)
-            tf = tfs.astype(np.float64)
-            dl = dls.astype(np.float64)
-            denom = tf + k1 * ((1.0 - b) + (b * dl) / avgdl)
+            idx, tf, denom_base, dl = self._term_postings(chunks, term)
+            if override_avg:
+                # federation scores under the union avgdl, not the cached one
+                denom_base = k1 * ((1.0 - b) + (b * dl) / avgdl)
+            denom = tf + denom_base
             contrib = (idf * tf) * (k1 + 1.0) / denom
-            doc_parts.append(doc_ids)
+            idx_parts.append(idx)
             contrib_parts.append(contrib)
-        if not doc_parts:
+        if not idx_parts:
             return np.zeros(0, dtype=np.uint64), np.zeros(0)
-        all_docs = np.concatenate(doc_parts)
+        all_ids = self._doc_id_index()
+        all_idx = np.concatenate(idx_parts)
         all_contribs = np.concatenate(contrib_parts)
-        uniq, inv = np.unique(all_docs, return_inverse=True)
-        scores = np.bincount(inv, weights=all_contribs, minlength=uniq.size)
-        return uniq, scores
+        # bincount walks the concatenated arrays sequentially, so per-doc
+        # accumulation stays in query-term order — bit-identical to the
+        # oracle's dict accumulation (contributions are all > 0, so nonzero
+        # bins == matching docs)
+        scores = np.bincount(all_idx, weights=all_contribs, minlength=all_ids.size)
+        nz = np.flatnonzero(scores)
+        return all_ids[nz], scores[nz]
 
     @staticmethod
     def _top_k(doc_ids: np.ndarray, scores: np.ndarray, k: int):
@@ -339,7 +430,34 @@ class Searcher:
             total = sum(
                 c["n_postings"] for cl in chunks_by_term.values() for c in cl
             )
-            method = "wand" if total <= self.AUTO_WAND_MAX_POSTINGS else "exact"
+            uncached = sum(
+                c["n_postings"]
+                for t in terms
+                if t not in self._postings_cache
+                for c in chunks_by_term.get(t, [])
+            )
+            if uncached <= self.AUTO_WAND_MAX_POSTINGS:
+                # cheap to decode (or already hot) → the vectorized exact
+                # scorer is pure in-memory math and beats any cursor walk
+                method = "exact"
+            else:
+                # big cold volume: block-max WAND wins only when the heap
+                # threshold can actually skip the common term's blocks —
+                # i.e. at most ONE common term, driven by rare high-idf
+                # companions.  With 2+ common terms pruning never pays for
+                # the per-posting Python walk, and exact (which also
+                # populates the decoded-postings cache, so the cost never
+                # recurs) is the right choice.
+                dfs = [
+                    sum(c["n_postings"] for c in chunks_by_term[t])
+                    for t in terms
+                    if chunks_by_term.get(t)
+                ]
+                n_common = sum(1 for df in dfs if df * 100 > self.doc_count)
+                selective = n_common <= 1 and any(
+                    df * 100 <= self.doc_count for df in dfs
+                )
+                method = "wand" if selective else "exact"
         if method == "exact":
             doc_ids, scores = self._exact_scores(terms, chunks_by_term)
             return self._top_k(doc_ids, scores, k)

@@ -17,8 +17,12 @@ from .searcher import Searcher
 
 @ray.remote
 class QueryWorker:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, warm_terms: int = 64):
         self.searcher = Searcher(index_dir)
+        if warm_terms:
+            # move the cold first-decode tail of hot (stop-word-class)
+            # terms to actor startup — steady-state latency from query one
+            self.searcher.warm_hot_terms(warm_terms)
 
     def search_batch(
         self, queries: list[dict], method: str = "auto"
@@ -32,9 +36,10 @@ class QueryWorker:
 class QueryPool:
     """Round-robin pool of ``QueryWorker`` actors over one index."""
 
-    def __init__(self, index_dir: str, num_workers: int = 4):
+    def __init__(self, index_dir: str, num_workers: int = 4, warm_terms: int = 64):
         self.workers = [
-            QueryWorker.remote(str(index_dir)) for _ in range(num_workers)
+            QueryWorker.remote(str(index_dir), warm_terms)
+            for _ in range(num_workers)
         ]
 
     def search_many(
