@@ -352,6 +352,56 @@ def _q_chunked_bm25(sf_dir: str):
     )
 
 
+def _q_simhash_pairs(sf_dir: str):
+    from vexor_ray.functions.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs_ds(sf_dir), max_hamming=3)
+
+
+def _q_hash_embed(sf_dir: str):
+    """Char-3-gram hash embedding, exploded to (doc_id, dim, value) rows.
+
+    Bucket sums are ±1 integers, so norm and quotients are exact in double
+    arithmetic on both sides — values rounded 6 hash-match.
+    """
+    import pyarrow as pa
+
+    from vexor_ray.functions.embed import hash_embed
+
+    def embed_explode(batch: pa.Table) -> pa.Table:
+        emb = hash_embed(batch.column("text").to_pylist(), dim=64, as_float32=False)
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_dim, out_val = [], [], []
+        for i, d in enumerate(ids):
+            nz = np.flatnonzero(emb[i])
+            out_id.extend([d] * nz.size)
+            out_dim.extend(int(j) for j in nz)
+            out_val.extend(round(float(emb[i][j]), 6) for j in nz)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "dim": pa.array(out_dim, type=pa.int64()),
+                "value": pa.array(out_val, type=pa.float64()),
+            }
+        )
+
+    return _docs_ds(sf_dir).map_batches(
+        embed_explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_federated_bm25(sf_dir: str):
+    from vexor_ray.pipelines.corpus import federated_documents_scores
+
+    return federated_documents_scores(sf_dir, _TOPK_QUERY)
+
+
+def _q_doc_term_tf_bert(sf_dir: str):
+    from vexor_ray.pipelines.corpus import doc_term_tf
+
+    return doc_term_tf(sf_dir, tokenizer="bert_union")
+
+
 def _q_agg_lineitem(sf_dir: str):
     from vexor_ray.pipelines.relational import agg_lineitem
 
@@ -410,6 +460,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_keywords,
         "hybrid_rrf": _q_hybrid_rrf,
         "chunked_bm25": _q_chunked_bm25,
+        "simhash_pairs": _q_simhash_pairs,
+        "hash_embed": _q_hash_embed,
+        "federated_bm25": _q_federated_bm25,
+        "doc_term_tf_bert": _q_doc_term_tf_bert,
         "agg_lineitem": _q_agg_lineitem,
         "sort_topk_orders": _q_sort_topk,
         "filter_highvalue": _q_filter_highvalue,
@@ -718,6 +772,57 @@ SELECT id, CAST(frame AS INT) AS frame,
 FROM p ORDER BY id, frame""",
         "hybrid_rrf": _hybrid_rrf_sql(),
         "chunked_bm25": _chunked_bm25_sql(),
+        "simhash_pairs": f"""
+WITH cnt AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t),
+hb AS (SELECT doc_id, c, md5_number_lower(t) AS h FROM cnt),
+bits AS (
+  SELECT doc_id, b.b,
+         SUM(c * (2 * CAST((h >> b.b) & 1 AS BIGINT) - 1)) AS votes
+  FROM hb, LATERAL generate_series(0, 63) AS b(b)
+  GROUP BY doc_id, b.b),
+sh0 AS (SELECT doc_id,
+               SUM(CASE WHEN votes > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS s
+        FROM bits GROUP BY doc_id),
+sh AS (SELECT d.doc_id, CAST(COALESCE(sh0.s, 0) AS UBIGINT) AS s
+       FROM documents d LEFT JOIN sh0 USING (doc_id)),
+bb AS (SELECT doc_id, s, unnest(generate_series(0, 3)) AS band FROM sh),
+bk AS (SELECT doc_id, s, band, CAST((s >> (band * 16)) & 65535 AS BIGINT) AS key FROM bb),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.s AS sa, y.s AS sb
+         FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""",
+        "hash_embed": """
+WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) > 0),
+grams AS (
+  SELECT DISTINCT doc_id, substr(t, g.i, 3) AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i FROM lt) AS g(doc_id, t, i)),
+hv AS (SELECT doc_id, md5_number_lower(g) AS h FROM grams),
+bv AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS dim,
+              CASE WHEN (h >> 63) & 1 = 1 THEN -1 ELSE 1 END AS sign
+       FROM hv),
+sums AS (SELECT doc_id, dim, CAST(SUM(sign) AS DOUBLE) AS v FROM bv GROUP BY doc_id, dim),
+norms AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM sums GROUP BY doc_id)
+SELECT s.doc_id, s.dim, ROUND(s.v / n.nrm, 6) AS value
+FROM sums s JOIN norms n USING (doc_id)
+WHERE s.v != 0 ORDER BY s.doc_id, s.dim""",
+        "federated_bm25": "WITH "
+        + _bm25_cte(_TOPK_QUERY.split())
+        + "\nSELECT doc_id, ROUND(s, 6) AS score FROM scores ORDER BY doc_id",
+        "doc_term_tf_bert": f"""
+WITH t0 AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS sub,
+         {_TOKS} AS whole
+  FROM documents),
+t1 AS (SELECT doc_id,
+              sub || list_filter(whole, w -> NOT list_contains(sub, w)) AS toks
+       FROM t0)
+SELECT doc_id, term, COUNT(*) AS tf
+FROM (SELECT doc_id, unnest(toks) AS term FROM t1)
+GROUP BY doc_id, term ORDER BY doc_id, term""",
         "doc_keywords": f"""
 WITH tl AS (
   SELECT doc_id,

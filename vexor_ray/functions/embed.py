@@ -26,19 +26,29 @@ DEFAULT_EMBED_DIM = 256
 _NGRAM = 3
 
 
-def hash_embed(texts: list[str], dim: int = DEFAULT_EMBED_DIM, n: int = _NGRAM) -> np.ndarray:
-    """(len(texts), dim) float32 L2-normalized n-gram hash embeddings."""
+def hash_embed(
+    texts: list[str],
+    dim: int = DEFAULT_EMBED_DIM,
+    n: int = _NGRAM,
+    as_float32: bool = True,
+) -> np.ndarray:
+    """(len(texts), dim) L2-normalized n-gram hash embeddings.
+
+    Bucket sums are integers (±1 per distinct gram) so the norm and every
+    quotient are exactly reproducible in SQL double arithmetic —
+    ``as_float32=False`` keeps that float64 form for oracle checking.
+    """
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for i, t in enumerate(texts):
         t = (t or "").lower()
         if len(t) < n:
-            grams = [t] if t else []
+            grams = {t} if t else set()
         else:
-            grams = [t[j : j + n] for j in range(len(t) - n + 1)]
+            grams = {t[j : j + n] for j in range(len(t) - n + 1)}
         if not grams:
             continue
         hs = np.fromiter(
-            (md5_u64(g.encode()) for g in set(grams)), dtype=np.uint64, count=len(set(grams))
+            (md5_u64(g.encode()) for g in grams), dtype=np.uint64, count=len(grams)
         )
         buckets = (hs % np.uint64(dim)).astype(np.int64)
         signs = np.where((hs >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
@@ -46,7 +56,7 @@ def hash_embed(texts: list[str], dim: int = DEFAULT_EMBED_DIM, n: int = _NGRAM) 
         norm = np.linalg.norm(out[i])
         if norm > 0:
             out[i] /= norm
-    return out.astype(np.float32)
+    return out.astype(np.float32) if as_float32 else out
 
 
 def hash_embed_batch(batch: pa.Table, *, dim: int = DEFAULT_EMBED_DIM) -> pa.Table:

@@ -177,7 +177,7 @@ def bm25_topk_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     )
 
 
-def doc_term_tf(sf_dir: str) -> ray.data.Dataset:
+def doc_term_tf(sf_dir: str, tokenizer: str = "regex") -> ray.data.Dataset:
     """Tokenize-TF over documents: (doc_id, term, tf) rows."""
     from ..index.build import explode_postings
     from ..stages.tokenize import TokenizeDocs
@@ -185,7 +185,7 @@ def doc_term_tf(sf_dir: str) -> ray.data.Dataset:
     ds = documents_as_pages(sf_dir)
     ds = ds.map_batches(
         TokenizeDocs,
-        fn_constructor_kwargs={"text_only": True},
+        fn_constructor_kwargs={"text_only": True, "tokenizer": tokenizer},
         batch_format="pyarrow",
         concurrency=2,
         zero_copy_batch=True,
@@ -209,6 +209,73 @@ def doc_term_tf(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def federated_documents_scores(sf_dir: str, query: str) -> pa.Table:
+    """BM25 scores for ``query`` over TWO disjoint half-corpus indexes,
+    merged by ``FederatedSearcher`` under global stats.
+
+    The result must equal single-index BM25 over the whole corpus exactly
+    (same oracle SQL as ``bm25_scores``) — the driver check therefore
+    verifies the federation math, not just shapes.  Output: (doc_id, score)
+    rounded 6, every matching doc.
+    """
+    from ..query.federate import FederatedSearcher
+
+    src = f"{sf_dir}/documents.parquet"
+    fp = file_fingerprint([src])
+    from ..spec import INDEX_FORMAT_VERSION
+
+    key = hashlib.sha1(f"fed|{fp}|v{INDEX_FORMAT_VERSION}".encode()).hexdigest()[:16]
+    half_dirs = []
+    n_docs = pq.ParquetFile(src).metadata.num_rows
+    cut = n_docs // 2
+    for half, pred in enumerate(
+        (lambda d: d < cut, lambda d: d >= cut)
+    ):
+        idx_dir = _CACHE_ROOT / f"docs_fed_{key}_{half}"
+        half_dirs.append(idx_dir)
+        if (idx_dir / MANIFEST_NAME).exists():
+            continue
+
+        def pick(batch: pa.Table, _pred=pred) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            ids = batch.column("url").to_pylist()
+            keep = [_pred(int(u)) for u in ids]
+            return batch.filter(pa.array(keep))
+
+        pages = documents_as_pages(sf_dir).map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        )
+        files = write_pages_shards(pages, idx_dir.parent / (idx_dir.name + "_pages"))
+        cfg = BuildConfig(
+            pre_extracted=True,
+            text_only=True,
+            num_waves=1,
+            partitions_per_wave=4,
+            shard_group_size=8,
+            tokenize_concurrency=2,
+        )
+        build_index(files, idx_dir, cfg)
+    fed = FederatedSearcher(half_dirs)
+    res = fed.search(query, k=fed.doc_count, method="exact")
+    need: dict[int, list[int]] = {}
+    for idx, d, _ in res:
+        need.setdefault(idx, []).append(d)
+    urls = {
+        idx: fed.searchers[idx].lookup_urls(sorted(ids))
+        for idx, ids in need.items()
+    }
+    rows = sorted(
+        (int(urls[idx][d]), round(sc, 6)) for idx, d, sc in res
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "score": pa.array([r[1] for r in rows], type=pa.float64()),
+        }
+    )
 
 
 def doc_df(sf_dir: str) -> ray.data.Dataset:
