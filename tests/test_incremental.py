@@ -108,6 +108,28 @@ def test_noop_rebuild_adds_no_generation(incr_setup):
         assert [g["gen"] for g in gens] == [0, 1]
 
 
+def test_compaction_merges_generations(incr_setup):
+    from vexor_ray.index.build import compact_index
+
+    idx = incr_setup["idx"]
+    s_before = Searcher(idx)
+    queries = generate_queries(15, seed=21)
+    want = [s_before.search(q["query"], k=10, method="exact") for q in queries]
+
+    manifest = compact_index(incr_setup["pages"], idx, _cfg())
+    for w, gens in manifest["wave_gens"].items():
+        assert [g["gen"] for g in gens] == [0]
+        assert gens[0]["covers_files"] == [0, 1, 2, 3]
+    # tokenize stage untouched (docs_tok records keep their committed_at)
+    tok_names = {
+        p["partition_id"] for p in manifest["partitions"] if p["stage"] == "docs_tok"
+    }
+    assert tok_names == {f"group-{i:05d}" for i in range(4)}
+    s_after = Searcher(idx)
+    got = [s_after.search(q["query"], k=10, method="exact") for q in queries]
+    assert got == want
+
+
 def test_config_change_forces_full_rebuild(incr_setup, tmp_path):
     manifest = build_index(
         incr_setup["pages"], incr_setup["idx"], _cfg(block_size=64)

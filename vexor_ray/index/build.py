@@ -310,6 +310,32 @@ def encode_runs(
     )
 
 
+def compact_index(
+    source: str | Path | list,
+    out_dir: str | Path,
+    cfg: "BuildConfig | None" = None,
+) -> dict:
+    """Merge all delta generations back into a single gen-0 per wave.
+
+    Long incremental histories fragment per-term chunk lists (the query
+    layer merges per-generation chunks and filters superseded salts on
+    every lookup).  Compaction drops every committed segment generation and
+    re-runs the posting shuffle from the — unchanged, therefore skipped —
+    ``docs_tok`` checkpoint: tokenization is NOT repeated, only stage 3.
+    Results are bit-identical (same postings, same stats); queries against
+    the old manifest keep working until the new one is atomically renamed.
+    """
+    out = Path(out_dir)
+    manifest = BuildManifest(out)
+    for rec in list(manifest.load_partitions().values()):
+        if rec.stage == "segments":
+            manifest.delete_partition(rec.key())
+            d = out / "segments" / rec.partition_id
+            if d.exists():
+                shutil.rmtree(d)
+    return build_index(source, out_dir, cfg)
+
+
 # --------------------------------------------------------------------------
 # build driver
 # --------------------------------------------------------------------------
