@@ -127,9 +127,19 @@ def explode_postings(
 
     # th = deterministic uint64 term hash: the shuffle/sort key (uint64
     # compares are ~an order of magnitude cheaper than term strings) and the
-    # query layer's row-group pruning key; also routes waves (th % W)
-    terms_np = np.asarray(flat_terms.to_numpy(zero_copy_only=False), dtype=object)
-    th = hash_terms(terms_np)
+    # query layer's row-group pruning key; also routes waves (th % W).
+    # ALL per-term math happens in dictionary space (Zipfian streams have
+    # ~1% uniques): hash + wave-membership once per distinct term, then two
+    # cheap gathers — measured ~30× less hashing work than per-posting.
+    if isinstance(flat_terms, pa.ChunkedArray):
+        flat_terms = flat_terms.combine_chunks()
+    de = pc.dictionary_encode(flat_terms)
+    uniq = np.asarray(de.dictionary.to_numpy(zero_copy_only=False), dtype=object)
+    hu = hash_terms(uniq)
+    idx = de.indices.to_numpy()
+    # int64 view for the gather: numpy fancy-indexing a uint64 table takes a
+    # pathologically slow path on this platform (measured ~45×)
+    th = hu.view(np.int64)[idx].view(np.uint64)
     out = pa.table(
         {
             "th": pa.array(th, type=pa.uint64()),
@@ -143,8 +153,8 @@ def explode_postings(
         }
     )
     if wave is not None and num_waves > 1:
-        mask = (th % np.uint64(num_waves)) == np.uint64(wave)
-        out = out.filter(pa.array(mask))
+        keep_uniq = (hu % np.uint64(num_waves)) == np.uint64(wave)
+        out = out.filter(pa.array(keep_uniq[idx]))
     return out
 
 
