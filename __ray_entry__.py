@@ -438,6 +438,24 @@ def _q_events_window(sf_dir: str):
     return events_window_agg(sf_dir)
 
 
+def _q_events_hopping(sf_dir: str):
+    from vexor_ray.pipelines.relational import events_hopping_agg
+
+    return events_hopping_agg(sf_dir)
+
+
+def _q_asof_join(sf_dir: str):
+    from vexor_ray.pipelines.joins import asof_join_events_orders
+
+    return asof_join_events_orders(sf_dir)
+
+
+def _q_hash_sample(sf_dir: str):
+    from vexor_ray.pipelines.relational import hash_sample_documents
+
+    return hash_sample_documents(sf_dir, pct=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_scores": _q_bm25_scores,
@@ -470,6 +488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customers": _q_join,
         "distinct_suppliers": _q_distinct,
         "events_window_agg": _q_events_window,
+        "events_hopping_agg": _q_events_hopping,
+        "asof_join": _q_asof_join,
+        "hash_sample": _q_hash_sample,
     }
 
 
@@ -870,4 +891,25 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
 SELECT user_id, date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY user_id, date_trunc('hour', ts) ORDER BY user_id, window_start""",
+        "events_hopping_agg": """
+WITH w AS (
+  SELECT user_id, value,
+         unnest([to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP,
+                 to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP
+                   - INTERVAL 30 MINUTE]) AS window_start
+  FROM events)
+SELECT user_id, window_start, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM w GROUP BY user_id, window_start ORDER BY user_id, window_start""",
+        "asof_join": """
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+FROM events e JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+QUALIFY row_number() OVER (
+  PARTITION BY e.event_id
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+ORDER BY e.event_id""",
+        "hash_sample": """
+SELECT doc_id, n_chars FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+ORDER BY doc_id""",
     }

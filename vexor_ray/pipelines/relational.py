@@ -143,6 +143,76 @@ def distinct_suppliers(sf_dir: str) -> pa.Table:
     return pa.table({"n_distinct_suppliers": pa.array([n], type=pa.int64())})
 
 
+def events_hopping_agg(sf_dir: str) -> pa.Table:
+    """Hopping windows: 1-hour windows sliding every 30 minutes.
+
+    Each event lands in exactly two windows (``floor30(t)`` and
+    ``floor30(t) - 30min``); the explode happens map-side with the same
+    partial-combine shape as the tumbling aggregate.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w1 = pc.floor_temporal(batch["ts"], multiple=30, unit="minute")
+        w0 = pc.subtract(w1, pa.scalar(1_800_000_000, type=pa.duration("us")))
+        t = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "user_id": batch["user_id"],
+                        "window_start": w,
+                        "value": batch["value"],
+                    }
+                )
+                for w in (w0, w1)
+            ]
+        ).combine_chunks()
+        g = pa.TableGroupBy(t, ["user_id", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "window_start": g["window_start"],
+                "sum_value": g["value_sum"],
+                "n_events": pc.cast(g["value_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Sum("sum_value", alias_name="sum_value"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    out = out.sort_values(["user_id", "window_start"])
+    out["sum_value"] = out["sum_value"].round(6)
+    out["n_events"] = out["n_events"].astype("int64")
+    out = out[["user_id", "window_start", "n_events", "sum_value"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def hash_sample_documents(sf_dir: str, pct: int = 10) -> ray.data.Dataset:
+    """Deterministic ``pct``% sample: md5(doc_id) bucket < pct.
+
+    The seedable, shuffle-free sampling shape for 100 TB runs — any worker
+    reproduces membership locally, and the SQL oracle checks it exactly.
+    """
+    from ..functions.dedup import md5_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = [md5_u64(str(d).encode()) % 100 < pct for d in ids]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def events_window_agg(sf_dir: str) -> pa.Table:
     """Stream-shaped: per-user tumbling 1-hour windows over the events log.
 
