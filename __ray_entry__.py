@@ -450,6 +450,17 @@ def _q_asof_join(sf_dir: str):
     return asof_join_events_orders(sf_dir)
 
 
+def _q_embedding_dup_pairs(sf_dir: str):
+    import ray.data
+
+    from vexor_ray.functions.ann import embedding_dup_pairs
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_dup_pairs(emb, threshold=0.4, n_planes=4)
+
+
 def _q_hash_sample(sf_dir: str):
     from vexor_ray.pipelines.relational import hash_sample_documents
 
@@ -491,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_agg": _q_events_hopping,
         "asof_join": _q_asof_join,
         "hash_sample": _q_hash_sample,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
     }
 
 
@@ -912,4 +924,25 @@ ORDER BY e.event_id""",
 SELECT doc_id, n_chars FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
 ORDER BY doc_id""",
+        "embedding_dup_pairs": """
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+pl AS (SELECT j.j, dims.d,
+              CAST(md5_number_lower('srp|5|' || j.j || '|' || (dims.d - 1)) % 2001 AS BIGINT) - 1000 AS w
+       FROM (SELECT unnest(generate_series(0, 3)) AS j) j CROSS JOIN dims),
+ev AS (SELECT vec_id, dims.d,
+              CAST(floor(CAST(embedding[dims.d] AS DOUBLE) * 1048576) AS BIGINT) AS e
+       FROM embeddings CROSS JOIN dims),
+dots AS (SELECT ev.vec_id, pl.j, SUM(ev.e * pl.w) AS dot
+         FROM ev JOIN pl ON pl.d = ev.d GROUP BY ev.vec_id, pl.j),
+buck AS (SELECT vec_id,
+                SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
+         FROM dots GROUP BY vec_id),
+pairs AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                 ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                              CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+          FROM buck x
+          JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          JOIN embeddings ea ON ea.vec_id = x.vec_id
+          JOIN embeddings eb ON eb.vec_id = y.vec_id)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""",
     }

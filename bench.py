@@ -156,6 +156,20 @@ def bench_operators() -> dict:
     emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
     brute_force_topk(emb, q, k=10)
     out["knn_cosine"] = round(time.perf_counter() - t0, 3)
+
+    from vexor_ray.functions.dedup import minhash_lsh_pairs
+    from vexor_ray.pipelines.joins import asof_join_events_orders
+
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    minhash_lsh_pairs(docs, threshold=0.4).count()
+    out["minhash_pairs"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    asof_join_events_orders(SF_DIR).count()
+    out["asof_join"] = round(time.perf_counter() - t0, 3)
     return out
 
 

@@ -143,6 +143,74 @@ class SrpBucketer:
         return batch.append_column("bucket", pa.array(bucket, type=pa.uint64()))
 
 
+def embedding_dup_pairs(
+    embeddings: ray.data.Dataset,
+    *,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    seed: int = 5,
+    bucket_cap: int = 4096,
+    concurrency: int | tuple = (1, 4),
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs via SRP bucket blocking.
+
+    Each vector lands in exactly one bucket, so a candidate pair is tested
+    at most once (no dedup shuffle); within a bucket the pairwise cosine is
+    one matmul.  Approximate by construction (cross-bucket pairs are
+    missed — standard LSH recall trade-off, raise ``n_planes`` bands for
+    recall), but fully deterministic: integer md5 planes → the SQL oracle
+    reproduces the exact pair set.  Buckets beyond ``bucket_cap`` are
+    dropped and logged (degenerate-bucket guard).
+    """
+    import logging
+
+    import pandas as pd
+
+    logger = logging.getLogger(__name__)
+    sample = embeddings.take(1)
+    dim = len(sample[0]["embedding"])
+    bucketed = embeddings.map_batches(
+        SrpBucketer,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        if len(g) > bucket_cap:
+            logger.warning(
+                "embedding_dup_pairs: dropping bucket of %d vectors (> cap %d)",
+                len(g),
+                bucket_cap,
+            )
+            return empty
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        mat = _normalize(np.asarray(list(g["embedding"]), dtype=np.float64))
+        sims = np.round(mat @ mat.T, 6)
+        ia, ib = np.triu_indices(ids.size, k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]].astype("int64"),
+                "vec_b": ids[ib[keep]].astype("int64"),
+                "cosine": sims[ia[keep], ib[keep]],
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+
 def lsh_topk(
     embeddings: ray.data.Dataset,
     queries: np.ndarray,
