@@ -101,10 +101,16 @@ def explode_postings(
     salt_shift: int,
     num_waves: int,
     wave: int | None,
+    terms_col: str = "terms",
+    tfs_col: str = "tfs",
 ) -> pa.Table:
     """(doc_id, doc_len, terms, tfs) → flat (term, salt, doc_id, tf, dl) rows.
 
-    Arrow list-flatten (zero per-row Python); optional term-hash wave filter.
+    Arrow list-flatten (zero per-row Python).  ``wave`` filters by term-hash
+    wave for FLAT inputs; wave-bucketed docs_tok checkpoints (``terms_w{k}``
+    columns, see ``TokenizeDocs``) pass ``wave=None`` with the bucket's
+    column names — membership was decided at tokenize time and the per-wave
+    read pruned to 1/W of the term data via parquet column selection.
     """
     batch = batch.combine_chunks()
     if batch.num_rows == 0:
@@ -118,12 +124,12 @@ def explode_postings(
                 "dl": pa.array([], type=pa.uint32()),
             }
         )
-    terms_list = batch.column("terms")
+    terms_list = batch.column(terms_col)
     flat_terms = pc.list_flatten(terms_list)
     parent = pc.list_parent_indices(terms_list)
     doc_ids = pc.take(batch.column("doc_id"), parent)
     dls = pc.take(batch.column("doc_len"), parent)
-    tfs = pc.list_flatten(batch.column("tfs"))
+    tfs = pc.list_flatten(batch.column(tfs_col))
 
     # th = deterministic uint64 term hash: the shuffle/sort key (uint64
     # compares are ~an order of magnitude cheaper than term strings) and the
@@ -444,7 +450,10 @@ def build_index(
     ]
     # tokenize-relevant config is part of the group fingerprint: changing the
     # tokenizer / doc builder must re-tokenize even when inputs are unchanged
-    tok_fp = f"|{cfg.token_pattern}|{cfg.text_only}|{cfg.doc_builder}|{cfg.tokenizer}|{cfg.char_limit}|{cfg.pre_extracted}"
+    tok_fp = (
+        f"|{cfg.token_pattern}|{cfg.text_only}|{cfg.doc_builder}|{cfg.tokenizer}"
+        f"|{cfg.char_limit}|{cfg.pre_extracted}|W{cfg.num_waves}"
+    )
     group_fp_now: dict[str, str] = {}
     group_file_indices: dict[str, list[int]] = {}
     for gi, group in enumerate(groups):
@@ -490,6 +499,7 @@ def build_index(
                 "token_pattern": cfg.token_pattern,
                 "doc_builder": cfg.doc_builder,
                 "tokenizer": cfg.tokenizer,
+                "num_waves": cfg.num_waves,
             },
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
@@ -670,9 +680,15 @@ def build_index(
             # at fine block granularity melts the scheduler (observed 4x data
             # -> 20x wave time); 2x partitions_per_wave blocks keeps the
             # exchange quadratic-in-partitions, not in input files
+            if cfg.num_waves > 1:
+                tcol, fcol = f"terms_w{wave}", f"tfs_w{wave}"
+                wave_arg = None  # bucketed at tokenize time, nothing to filter
+            else:
+                tcol, fcol = "terms", "tfs"
+                wave_arg = None
             ds = ray.data.read_parquet(
                 dirty_files,
-                columns=["doc_id", "doc_len", "terms", "tfs"],
+                columns=["doc_id", "doc_len", tcol, fcol],
                 override_num_blocks=cfg.partitions_per_wave * 2,
             )
             ds = ds.map_batches(
@@ -680,7 +696,9 @@ def build_index(
                 fn_kwargs={
                     "salt_shift": cfg.salt_shift,
                     "num_waves": cfg.num_waves,
-                    "wave": wave if cfg.num_waves > 1 else None,
+                    "wave": wave_arg,
+                    "terms_col": tcol,
+                    "tfs_col": fcol,
                 },
                 batch_format="pyarrow",
                 zero_copy_batch=True,

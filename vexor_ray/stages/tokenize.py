@@ -41,6 +41,7 @@ class TokenizeDocs:
         doc_builder: str = "url_text",
         with_preview: bool = True,
         tokenizer: str = "regex",
+        num_waves: int = 0,
     ):
         from .berttok import make_tokenizer
 
@@ -49,18 +50,42 @@ class TokenizeDocs:
         if self._builder not in DOC_BUILDERS:
             raise ValueError(f"unknown doc_builder {self._builder!r}")
         self._with_preview = with_preview
+        # num_waves > 1 → wave-bucketed output: per-doc term lists are split
+        # into ``terms_w{k}`` / ``tfs_w{k}`` by term-hash wave, so the
+        # posting build's per-wave read PRUNES to 1/W of the term data via
+        # parquet column selection instead of re-reading everything W times
+        self._num_waves = int(num_waves)
+        # per-actor term→wave cache (Zipfian streams repeat terms heavily;
+        # hash each distinct term once per actor, not once per doc)
+        self._wave_cache: dict[str, int] = {}
         # per-actor metrics (exposed in logs; stage-level metrics are
         # aggregated from dataset counts in the manifest)
         self.n_docs = 0
         self.n_tokens = 0
 
+    def _term_waves(self, uniq: list[str], W: int) -> list[int]:
+        cache = self._wave_cache
+        missing = [t for t in uniq if t not in cache]
+        if missing:
+            import numpy as np
+
+            from ..hashing import hash_terms
+
+            hs = hash_terms(np.asarray(missing, dtype=object)) % np.uint64(W)
+            if len(cache) > 2_000_000:
+                cache.clear()
+            for t, w in zip(missing, hs):
+                cache[t] = int(w)
+        return [cache[t] for t in uniq]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         texts = batch.column("text").to_pylist()
         tokenize = self._tokenize
+        W = self._num_waves if self._num_waves > 1 else 1
         doc_lens: list[int] = []
-        terms_col: list[list[str]] = []
-        tfs_col: list[list[int]] = []
+        terms_col: list[list[list[str]]] = [[] for _ in range(W)]
+        tfs_col: list[list[list[int]]] = [[] for _ in range(W)]
         if self._builder == "text":
             docs = texts
         elif self._builder == "head":
@@ -71,16 +96,37 @@ class TokenizeDocs:
             tokens = tokenize(doc)
             counts = Counter(tokens)
             doc_lens.append(len(tokens))
-            terms_col.append(list(counts.keys()))
-            tfs_col.append(list(counts.values()))
+            if W == 1:
+                terms_col[0].append(list(counts.keys()))
+                tfs_col[0].append(list(counts.values()))
+            else:
+                uniq = list(counts.keys())
+                waves = self._term_waves(uniq, W)
+                per_t: list[list[str]] = [[] for _ in range(W)]
+                per_f: list[list[int]] = [[] for _ in range(W)]
+                for t, w in zip(uniq, waves):
+                    per_t[w].append(t)
+                    per_f[w].append(counts[t])
+                for w in range(W):
+                    terms_col[w].append(per_t[w])
+                    tfs_col[w].append(per_f[w])
         self.n_docs += len(docs)
         self.n_tokens += sum(doc_lens)
         cols = {
             "url": pa.array(urls, type=pa.string()),
             "doc_len": pa.array(doc_lens, type=pa.uint32()),
-            "terms": pa.array(terms_col, type=pa.list_(pa.string())),
-            "tfs": pa.array(tfs_col, type=pa.list_(pa.uint32())),
         }
+        if W == 1:
+            cols["terms"] = pa.array(terms_col[0], type=pa.list_(pa.string()))
+            cols["tfs"] = pa.array(tfs_col[0], type=pa.list_(pa.uint32()))
+        else:
+            for w in range(W):
+                cols[f"terms_w{w}"] = pa.array(
+                    terms_col[w], type=pa.list_(pa.string())
+                )
+                cols[f"tfs_w{w}"] = pa.array(
+                    tfs_col[w], type=pa.list_(pa.uint32())
+                )
         if self._with_preview:
             cols["preview"] = pa.array(
                 [make_preview(t) for t in texts], type=pa.string()
