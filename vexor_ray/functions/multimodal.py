@@ -2,11 +2,12 @@
 
 Images / audio / video travel as ``binary`` columns with a sidecar metadata
 struct; decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages.  The decode kernels themselves are STUBBED (the
-image/audio libraries are not in this environment): ``DecodeImage`` tries to
-import PIL at actor init and otherwise uses a clearly-marked deterministic
-fake decoder, so the Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — is real and tested while the pixel math is not.
+``map_batches`` stages.  Image decoding is REAL for PNG payloads — the
+from-scratch stdlib-only codec in ``functions/png.py`` (all five scanline
+filters, gray/RGB/RGBA) — and uses PIL when importable (JPEG etc.).
+Payloads that are neither go through a clearly-marked md5-derived fake
+(schema/flow exercise only); video frame decoding stays stubbed (no
+container/codec libraries in this environment).
 
 Scale notes: payload rows are wide → callers should use a small
 ``batch_size`` (e.g. 32-128) and let blocks stay under the object-store
@@ -29,9 +30,10 @@ IMAGE_META_TYPE = pa.struct(
 class DecodeImage:
     """Actor-pool stage: (id, payload:binary) → (id, width, height, feat).
 
-    Real decoder when PIL is importable; otherwise a deterministic fake that
-    derives dimensions and a 16-dim feature vector from a content hash.
-    The fake is NOT a vision model — it exists to exercise schema/flow.
+    Decode priority: PIL when importable (JPEG etc.) → the from-scratch PNG
+    codec (``functions/png.py``, stdlib-only, REAL pixel decode) for PNG
+    payloads → a deterministic md5-derived fake for anything else (clearly a
+    stub: it exercises schema/flow, not pixels).
     """
 
     def __init__(self, feat_dim: int = 16):
@@ -54,6 +56,14 @@ class DecodeImage:
         feat = np.resize(feat, self.feat_dim)
         return img.width, img.height, feat
 
+    def _decode_png(self, payload: bytes):
+        from .png import decode_png
+
+        arr = decode_png(payload).astype(np.float64)
+        feat = arr.mean(axis=(0, 1)).ravel() / 255.0  # per-channel means
+        feat = np.resize(feat, self.feat_dim)
+        return arr.shape[1], arr.shape[0], feat
+
     def _decode_fake(self, payload: bytes):
         # all values are md5-derived (DuckDB md5_number_lower parity) so the
         # stub is value-checkable by the SQL oracle, not just shape-checked;
@@ -71,12 +81,17 @@ class DecodeImage:
         return width, height, feat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .png import is_png
+
         payloads = batch.column("payload").to_pylist()
         widths, heights, feats = [], [], []
         for p in payloads:
-            w, h, f = (
-                self._decode_real(p) if self._pil else self._decode_fake(p)
-            )
+            if self._pil:
+                w, h, f = self._decode_real(p)
+            elif p and is_png(p):
+                w, h, f = self._decode_png(p)
+            else:
+                w, h, f = self._decode_fake(p)
             widths.append(w)
             heights.append(h)
             feats.append(f.tolist())
