@@ -53,6 +53,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--overlap", type=int, default=100)
     c.add_argument("--pre-extracted", action="store_true")
 
+    cp = sub.add_parser(
+        "compact", help="merge all incremental generations into one per wave"
+    )
+    cp.add_argument("--input", required=True, help="the index's pages input")
+    cp.add_argument("--index", required=True)
+
+    f = sub.add_parser("fsearch", help="federated BM25 over several indexes")
+    f.add_argument("--index", action="append", required=True, dest="indexes")
+    f.add_argument("--query", required=True)
+    f.add_argument("-k", type=int, default=10)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "build":
@@ -94,6 +105,28 @@ def main(argv: list[str] | None = None) -> int:
                 )
         else:
             print(hits.to_pandas().to_string(index=False))
+        return 0
+
+    if args.cmd == "compact":
+        _init_ray(args.num_cpus)
+        from vexor_ray.index.build import compact_index
+
+        manifest = compact_index(args.input, args.index)
+        gens = {w: [g["gen"] for g in gs] for w, gs in manifest["wave_gens"].items()}
+        print(json.dumps({"stats": manifest["stats"], "wave_gens": gens}))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "fsearch":
+        from vexor_ray.query.federate import FederatedSearcher
+
+        fed = FederatedSearcher(args.indexes)
+        hits = fed.search_hits(
+            [{"query_id": 0, "query": args.query, "k": args.k}]
+        )
+        print(hits.to_pandas().to_string(index=False))
         return 0
 
     if args.cmd == "chunk":

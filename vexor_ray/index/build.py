@@ -342,6 +342,15 @@ def compact_index(
     the old manifest keep working until the new one is atomically renamed.
     """
     out = Path(out_dir)
+    if cfg is None:
+        # recover the index's own build config from the committed manifest —
+        # compacting with defaults could silently re-tokenize under
+        # different settings
+        from .manifest import load_manifest
+
+        recorded = dict(load_manifest(out)["config"])
+        recorded.pop("term_hasher", None)
+        cfg = BuildConfig(**recorded)
     manifest = BuildManifest(out)
     for rec in list(manifest.load_partitions().values()):
         if rec.stage == "segments":
