@@ -1,0 +1,157 @@
+"""Minimal from-scratch PDF text extraction (stdlib zlib only).
+
+Covers the common machine-generated case: classic (non-object-stream) PDFs
+whose page content streams are plain or FlateDecode-compressed, with text
+drawn via the ``Tj`` / ``TJ`` / ``'`` operators and literal ``(...)``
+strings (escape sequences and octal per PDF 32000-1 §7.3.4.2).  Hex
+strings, CID/Type0 composite-font encodings, object streams and encryption
+are out of scope — ``extract_pdf_text`` returns whatever text it can find,
+or ``None`` when there is none (the extractor-registry contract:
+``stages/extract.py``).
+
+Register for the build with::
+
+    from vexor_ray.stages.extract import register_extractor
+    from vexor_ray.stages.pdftext import extract_pdf_text
+    register_extractor((".pdf",), extract_pdf_text)
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+_TEXT_OP_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|')|\[(?:[^\]\\]|\\.)*\]\s*TJ", re.S)
+_LITERAL_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.S)
+
+_ESCAPES = {
+    b"n": b"\n",
+    b"r": b"\r",
+    b"t": b"\t",
+    b"b": b"\b",
+    b"f": b"\f",
+    b"(": b"(",
+    b")": b")",
+    b"\\": b"\\",
+}
+
+
+def _unescape(body: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i : i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        nxt = body[i + 1 : i + 2]
+        if nxt in _ESCAPES:
+            out += _ESCAPES[nxt]
+            i += 2
+        elif nxt.isdigit():  # octal, 1-3 digits
+            j = i + 1
+            while j < len(body) and j < i + 4 and body[j : j + 1].isdigit():
+                j += 1
+            out.append(int(body[i + 1 : j], 8) & 0xFF)
+            i = j
+        elif nxt in (b"\n", b"\r"):  # line continuation
+            i += 2
+        else:
+            out += nxt
+            i += 2
+    return bytes(out)
+
+
+def _content_streams(data: bytes):
+    """Yield decoded stream payloads (Flate-decompressed when marked)."""
+    for m in _STREAM_RE.finditer(data):
+        start = m.end()
+        end = data.find(b"endstream", start)
+        if end < 0:
+            continue
+        body = data[start:end].rstrip(b"\r\n")
+        if b"/FlateDecode" in m.group(1):
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        yield body
+
+
+def _stream_text(stream: bytes) -> list[str]:
+    out: list[str] = []
+    for m in _TEXT_OP_RE.finditer(stream):
+        parts = [
+            _unescape(lit.group(0)[1:-1]) for lit in _LITERAL_RE.finditer(m.group(0))
+        ]
+        if parts:
+            out.append(b"".join(parts).decode("latin-1"))
+    return out
+
+
+def extract_pdf_text(payload: bytes, char_limit: int = 0) -> str | None:
+    """PDF bytes → extracted text (None when no text was found)."""
+    if not payload or not payload.startswith(b"%PDF-"):
+        return None
+    pieces: list[str] = []
+    for stream in _content_streams(payload):
+        if b"Tj" not in stream and b"TJ" not in stream and b"'" not in stream:
+            continue
+        pieces.extend(_stream_text(stream))
+    if not pieces:
+        return None
+    text = " ".join(p.strip() for p in pieces if p.strip())
+    if not text:
+        return None
+    if char_limit and char_limit > 0:
+        text = text[:char_limit]
+    from ..refimpl.textnorm import normalize_text
+
+    return normalize_text(text) or None
+
+
+def make_simple_pdf(lines: list[str], compress: bool = True) -> bytes:
+    """Build a minimal valid one-page PDF showing ``lines`` (test fixture)."""
+    esc = [
+        line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        for line in lines
+    ]
+    content = b"BT /F1 12 Tf 72 720 Td " + b" T* ".join(
+        f"({e}) Tj".encode("latin-1") for e in esc
+    ) + b" ET"
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"<< "
+        + filt
+        + b"/Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size "
+        + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n"
+        + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
