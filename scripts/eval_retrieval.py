@@ -6,7 +6,7 @@ fixture corpus: each eval query is a 6-token phrase sampled from the middle
 of one page, whose docID is the single relevant result.  Arms:
 
 - ``bm25_exact`` / ``bm25_wand`` — the engine's two scorers (must tie);
-- ``dense`` — cosine over char-3-gram hash embeddings (functions/embed.py);
+- ``dense`` — cosine over word-bigram hash embeddings (functions/embed.py);
 - ``hybrid`` — weighted RRF of dense + BM25 (query/searcher.py);
 - ``rerank_bm25l`` — BM25L candidate rerank arm (query/rerank.py).
 
@@ -105,9 +105,10 @@ def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
     ds = read_with_doc_ids(files, ["url", "html"])
     ds = ds.map_batches(make_extract_fn(), batch_format="pyarrow",
                         batch_size=256, zero_copy_batch=True)
-    emb_ds = ds.map_batches(hash_embed_batch, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    qemb = hash_embed(qtexts)
+    emb_ds = ds.map_batches(hash_embed_batch,
+                            fn_kwargs={"dim": 512, "mode": "word", "n": 2},
+                            batch_format="pyarrow", zero_copy_batch=True)
+    qemb = hash_embed(qtexts, dim=512, n=2, mode="word")
     dense_top = brute_force_topk(emb_ds, qemb.astype(np.float64), k=50,
                                  id_col="doc_id")
     dense_by_q: dict[int, list[int]] = {}

@@ -31,17 +31,32 @@ def hash_embed(
     dim: int = DEFAULT_EMBED_DIM,
     n: int = _NGRAM,
     as_float32: bool = True,
+    mode: str = "char",
 ) -> np.ndarray:
     """(len(texts), dim) L2-normalized n-gram hash embeddings.
 
-    Bucket sums are integers (±1 per distinct gram) so the norm and every
-    quotient are exactly reproducible in SQL double arithmetic —
-    ``as_float32=False`` keeps that float64 form for oracle checking.
+    ``mode="char"``: character n-grams (near-dup / fuzzy matching; can
+    saturate on large natural-language corpora).  ``mode="word"``: word
+    n-gram features over the spec tokenizer — much stronger retrieval
+    signal (the eval harness measures the gap).  Bucket sums are integers
+    (±1 per distinct gram) so the norm and every quotient are exactly
+    reproducible in SQL double arithmetic — ``as_float32=False`` keeps the
+    float64 form for oracle checking.
     """
+    from ..spec import TOKEN_RE
+
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for i, t in enumerate(texts):
         t = (t or "").lower()
-        if len(t) < n:
+        if mode == "word":
+            toks = TOKEN_RE.findall(t)
+            grams = {
+                " ".join(toks[j : j + n])
+                for j in range(max(len(toks) - n + 1, 0))
+            }
+            if not grams and toks:
+                grams = {" ".join(toks)}
+        elif len(t) < n:
             grams = {t} if t else set()
         else:
             grams = {t[j : j + n] for j in range(len(t) - n + 1)}
@@ -59,9 +74,11 @@ def hash_embed(
     return out.astype(np.float32) if as_float32 else out
 
 
-def hash_embed_batch(batch: pa.Table, *, dim: int = DEFAULT_EMBED_DIM) -> pa.Table:
+def hash_embed_batch(
+    batch: pa.Table, *, dim: int = DEFAULT_EMBED_DIM, mode: str = "char", n: int = _NGRAM
+) -> pa.Table:
     """(doc_id, text) → (doc_id, embedding:list<float32>)."""
-    emb = hash_embed(batch.column("text").to_pylist(), dim)
+    emb = hash_embed(batch.column("text").to_pylist(), dim, n=n, mode=mode)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
@@ -71,11 +88,15 @@ def hash_embed_batch(batch: pa.Table, *, dim: int = DEFAULT_EMBED_DIM) -> pa.Tab
 
 
 def embed_documents(
-    docs: ray.data.Dataset, *, dim: int = DEFAULT_EMBED_DIM
+    docs: ray.data.Dataset,
+    *,
+    dim: int = DEFAULT_EMBED_DIM,
+    mode: str = "char",
+    n: int = _NGRAM,
 ) -> ray.data.Dataset:
     return docs.map_batches(
         hash_embed_batch,
-        fn_kwargs={"dim": dim},
+        fn_kwargs={"dim": dim, "mode": mode, "n": n},
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
