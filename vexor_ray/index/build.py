@@ -68,6 +68,8 @@ class BuildConfig:
     doc_builder: str = "url_text"  # url_text | text | head (stages/tokenize.py)
     token_pattern: str = TOKEN_PATTERN
     tokenizer: str = "regex"  # regex | bert_union (stages/berttok.py)
+    embed_dim: int = 0  # > 0 → store a dense hash-embedding column per doc
+    embed_mode: str = "word"
     block_size: int = POSTING_BLOCK_SIZE
     salt_shift: int = DEFAULT_SALT_SHIFT
     num_waves: int = DEFAULT_NUM_WAVES
@@ -462,6 +464,7 @@ def build_index(
     tok_fp = (
         f"|{cfg.token_pattern}|{cfg.text_only}|{cfg.doc_builder}|{cfg.tokenizer}"
         f"|{cfg.char_limit}|{cfg.pre_extracted}|W{cfg.num_waves}"
+        f"|E{cfg.embed_dim}:{cfg.embed_mode}"
     )
     group_fp_now: dict[str, str] = {}
     group_file_indices: dict[str, list[int]] = {}
@@ -509,6 +512,8 @@ def build_index(
                 "doc_builder": cfg.doc_builder,
                 "tokenizer": cfg.tokenizer,
                 "num_waves": cfg.num_waves,
+                "embed_dim": cfg.embed_dim,
+                "embed_mode": cfg.embed_mode,
             },
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,

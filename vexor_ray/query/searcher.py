@@ -519,6 +519,63 @@ class Searcher:
         ranked = sorted(fused.items(), key=lambda item: (-item[1], item[0]))
         return [(d, float(s)) for d, s in ranked[:k]]
 
+    # -- dense arm over the index's stored embedding column ----------------
+    def search_dense(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Cosine top-k over embeddings STORED in the index (build with
+        ``embed_dim > 0``) — the reference's primary ranking path (cosine
+        over cached chunk embeddings, ``vexor/search.py:42-206``).
+
+        The docs checkpoint streams through in record batches (column-pruned
+        to doc_id + embedding); per-batch rounded tie-widened partial top-k
+        keeps memory bounded.  Returns [(docID, cosine)] by (cosine desc,
+        docID asc).
+        """
+        if "embedding" not in self._docs_ds.schema.names:
+            raise ValueError(
+                "index has no stored embeddings (build with embed_dim > 0)"
+            )
+        cfg = self.manifest["config"]
+        from ..functions.embed import hash_embed
+
+        q = hash_embed(
+            [query_text],
+            dim=int(cfg.get("embed_dim") or 0),
+            n=2,
+            mode=cfg.get("embed_mode", "word"),
+            as_float32=False,
+        )[0]
+        qn = np.linalg.norm(q)
+        if qn == 0:
+            return []
+        q = q / qn
+        cand: list[tuple[float, int]] = []  # (-cos, docID)
+        for rb in self._docs_ds.to_batches(
+            columns=["doc_id", "embedding"], batch_size=8192
+        ):
+            ids = rb.column("doc_id").to_numpy()
+            if ids.size == 0:
+                continue
+            mat = np.asarray(rb.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((mat / norms[:, None]) @ q, 6)
+            if sims.size > k:
+                kth = -np.partition(-sims, k - 1)[k - 1]
+                keep = np.flatnonzero(sims >= kth)
+            else:
+                keep = np.arange(sims.size)
+            cand.extend((-float(sims[i]), int(ids[i])) for i in keep)
+        cand.sort()
+        return [(d, -nc) for nc, d in cand[:k]]
+
+    def search_hybrid_text(
+        self, query: str, k: int = 10, dense_k: int = 50
+    ) -> list[tuple[int, float]]:
+        """End-to-end hybrid from a text query alone: the dense arm comes
+        from the index's stored embeddings, fused with BM25 via RRF."""
+        dense = self.search_dense(query, k=dense_k)
+        return self.search_hybrid(query, [d for d, _ in dense], k=k)
+
     # -- staleness ---------------------------------------------------------
     def is_current(self) -> bool:
         """Does the committed manifest still match the input files on disk?

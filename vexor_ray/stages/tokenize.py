@@ -42,6 +42,8 @@ class TokenizeDocs:
         with_preview: bool = True,
         tokenizer: str = "regex",
         num_waves: int = 0,
+        embed_dim: int = 0,
+        embed_mode: str = "word",
     ):
         from .berttok import make_tokenizer
 
@@ -50,6 +52,11 @@ class TokenizeDocs:
         if self._builder not in DOC_BUILDERS:
             raise ValueError(f"unknown doc_builder {self._builder!r}")
         self._with_preview = with_preview
+        # embed_dim > 0 → a dense hash-embedding column rides along in the
+        # docs checkpoint (the reference stores chunk embeddings in its
+        # cache, vexor/cache.py — here the docs table IS that store)
+        self._embed_dim = int(embed_dim)
+        self._embed_mode = embed_mode
         # num_waves > 1 → wave-bucketed output: per-doc term lists are split
         # into ``terms_w{k}`` / ``tfs_w{k}`` by term-hash wave, so the
         # posting build's per-wave read PRUNES to 1/W of the term data via
@@ -127,6 +134,15 @@ class TokenizeDocs:
                 cols[f"tfs_w{w}"] = pa.array(
                     tfs_col[w], type=pa.list_(pa.uint32())
                 )
+        if self._embed_dim:
+            from ..functions.embed import hash_embed
+
+            emb = hash_embed(
+                docs, dim=self._embed_dim, n=2, mode=self._embed_mode
+            )
+            cols["embedding"] = pa.array(
+                emb.tolist(), type=pa.list_(pa.float32())
+            )
         if self._with_preview:
             cols["preview"] = pa.array(
                 [make_preview(t) for t in texts], type=pa.string()
