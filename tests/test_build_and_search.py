@@ -111,3 +111,34 @@ def test_resume_skips_completed_partitions(built_index, pages_1k):
     assert {p["partition_id"] for p in manifest2["partitions"]} == {
         p["partition_id"] for p in manifest1["partitions"]
     }
+
+
+def test_postings_cache_and_warmup_consistency(ray_session, tmp_path):
+    """The decoded-postings cache and serving warmup never change results."""
+    from vexor_ray.fixtures.pages import generate_queries, write_pages
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.query.searcher import Searcher
+
+    pages = write_pages(tmp_path / "pages", 300, seed=42, rows_per_file=100)
+    idx = tmp_path / "idx"
+    build_index(
+        pages,
+        idx,
+        BuildConfig(num_waves=2, partitions_per_wave=2, shard_group_size=2,
+                    tokenize_concurrency=2, salt_shift=8),
+    )
+    cold = Searcher(idx)
+    # force cache population for even tiny terms so the hit path is real
+    cold._postings_cache_min = 1
+    queries = generate_queries(20, seed=13)
+    first = [cold.search(q["query"], k=10, method="auto") for q in queries]
+    assert cold._postings_cache  # something actually got cached
+    second = [cold.search(q["query"], k=10, method="auto") for q in queries]
+    assert first == second
+
+    warm = Searcher(idx)
+    warm._postings_cache_min = 1
+    n = warm.warm_hot_terms(32)
+    assert n > 0 and len(warm._postings_cache) == n
+    warmed = [warm.search(q["query"], k=10, method="auto") for q in queries]
+    assert warmed == first
