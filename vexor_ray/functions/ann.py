@@ -143,6 +143,154 @@ class SrpBucketer:
         return batch.append_column("bucket", pa.array(bucket, type=pa.uint64()))
 
 
+def ivf_train(
+    embeddings: ray.data.Dataset,
+    *,
+    k_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed IVF coarse quantizer: (k_cells, dim) float64 centroids.
+
+    Deterministic map-reduce Lloyd iterations with cosine assignment:
+
+    - init = the ``k_cells`` vectors with the smallest md5(id) (a seeded
+      uniform sample needing only a tiny per-batch partial top-k, no sort);
+    - each iteration: broadcast centroids → per-batch assign + per-cell
+      INTEGER partial sums of the 2^20-quantized vectors → driver combine.
+      Integer sums are exact in any batch order, so centroids (and
+      therefore cell assignments) are bit-reproducible run to run — the
+      property every approximate-recall test and future SQL oracle needs.
+    Empty cells keep their previous centroid.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import md5_u64
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        if not ids:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.uint64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    vec_col: pa.array([], type=pa.list_(pa.float32())),
+                }
+            )
+        hs = np.fromiter(
+            (md5_u64(str(i).encode()) for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        order = np.argsort(hs, kind="stable")[:k_cells]
+        return pa.table(
+            {
+                "h": pa.array(hs[order], type=pa.uint64()),
+                id_col: pc.take(batch.column(id_col), pa.array(order)),
+                vec_col: pc.take(batch.column(vec_col), pa.array(order)),
+            }
+        )
+
+    seeds = embeddings.map_batches(
+        seed_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    seeds = seeds.sort_values("h", kind="mergesort").head(k_cells)
+    centroids = _normalize(
+        np.asarray(list(seeds[vec_col]), dtype=np.float64)
+    )
+    dim = centroids.shape[1]
+
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            cents = ray.get(c_ref)
+            mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            if mat.size == 0:
+                return pa.table(
+                    {
+                        "cell": pa.array([], type=pa.int32()),
+                        "n": pa.array([], type=pa.int64()),
+                        "vsum": pa.array([], type=pa.list_(pa.int64())),
+                    }
+                )
+            q = np.floor(mat * 1048576.0).astype(np.int64)  # exact scaling
+            cell = ivf_assign_cells(mat, cents)
+            out_cell, out_n, out_sum = [], [], []
+            for c in np.unique(cell):
+                sel = q[cell == c]
+                out_cell.append(int(c))
+                out_n.append(int(sel.shape[0]))
+                out_sum.append(sel.sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "cell": pa.array(out_cell, type=pa.int32()),
+                    "n": pa.array(out_n, type=pa.int64()),
+                    "vsum": pa.array(out_sum, type=pa.list_(pa.int64())),
+                }
+            )
+
+        parts = embeddings.map_batches(
+            partial_sums, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        new_c = centroids.copy()
+        for c in range(k_cells):
+            rows = parts[parts["cell"] == c]
+            n = int(rows["n"].sum())
+            if n == 0:
+                continue
+            total = np.sum(
+                np.asarray(list(rows["vsum"]), dtype=np.int64), axis=0
+            )  # exact int sum, order-free
+            new_c[c] = total.astype(np.float64) / n / 1048576.0
+        centroids = _normalize(new_c)
+    return centroids
+
+
+def ivf_assign_cells(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid cell per row (cosine; ties → lowest cell id)."""
+    sims = _normalize(mat) @ centroids.T
+    return np.argmax(np.round(sims, 9), axis=1)
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF search: probe the ``nprobe`` nearest cells per query, exact
+    cosine within the probed union — the trained-quantizer scale path
+    (cells are recomputed per batch from the broadcast centroids; no
+    assignment join, no shuffle)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qsims = q @ centroids.T
+    probe = np.argsort(np.round(-qsims, 9), axis=1, kind="stable")[:, :nprobe]
+    probed_union = np.unique(probe)
+    c_ref = ray.put(centroids)
+    wanted = ray.put(frozenset(int(c) for c in probed_union))
+
+    def filter_cells(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        want = ray.get(wanted)
+        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return batch
+        cells = ivf_assign_cells(mat, cents)
+        keep = np.fromiter((int(c) in want for c in cells), dtype=bool,
+                           count=cells.size)
+        return batch.filter(pa.array(keep))
+
+    cands = embeddings.map_batches(
+        filter_cells, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return brute_force_topk(cands, np.asarray(queries, dtype=np.float64), k,
+                            id_col=id_col, vec_col=vec_col)
+
+
 def embedding_dup_pairs(
     embeddings: ray.data.Dataset,
     *,
