@@ -38,6 +38,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--partitions", type=int, default=None)
     b.add_argument("--doc-builder", default=None, choices=["url_text", "text", "head"])
     b.add_argument("--pre-extracted", action="store_true")
+    b.add_argument(
+        "--rich-extractors",
+        action="store_true",
+        help="route .pdf/.docx/.pptx urls through the built-in extractors",
+    )
 
     s = sub.add_parser("search", help="BM25 top-k over a built index")
     s.add_argument("--index", required=True)
@@ -79,6 +84,10 @@ def main(argv: list[str] | None = None) -> int:
             kw["doc_builder"] = args.doc_builder
         if args.pre_extracted:
             kw["pre_extracted"] = True
+        if args.rich_extractors:
+            from vexor_ray.stages.extract import register_default_extractors
+
+            register_default_extractors()
         manifest = build_index(args.input, args.out, BuildConfig(**kw))
         print(
             json.dumps(

@@ -401,6 +401,9 @@ def _atomic_dir_write(
         # path (a term lookup reads ~row_group_size rows, not a 100k block)
         kwargs["row_group_size"] = row_group_size
     ds.write_parquet(str(tmp), **kwargs)
+    # an empty dataset writes no files at all — still commit an empty dir so
+    # the segment is visible and resume/queries see "built, zero postings"
+    tmp.mkdir(parents=True, exist_ok=True)
     os.replace(tmp, final_dir)
     return sorted(str(f) for f in final_dir.glob("*.parquet"))
 

@@ -40,18 +40,45 @@ def clear_extractors() -> None:
     _EXTRACTORS.clear()
 
 
-def _dispatch(url: str, payload: bytes, char_limit: int) -> str | None:
-    if _EXTRACTORS:
+def register_default_extractors() -> None:
+    """Register the built-in non-text extractors (pdf/docx/pptx).
+
+    Mirrors the reference's default registry
+    (``content_extract_service.py:884-904``); opt-in here because the default
+    web-pages path treats every payload as UTF-8 text.
+    """
+    from .officetext import extract_docx_text, extract_pptx_text
+    from .pdftext import extract_pdf_text
+
+    register_extractor((".pdf",), extract_pdf_text)
+    register_extractor((".docx",), extract_docx_text)
+    register_extractor((".pptx",), extract_pptx_text)
+
+
+def _dispatch(
+    url: str,
+    payload: bytes,
+    char_limit: int,
+    extractors: dict[str, Callable[[bytes, int], str | None]],
+) -> str | None:
+    if extractors:
         dot = url.rfind(".")
         if dot >= 0:
-            fn = _EXTRACTORS.get(url[dot:].lower())
+            fn = extractors.get(url[dot:].lower())
             if fn is not None:
                 return fn(payload, char_limit)
     return extract_text(payload, char_limit)
 
 
 def make_extract_fn(char_limit: int = FULL_CHAR_LIMIT):
-    """Returns a map_batches fn: pa.Table(url, html, ...) → pa.Table(url, text)."""
+    """Returns a map_batches fn: pa.Table(url, html, ...) → pa.Table(url, text).
+
+    The extractor registry is SNAPSHOTTED here, on the driver, and the
+    snapshot travels inside the returned closure — module-global state does
+    not exist in Ray worker processes, so reading ``_EXTRACTORS`` at batch
+    time would silently ignore every registered extractor in a real build.
+    """
+    extractors = dict(_EXTRACTORS)
 
     def extract_batch(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -62,7 +89,7 @@ def make_extract_fn(char_limit: int = FULL_CHAR_LIMIT):
         out_texts: list[str] = []
         out_ids: list[int] = []
         for i, (url, html) in enumerate(zip(urls, htmls)):
-            text = _dispatch(url, html, char_limit)
+            text = _dispatch(url, html, char_limit, extractors)
             if text is None:
                 continue
             out_urls.append(url)
