@@ -467,6 +467,25 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample_documents(sf_dir, pct=10)
 
 
+def _q_repetition(sf_dir: str):
+    from vexor_ray.functions.textstats import repetition
+
+    return repetition(_docs_ds(sf_dir))
+
+
+def _q_quality_filter(sf_dir: str):
+    from vexor_ray.functions.textstats import quality_filter
+
+    return quality_filter(_docs_ds(sf_dir))
+
+
+def _q_dup_clusters(sf_dir: str):
+    from vexor_ray.functions.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.4)
+    return duplicate_clusters(pairs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_scores": _q_bm25_scores,
@@ -503,6 +522,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "hash_sample": _q_hash_sample,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "repetition": _q_repetition,
+        "quality_filter": _q_quality_filter,
+        "dup_clusters": _q_dup_clusters,
     }
 
 
@@ -728,6 +750,81 @@ FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC,
 WHERE rank <= 10 ORDER BY query_idx, rank"""
 
 
+def _repetition_cte() -> str:
+    """Shared CTEs computing per-doc Gopher-style repetition features
+    ``rep(doc_id, top_token_frac, top_2gram_frac, dup_2gram_frac,
+    dup_3gram_frac)``; docs with zero tokens emit no row (engine parity:
+    ``textstats.repetition_batch``)."""
+    return f"""
+tl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM tl),
+big AS (SELECT doc_id, g FROM (
+    SELECT doc_id, t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS g
+    FROM tok) WHERE g IS NOT NULL),
+tri AS (SELECT doc_id, g FROM (
+    SELECT doc_id, t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i)
+             || ' ' || lead(t, 2) OVER (PARTITION BY doc_id ORDER BY i) AS g
+    FROM tok) WHERE g IS NOT NULL),
+tstat AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n
+          FROM (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+          GROUP BY doc_id),
+bstat AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n, COUNT(*) AS d
+          FROM (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g)
+          GROUP BY doc_id),
+cstat AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d
+          FROM (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g)
+          GROUP BY doc_id),
+rep AS (SELECT t.doc_id,
+  ROUND(t.top_c * 1.0 / t.n, 6) AS top_token_frac,
+  ROUND(COALESCE(b.top_c * 1.0 / b.n, 0), 6) AS top_2gram_frac,
+  ROUND(COALESCE((b.n - b.d) * 1.0 / b.n, 0), 6) AS dup_2gram_frac,
+  ROUND(COALESCE((c.n - c.d) * 1.0 / c.n, 0), 6) AS dup_3gram_frac
+  FROM tstat t LEFT JOIN bstat b USING (doc_id) LEFT JOIN cstat c USING (doc_id))"""
+
+
+def _repetition_sql() -> str:
+    return f"""
+WITH {_repetition_cte()}
+SELECT doc_id, top_token_frac, top_2gram_frac, dup_2gram_frac, dup_3gram_frac
+FROM rep ORDER BY doc_id"""
+
+
+def _quality_filter_sql() -> str:
+    """Engine thresholds (``textstats.quality_filter_batch`` defaults)
+    reproduced over the repetition CTE + raw text features."""
+    return f"""
+WITH {_repetition_cte()}
+SELECT d.doc_id
+FROM documents d
+JOIN rep r USING (doc_id)
+JOIN (SELECT doc_id, len({_TOKS}) AS n_toks FROM documents) nt USING (doc_id)
+WHERE nt.n_toks BETWEEN 25 AND 100000
+  AND length(d.text) > 0
+  AND length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 1.0 / length(d.text) >= 0.5
+  AND r.top_token_frac <= 0.20
+  AND r.top_2gram_frac <= 0.20
+  AND r.dup_3gram_frac <= 0.20
+ORDER BY d.doc_id"""
+
+
+def _dup_clusters_sql() -> str:
+    """Connected components (min reachable id) over the minhash near-dup
+    pair list — a transitive-closure recursive CTE on top of the SAME SQL
+    that oracles ``minhash_pairs``."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql(threshold=0.4)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_a, doc_a FROM pairs
+  UNION SELECT doc_b, doc_b FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u ORDER BY u"""
+
+
 def oracle_sql() -> dict[str, str]:
     en = "('the','a','of','and','to','in','is','that','for','it')"
     de = "('der','die','das','und','ist','ein','eine','zu','mit','von')"
@@ -945,4 +1042,7 @@ pairs AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
           JOIN embeddings ea ON ea.vec_id = x.vec_id
           JOIN embeddings eb ON eb.vec_id = y.vec_id)
 SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""",
+        "repetition": _repetition_sql(),
+        "quality_filter": _quality_filter_sql(),
+        "dup_clusters": _dup_clusters_sql(),
     }

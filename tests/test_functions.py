@@ -182,3 +182,88 @@ def test_sample_frames_real_decoder_raises():
 
     with pytest.raises(NotImplementedError):
         SampleFrames(real=True)
+
+
+def test_repetition_stats(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.textstats import repetition
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "spam spam spam spam",          # one token repeated
+                    "a b c d e f g h",              # all distinct
+                    "x y x y x y",                  # repeated bigram chain
+                    "",                              # zero tokens -> no row
+                ]
+            ),
+        }
+    )
+    df = (
+        repetition(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(df.index) == [0, 1, 2]  # empty doc emits no row
+    assert df.loc[0, "top_token_frac"] == 1.0
+    assert df.loc[0, "top_2gram_frac"] == 1.0       # "spam spam" x3 of 3
+    assert df.loc[0, "dup_2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert df.loc[1, "top_token_frac"] == pytest.approx(1 / 8, abs=1e-6)
+    assert df.loc[1, "dup_2gram_frac"] == 0.0
+    # "x y x y x y": bigrams = [xy, yx, xy, yx, xy] -> top 3/5, dup 3/5
+    assert df.loc[2, "top_2gram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    assert df.loc[2, "dup_3gram_frac"] == pytest.approx(2 / 4, abs=1e-6)
+
+
+def test_quality_filter_thresholds(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.textstats import quality_filter
+
+    good = " ".join(f"word{i}" for i in range(30))
+    repeaty = " ".join(["lorem ipsum"] * 20)        # top bigram frac high
+    short = "too short"
+    numeric = " ".join(str(i) for i in range(40))   # alpha ratio low
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array([good, repeaty, short, numeric]),
+        }
+    )
+    kept = quality_filter(ray.data.from_arrow(tbl)).to_pandas()["doc_id"].tolist()
+    assert kept == [0]
+
+
+def test_duplicate_clusters_chain(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.dedup import duplicate_clusters
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 4, 10, 10, 10], type=pa.int64()),
+            "doc_b": pa.array([2, 3, 5, 11, 12, 13], type=pa.int64()),
+        }
+    )
+    df = duplicate_clusters(ray.data.from_arrow(pairs)).to_pandas()
+    got = dict(zip(df["doc_id"], df["cluster_id"]))
+    # chain 1-2-3 collapses transitively; star 10-{11,12,13} keeps min id
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_duplicate_clusters_empty(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.dedup import duplicate_clusters
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+        }
+    )
+    assert duplicate_clusters(ray.data.from_arrow(pairs)).count() == 0

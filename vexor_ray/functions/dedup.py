@@ -425,6 +425,117 @@ def simhash_dup_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: ray.data.Dataset, *, max_iters: int = 16
+) -> ray.data.Dataset:
+    """Connected components over a duplicate-pair list → (doc_id, cluster_id).
+
+    The missing step between pair detection (exact/MinHash/SimHash/embedding)
+    and corpus cleaning: pairs chain (A~B, B~C ⇒ {A,B,C} one cluster), so a
+    keep-one-per-pair policy over-deletes or under-deletes.  Label propagation
+    with min-id labels, expressed purely in Dataset ops:
+
+    each round, every node's current label is sent to all neighbors via a
+    ``groupby(node).map_groups`` over (edge ∪ label) rows, then reduced with
+    ``groupby(node).min(label)``.  Min-labels converge in O(component
+    diameter) rounds — near-dup clusters are stars/cliques (diameter ≤ ~3),
+    so the loop exits early long before ``max_iters``; each round is two
+    hash shuffles of the EDGE LIST only (no corpus pass, no driver-side
+    edge materialization).  ``cluster_id`` = the component's min doc_id;
+    only docs appearing in ≥1 pair emit a row (singletons need no cleanup).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    # Edge list both directions, as (node, peer).  Self-loop per node keeps
+    # the node's own label in play and guarantees every node emits a row.
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "node": np.concatenate([a, b]),
+                "peer": np.concatenate([b, a]),
+            }
+        )
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # labels(node) := min(node, min over neighbors of their current label)
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node")
+        return pa.table({"node": nodes, "label": batch.column("peer")})
+
+    labels = (
+        edges.map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    def spread(group: pd.DataFrame) -> pd.DataFrame:
+        # rows tagged kind 0 = label row (peer = current label of this node),
+        # kind 1 = edge row (peer = neighbor id).  The node's label flows to
+        # every neighbor; the node keeps its own label via a self row.
+        lab = group.loc[group["kind"] == 0, "peer"]
+        if lab.empty:
+            return pd.DataFrame({"node": [], "label": []})
+        label = int(lab.min())
+        nbrs = group.loc[group["kind"] == 1, "peer"].astype("int64")
+        nodes = list(nbrs) + [int(group["node"].iloc[0])]
+        return pd.DataFrame({"node": nodes, "label": label})
+
+    for _ in range(max_iters):
+        def tag_label(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "peer": batch.column("label"),
+                    "kind": np.zeros(batch.num_rows, dtype=np.int8),
+                }
+            )
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "peer": batch.column("peer"),
+                    "kind": np.ones(batch.num_rows, dtype=np.int8),
+                }
+            )
+
+        msgs = (
+            labels.map_batches(tag_label, batch_format="pyarrow", zero_copy_batch=True)
+            .union(
+                edges.map_batches(tag_edge, batch_format="pyarrow", zero_copy_batch=True)
+            )
+            .groupby("node")
+            .map_groups(spread, batch_format="pandas")
+        )
+        new_labels = msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+
+        # convergence check: total label sum is monotone non-increasing and
+        # strictly decreases while any label still moves — one tiny aggregate,
+        # no row-by-row driver comparison
+        new_sum = new_labels.sum("label")
+        old_sum = labels.sum("label")
+        labels = new_labels
+        if new_sum == old_sum:
+            break
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("node").cast(pa.int64()),
+                "cluster_id": batch.column("label").cast(pa.int64()),
+            }
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ngram_jaccard(
     texts_a: list[str], texts_b: list[str], n: int = 3
 ) -> list[float]:

@@ -237,3 +237,114 @@ def langid(docs: ray.data.Dataset, concurrency: int | tuple = (1, 4)) -> ray.dat
 
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition features per doc (Rae et al. 2021 §A1.1 shape).
+
+    ``top_token_frac`` / ``top_2gram_frac``: occurrences of the most frequent
+    token / word-bigram over total occurrences; ``dup_2gram_frac`` /
+    ``dup_3gram_frac``: fraction of n-gram occurrences that are repeats of an
+    earlier occurrence (1 - distinct/total).  Docs with zero tokens emit no
+    row (the SQL oracle's group-by drops them identically); n-gram fractions
+    are 0 when the doc is shorter than the n-gram.  Rounded 6dp half-up =
+    DuckDB ROUND.  Linear scan, shuffle-free.
+    """
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_pylist()
+    out = {
+        "doc_id": [],
+        "top_token_frac": [],
+        "top_2gram_frac": [],
+        "dup_2gram_frac": [],
+        "dup_3gram_frac": [],
+    }
+    from collections import Counter
+
+    for doc_id, t in zip(ids, texts):
+        toks = TOKEN_RE.findall((t or "").lower())
+        if not toks:
+            continue
+        tc = Counter(toks)
+        out["doc_id"].append(doc_id)
+        out["top_token_frac"].append(_round6_half_up(max(tc.values()) / len(toks)))
+        for n, key in ((2, "top_2gram_frac"), (3, "dup_3gram_frac")):
+            grams = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            total = len(toks) - n + 1
+            if total <= 0:
+                frac = dup = 0.0
+            else:
+                frac = max(grams.values()) / total
+                dup = (total - len(grams)) / total
+            if n == 2:
+                out["top_2gram_frac"].append(_round6_half_up(frac))
+                out["dup_2gram_frac"].append(_round6_half_up(dup))
+            else:
+                out["dup_3gram_frac"].append(_round6_half_up(dup))
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "top_token_frac": pa.array(out["top_token_frac"], type=pa.float64()),
+            "top_2gram_frac": pa.array(out["top_2gram_frac"], type=pa.float64()),
+            "dup_2gram_frac": pa.array(out["dup_2gram_frac"], type=pa.float64()),
+            "dup_3gram_frac": pa.array(out["dup_3gram_frac"], type=pa.float64()),
+        }
+    )
+
+
+def repetition(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(repetition_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_filter_batch(
+    batch: pa.Table,
+    *,
+    min_tokens: int = 25,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    max_top_token_frac: float = 0.20,
+    max_top_2gram_frac: float = 0.20,
+    max_dup_3gram_frac: float = 0.20,
+) -> pa.Table:
+    """C4/Gopher-style cleaning filter: keep docs passing every threshold.
+
+    Composes the quality + repetition features in ONE pass (no join, no
+    second tokenize) and emits only surviving ``doc_id`` rows — the shape a
+    100 TB cleaning stage needs: linear map, output is the keep-list to
+    semi-join downstream.
+    """
+    feats = repetition_batch(batch)
+    rep = {
+        int(d): (tt, t2, d3)
+        for d, tt, t2, d3 in zip(
+            feats.column("doc_id").to_pylist(),
+            feats.column("top_token_frac").to_pylist(),
+            feats.column("top_2gram_frac").to_pylist(),
+            feats.column("dup_3gram_frac").to_pylist(),
+        )
+    }
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    keep: list[int] = []
+    for doc_id, t in zip(ids, texts):
+        t = t or ""
+        toks = TOKEN_RE.findall(t.lower())
+        if not (min_tokens <= len(toks) <= max_tokens):
+            continue
+        n_alpha = sum(ch.isalpha() for ch in t)
+        if not t or n_alpha / len(t) < min_alpha_ratio:
+            continue
+        tt, t2, d3 = rep.get(int(doc_id), (0.0, 0.0, 0.0))
+        if tt > max_top_token_frac or t2 > max_top_2gram_frac or d3 > max_dup_3gram_frac:
+            continue
+        keep.append(doc_id)
+    return pa.table({"doc_id": pa.array(keep, type=pa.int64())})
+
+
+def quality_filter(docs: ray.data.Dataset, **thresholds) -> ray.data.Dataset:
+    import functools
+
+    fn = functools.partial(quality_filter_batch, **thresholds)
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
