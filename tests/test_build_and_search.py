@@ -142,3 +142,30 @@ def test_postings_cache_and_warmup_consistency(ray_session, tmp_path):
     assert n > 0 and len(warm._postings_cache) == n
     warmed = [warm.search(q["query"], k=10, method="auto") for q in queries]
     assert warmed == first
+
+
+def test_gen_file_pruning_interval_select(tmp_path):
+    """_gen_files_for_ths keeps every file whose [min,max] covers a term hash
+    — exact for disjoint (sorted-backend) ranges, safe for overlapping
+    (hash-backend) ranges."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vexor_ray.query.searcher import Searcher
+
+    # three files: disjoint [0,10], [10,20] (boundary shared), overlap [5,15]
+    paths = []
+    for i, ths in enumerate([[0, 10], [10, 20], [5, 15]]):
+        p = tmp_path / f"f{i}.parquet"
+        pq.write_table(
+            pa.table({"th": pa.array(ths, type=pa.uint64())}), p
+        )
+        paths.append(str(p))
+    gen = {"files": paths, "bounds": None}
+    sel = Searcher._gen_files_for_ths(gen, np.array([10], dtype=np.uint64))
+    assert {p.rsplit("/", 1)[-1] for p in sel} == {"f0.parquet", "f1.parquet", "f2.parquet"}
+    sel = Searcher._gen_files_for_ths(gen, np.array([3], dtype=np.uint64))
+    assert {p.rsplit("/", 1)[-1] for p in sel} == {"f0.parquet"}
+    sel = Searcher._gen_files_for_ths(gen, np.array([99], dtype=np.uint64))
+    assert sel == []
