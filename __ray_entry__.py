@@ -486,6 +486,12 @@ def _q_dup_clusters(sf_dir: str):
     return duplicate_clusters(pairs)
 
 
+def _q_clean_corpus(sf_dir: str):
+    from vexor_ray.functions.dedup import clean_corpus
+
+    return clean_corpus(_docs_ds(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_scores": _q_bm25_scores,
@@ -525,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "quality_filter": _q_quality_filter,
         "dup_clusters": _q_dup_clusters,
+        "clean_corpus": _q_clean_corpus,
     }
 
 
@@ -825,6 +832,34 @@ reach(u, v) AS (
 SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u ORDER BY u"""
 
 
+def _clean_corpus_sql() -> str:
+    """Composition oracle: quality_filter survivors MINUS exact-dup non-keeps
+    MINUS non-canonical near-dup cluster members (the same recursive-CTE
+    component computation as ``dup_clusters``)."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql(threshold=0.4)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_a, doc_a FROM pairs
+  UNION SELECT doc_b, doc_b FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+near_drop AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING u != MIN(v)),
+exact_drop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM documents) WHERE doc_id != keep_id),
+qf AS ({_quality_filter_sql()})
+SELECT doc_id FROM qf
+WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+  AND doc_id NOT IN (SELECT doc_id FROM exact_drop)
+ORDER BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     en = "('the','a','of','and','to','in','is','that','for','it')"
     de = "('der','die','das','und','ist','ein','eine','zu','mit','von')"
@@ -1045,4 +1080,5 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY vec_a, vec_b
         "repetition": _repetition_sql(),
         "quality_filter": _quality_filter_sql(),
         "dup_clusters": _dup_clusters_sql(),
+        "clean_corpus": _clean_corpus_sql(),
     }

@@ -267,3 +267,26 @@ def test_duplicate_clusters_empty(ray_session):
         }
     )
     assert duplicate_clusters(ray.data.from_arrow(pairs)).count() == 0
+
+
+def test_clean_corpus_composition(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.dedup import clean_corpus
+
+    good = " ".join(f"tok{i}" for i in range(40))
+    near_a = " ".join(f"word{i}" for i in range(40))
+    near_b = " ".join(f"word{i}" for i in range(39)) + " tail"
+    repeaty = " ".join(["lorem ipsum"] * 30)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array([good, good, near_a, near_b, repeaty, "short"]),
+        }
+    )
+    kept = sorted(
+        clean_corpus(ray.data.from_arrow(tbl)).to_pandas()["doc_id"].tolist()
+    )
+    # 1 = exact dup of 0 (dropped), 3 = near dup of 2 (non-canonical),
+    # 4 fails repetition caps, 5 fails min_tokens
+    assert kept == [0, 2]

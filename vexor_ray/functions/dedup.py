@@ -536,6 +536,102 @@ def duplicate_clusters(
     return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def exact_dup_drops(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """doc_ids to DROP under exact dedup: every non-minimum doc_id per
+    identical-text fingerprint group (keep-first semantics of
+    ``exact_duplicates``, but emitting the complement)."""
+    import pandas as pd
+
+    from .textstats import fingerprint_batch
+
+    fps = docs.map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def non_min(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        keep = group["doc_id"].min()
+        return pd.DataFrame(
+            {"doc_id": group.loc[group["doc_id"] != keep, "doc_id"].astype("int64")}
+        )
+
+    return fps.groupby("fp").map_groups(non_min, batch_format="pandas")
+
+
+def clean_corpus(
+    docs: ray.data.Dataset,
+    *,
+    minhash_threshold: float = 0.4,
+    **quality_thresholds,
+) -> ray.data.Dataset:
+    """The full training-data cleaning pipeline → surviving doc_id keep-list.
+
+    A document survives iff it (a) passes the Gopher/C4-style
+    ``quality_filter`` thresholds, (b) is the keep-first representative of
+    its exact-duplicate group, and (c) is the canonical (min-id) member of
+    its near-duplicate cluster (MinHash-LSH pairs → connected components).
+
+    Fully distributed: quality is a pure map; exact drops are one
+    fingerprint groupby; near-dup drops ride the LSH + label-propagation
+    pipeline; the final combine is ONE hash shuffle of (doc_id, flag) pairs
+    — no driver-side id sets, no broadcast of corpus-sized state, so the
+    same plan runs at 10^12 docs.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from .textstats import quality_filter
+
+    kept = quality_filter(docs, **quality_thresholds)
+
+    clusters = duplicate_clusters(
+        minhash_lsh_pairs(docs, threshold=minhash_threshold)
+    )
+
+    def non_canonical(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        cl = batch.column("cluster_id").to_numpy()
+        return pa.table({"doc_id": pa.array(ids[ids != cl], type=pa.int64())})
+
+    near_drops = clusters.map_batches(
+        non_canonical, batch_format="pyarrow", zero_copy_batch=True
+    )
+    exact_drops = exact_dup_drops(docs)
+
+    def tag(value: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").cast(pa.int64()),
+                    "keep": np.full(batch.num_rows, value, dtype=np.int8),
+                }
+            )
+
+        return fn
+
+    merged = (
+        kept.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            near_drops.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True),
+            exact_drops.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True),
+        )
+        .groupby("doc_id")
+        .aggregate(
+            Min("keep", alias_name="dropped"),
+            Max("keep", alias_name="quality_ok"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = (batch.column("dropped").to_numpy() == 1) & (
+            batch.column("quality_ok").to_numpy() == 1
+        )
+        return pa.table({"doc_id": pa.array(ids[keep], type=pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ngram_jaccard(
     texts_a: list[str], texts_b: list[str], n: int = 3
 ) -> list[float]:
