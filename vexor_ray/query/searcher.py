@@ -419,8 +419,17 @@ class Searcher:
         avgdl = self.avg_doc_len if avg_doc_len is None else avg_doc_len
         n_docs = self.doc_count if doc_count is None else doc_count
         override_avg = avg_doc_len is not None and avg_doc_len != self.avg_doc_len
-        idx_parts: list[np.ndarray] = []
-        contrib_parts: list[np.ndarray] = []
+        all_ids = self._doc_id_index()
+        # Per-term bincount accumulated into one dense scores vector.  Each
+        # doc receives its term contributions in query-term order and skipped
+        # terms add exact +0.0, so the float association order — and thus
+        # bit-identity with the oracle's dict accumulation — is unchanged
+        # versus the previous concatenate-then-bincount form, while the peak
+        # allocation drops from O(total postings) to O(doc_count): no
+        # multi-MB concat per query (first-touch page faults on fresh large
+        # buffers are pathologically slow on some kernels).
+        scores: np.ndarray | None = None
+        matched = False
         for term in terms:
             chunks = chunks_by_term.get(term, [])
             if not chunks:
@@ -437,18 +446,14 @@ class Searcher:
                 denom_base = k1 * ((1.0 - b) + (b * dl) / avgdl)
             denom = tf + denom_base
             contrib = (idf * tf) * (k1 + 1.0) / denom
-            idx_parts.append(idx)
-            contrib_parts.append(contrib)
-        if not idx_parts:
+            part = np.bincount(idx, weights=contrib, minlength=all_ids.size)
+            matched = True
+            if scores is None:
+                scores = part
+            else:
+                scores += part
+        if not matched or scores is None:
             return np.zeros(0, dtype=np.uint64), np.zeros(0)
-        all_ids = self._doc_id_index()
-        all_idx = np.concatenate(idx_parts)
-        all_contribs = np.concatenate(contrib_parts)
-        # bincount walks the concatenated arrays sequentially, so per-doc
-        # accumulation stays in query-term order — bit-identical to the
-        # oracle's dict accumulation (contributions are all > 0, so nonzero
-        # bins == matching docs)
-        scores = np.bincount(all_idx, weights=all_contribs, minlength=all_ids.size)
         nz = np.flatnonzero(scores)
         return all_ids[nz], scores[nz]
 
