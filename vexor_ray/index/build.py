@@ -412,6 +412,26 @@ def _parquet_rows(files: list[str]) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def _th_bounds(files: list[str]) -> list[list[int]]:
+    """Per-file [th_min, th_max] from parquet row-group statistics."""
+    out: list[list[int]] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == "th"
+        )
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            if st is None or not st.has_min_max:
+                lo, hi = 0, (1 << 64) - 1
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append([int(lo or 0), int(hi if hi is not None else (1 << 64) - 1)])
+    return out
+
+
 def _normalize_pre_extracted(batch: pa.Table) -> pa.Table:
     """normalize_text + drop null/empty rows for pre-extracted text inputs."""
     from ..refimpl.textnorm import normalize_text
@@ -777,6 +797,10 @@ def build_index(
                 {
                     "gen": rec.lineage.get("gen", 0),
                     "files": rec.output_files,
+                    # per-file th min/max from the parquet footers, recorded
+                    # once at build commit so every query process can prune
+                    # segment files per term without its own footer sweep
+                    "th_bounds": _th_bounds(rec.output_files),
                     "covers_files": rec.lineage.get("covers_files", []),
                     "avgdl": rec.lineage.get("avgdl", avg_doc_len),
                 }

@@ -146,10 +146,23 @@ class Searcher:
                 for g2 in gens[i + 1 :]:
                     superseded.update(g2.get("covers_files", []))
                 avgdl_gen = g.get("avgdl") or self.avg_doc_len
+                # prefer build-time footer stats from the manifest; fall back
+                # to a lazy per-file sweep for indexes built before th_bounds
+                bounds = None
+                tb = g.get("th_bounds")
+                if tb and len(tb) == len(g["files"]):
+                    mins = np.asarray([x[0] for x in tb], dtype=np.uint64)
+                    maxs = np.asarray([x[1] for x in tb], dtype=np.uint64)
+                    order = np.argsort(mins, kind="stable")
+                    bounds = (
+                        mins[order],
+                        maxs[order],
+                        [g["files"][i] for i in order],
+                    )
                 out.append(
                     {
                         "files": list(g["files"]),
-                        "bounds": None,  # lazy per-file (th_min, th_max) sweep
+                        "bounds": bounds,
                         "superseded": np.array(sorted(superseded), dtype=np.uint64),
                         "ub_scale": (
                             max(1.0, self.avg_doc_len / avgdl_gen)
