@@ -177,11 +177,17 @@ def test_multimodal_plumbing(ray_session):
     assert (frames["frame"] % 5 == 0).all()
 
 
-def test_sample_frames_real_decoder_raises():
+def test_sample_frames_real_decoder_raises_on_non_avi():
     from vexor_ray.functions.multimodal import SampleFrames
 
+    batch = pa.table(
+        {
+            "id": pa.array([0], type=pa.int64()),
+            "payload": pa.array([b"not a container"], type=pa.binary()),
+        }
+    )
     with pytest.raises(NotImplementedError):
-        SampleFrames(real=True)
+        SampleFrames(real=True)(batch)
 
 
 def test_repetition_stats(ray_session):

@@ -6,8 +6,10 @@ struct; decode / feature-extract / resize / frame-sample are actor-pool
 from-scratch stdlib-only codec in ``functions/png.py`` (all five scanline
 filters, gray/RGB/RGBA) — and uses PIL when importable (JPEG etc.).
 Payloads that are neither go through a clearly-marked md5-derived fake
-(schema/flow exercise only); video frame decoding stays stubbed (no
-container/codec libraries in this environment).
+(schema/flow exercise only).  Video frame sampling is REAL for
+uncompressed-AVI payloads via the from-scratch RIFF parser
+(``functions/avi.py``); compressed codecs stay out of scope (no codec
+libraries in this environment) and fall back to the marked stub.
 
 Scale notes: payload rows are wide → callers should use a small
 ``batch_size`` (e.g. 32-128) and let blocks stay under the object-store
@@ -189,25 +191,46 @@ def decode_audio(
 
 
 class SampleFrames:
-    """Actor-pool stage: (id, payload) → one row per sampled frame offset.
+    """Actor-pool stage: (id, payload) → one row per sampled frame.
 
-    Stub frame sampler: emits ``every_n``-th logical frame index with a
-    content-derived pseudo-frame hash (real video decode is not available in
-    this environment — raise if a real decoder is demanded).
+    REAL for uncompressed AVI payloads: the from-scratch RIFF parser
+    (``functions/avi.py``) finds the ``00db`` frame chunks and the sampled
+    frames are pixel-decoded; ``frame_hash`` = md5 of the frame's raw RGB
+    bytes.  Non-AVI payloads keep the md5-derived pseudo-frame stub
+    (schema/flow exercise, SQL-reproducible).  ``real=True`` demands the
+    real container path — non-AVI payloads then raise instead of faking.
     """
 
     def __init__(self, every_n: int = 10, real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "video decoding libraries are not available in this environment"
-            )
         self.every_n = every_n
+        self.real = real
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .avi import decode_avi_frame, parse_avi
+
         ids = batch.column("id").to_pylist()
         payloads = batch.column("payload").to_pylist()
         out_id, out_frame, out_hash = [], [], []
         for i, p in zip(ids, payloads):
+            meta = parse_avi(p or b"")
+            if meta is not None:
+                w, h = meta["width"], meta["height"]
+                for f in range(0, len(meta["frames"]), self.every_n):
+                    off, size = meta["frames"][f]
+                    frame = decode_avi_frame(p, off, size, w, h)
+                    if frame is None:
+                        continue
+                    out_id.append(i)
+                    out_frame.append(f)
+                    out_hash.append(
+                        hashlib.md5(np.ascontiguousarray(frame).tobytes()).hexdigest()
+                    )
+                continue
+            if self.real:
+                raise NotImplementedError(
+                    "only uncompressed AVI payloads decode for real; "
+                    "compressed codecs need external libraries"
+                )
             n_frames = 1 + (len(p or b"") % 100)
             # frame hash = md5(md5(payload) || '#' || frame) — string-domain
             # composition so SQL reproduces it with its own md5()
