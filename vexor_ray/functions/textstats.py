@@ -310,21 +310,15 @@ def quality_filter_batch(
 ) -> pa.Table:
     """C4/Gopher-style cleaning filter: keep docs passing every threshold.
 
-    Composes the quality + repetition features in ONE pass (no join, no
-    second tokenize) and emits only surviving ``doc_id`` rows — the shape a
-    100 TB cleaning stage needs: linear map, output is the keep-list to
-    semi-join downstream.
+    Composes the quality + repetition features in one pass — each doc is
+    tokenized once and all thresholds are checked in-line — and emits only
+    surviving ``doc_id`` rows: the shape a 100 TB cleaning stage needs
+    (linear map, output is the keep-list to semi-join downstream).
+    Repetition fractions use the same round-6-half-up values as
+    ``repetition_batch``, so the SQL oracle's ROUND comparisons agree.
     """
-    feats = repetition_batch(batch)
-    rep = {
-        int(d): (tt, t2, d3)
-        for d, tt, t2, d3 in zip(
-            feats.column("doc_id").to_pylist(),
-            feats.column("top_token_frac").to_pylist(),
-            feats.column("top_2gram_frac").to_pylist(),
-            feats.column("dup_3gram_frac").to_pylist(),
-        )
-    }
+    from collections import Counter
+
     ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     keep: list[int] = []
@@ -336,9 +330,20 @@ def quality_filter_batch(
         n_alpha = sum(ch.isalpha() for ch in t)
         if not t or n_alpha / len(t) < min_alpha_ratio:
             continue
-        tt, t2, d3 = rep.get(int(doc_id), (0.0, 0.0, 0.0))
-        if tt > max_top_token_frac or t2 > max_top_2gram_frac or d3 > max_dup_3gram_frac:
+        if _round6_half_up(max(Counter(toks).values()) / len(toks)) > max_top_token_frac:
             continue
+        n2 = len(toks) - 1
+        if n2 > 0:
+            grams2 = Counter(
+                " ".join(toks[i : i + 2]) for i in range(n2)
+            )
+            if _round6_half_up(max(grams2.values()) / n2) > max_top_2gram_frac:
+                continue
+        n3 = len(toks) - 2
+        if n3 > 0:
+            d3 = (n3 - len({" ".join(toks[i : i + 3]) for i in range(n3)})) / n3
+            if _round6_half_up(d3) > max_dup_3gram_frac:
+                continue
         keep.append(doc_id)
     return pa.table({"doc_id": pa.array(keep, type=pa.int64())})
 
