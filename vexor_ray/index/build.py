@@ -73,6 +73,13 @@ class BuildConfig:
     block_size: int = POSTING_BLOCK_SIZE
     salt_shift: int = DEFAULT_SALT_SHIFT
     num_waves: int = DEFAULT_NUM_WAVES
+    # Bucket docs_tok term lists into per-wave columns at tokenize time so
+    # each wave's read prunes to 1/W of the term data.  Measured A/B at 400k
+    # pages, W=2: flat + explode-time wave filter wins (the extra list
+    # columns cost more in checkpoint write + read than the 2x term-column
+    # re-read saves), so this defaults OFF; it exists for high-W builds
+    # where W-fold read amplification dominates.
+    wave_bucketed_tok: bool = False
     partitions_per_wave: int = 8
     # "sort": range-partitioned sort by (term, salt) — robust, skew splits
     #   into multiple chunks per key which the query layer merges;
@@ -487,6 +494,7 @@ def build_index(
     tok_fp = (
         f"|{cfg.token_pattern}|{cfg.text_only}|{cfg.doc_builder}|{cfg.tokenizer}"
         f"|{cfg.char_limit}|{cfg.pre_extracted}|W{cfg.num_waves}"
+        f"|B{int(cfg.wave_bucketed_tok)}"
         f"|E{cfg.embed_dim}:{cfg.embed_mode}"
     )
     group_fp_now: dict[str, str] = {}
@@ -534,7 +542,7 @@ def build_index(
                 "token_pattern": cfg.token_pattern,
                 "doc_builder": cfg.doc_builder,
                 "tokenizer": cfg.tokenizer,
-                "num_waves": cfg.num_waves,
+                "num_waves": cfg.num_waves if cfg.wave_bucketed_tok else 0,
                 "embed_dim": cfg.embed_dim,
                 "embed_mode": cfg.embed_mode,
             },
@@ -717,12 +725,12 @@ def build_index(
             # at fine block granularity melts the scheduler (observed 4x data
             # -> 20x wave time); 2x partitions_per_wave blocks keeps the
             # exchange quadratic-in-partitions, not in input files
-            if cfg.num_waves > 1:
+            if cfg.wave_bucketed_tok and cfg.num_waves > 1:
                 tcol, fcol = f"terms_w{wave}", f"tfs_w{wave}"
                 wave_arg = None  # bucketed at tokenize time, nothing to filter
             else:
                 tcol, fcol = "terms", "tfs"
-                wave_arg = None
+                wave_arg = wave if cfg.num_waves > 1 else None
             ds = ray.data.read_parquet(
                 dirty_files,
                 columns=["doc_id", "doc_len", tcol, fcol],

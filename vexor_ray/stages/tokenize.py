@@ -62,28 +62,55 @@ class TokenizeDocs:
         # posting build's per-wave read PRUNES to 1/W of the term data via
         # parquet column selection instead of re-reading everything W times
         self._num_waves = int(num_waves)
-        # per-actor term→wave cache (Zipfian streams repeat terms heavily;
-        # hash each distinct term once per actor, not once per doc)
-        self._wave_cache: dict[str, int] = {}
         # per-actor metrics (exposed in logs; stage-level metrics are
         # aggregated from dataset counts in the manifest)
         self.n_docs = 0
         self.n_tokens = 0
 
-    def _term_waves(self, uniq: list[str], W: int) -> list[int]:
-        cache = self._wave_cache
-        missing = [t for t in uniq if t not in cache]
-        if missing:
-            import numpy as np
+    @staticmethod
+    def _bucket_by_wave(
+        terms_col: list[list[str]], tfs_col: list[list[int]], W: int
+    ) -> dict[str, pa.Array]:
+        """Split per-doc (terms, tfs) lists into per-wave list columns.
 
-            from ..hashing import hash_terms
+        Fully vectorized over the BATCH: one term-hash pass over the flat
+        unique-term array, then per-wave list reassembly from boolean masks
+        + bincount offsets (flat order is doc-major, so a mask preserves
+        per-doc ordering).  The earlier per-doc Python dict/append version
+        of this split tripled tokenize wall time at 400k pages — this one is
+        ~free relative to the regex tokenize itself.
+        """
+        import numpy as np
 
-            hs = hash_terms(np.asarray(missing, dtype=object)) % np.uint64(W)
-            if len(cache) > 2_000_000:
-                cache.clear()
-            for t, w in zip(missing, hs):
-                cache[t] = int(w)
-        return [cache[t] for t in uniq]
+        from ..hashing import hash_terms
+
+        n_docs = len(terms_col)
+        flat_terms = np.asarray(
+            [t for lst in terms_col for t in lst], dtype=object
+        )
+        flat_tfs = np.fromiter(
+            (f for lst in tfs_col for f in lst), dtype=np.uint32
+        )
+        lengths = np.fromiter((len(l) for l in terms_col), dtype=np.int64, count=n_docs)
+        parent = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+        waves = (
+            hash_terms(flat_terms) % np.uint64(W)
+            if flat_terms.size
+            else np.zeros(0, dtype=np.uint64)
+        )
+        cols: dict[str, pa.Array] = {}
+        for w in range(W):
+            mask = waves == np.uint64(w)
+            counts = np.bincount(parent[mask], minlength=n_docs)
+            offsets = np.zeros(n_docs + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            cols[f"terms_w{w}"] = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat_terms[mask], type=pa.string())
+            )
+            cols[f"tfs_w{w}"] = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat_tfs[mask], type=pa.uint32())
+            )
+        return cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -91,8 +118,8 @@ class TokenizeDocs:
         tokenize = self._tokenize
         W = self._num_waves if self._num_waves > 1 else 1
         doc_lens: list[int] = []
-        terms_col: list[list[list[str]]] = [[] for _ in range(W)]
-        tfs_col: list[list[list[int]]] = [[] for _ in range(W)]
+        terms_col: list[list[str]] = []
+        tfs_col: list[list[int]] = []
         if self._builder == "text":
             docs = texts
         elif self._builder == "head":
@@ -103,20 +130,8 @@ class TokenizeDocs:
             tokens = tokenize(doc)
             counts = Counter(tokens)
             doc_lens.append(len(tokens))
-            if W == 1:
-                terms_col[0].append(list(counts.keys()))
-                tfs_col[0].append(list(counts.values()))
-            else:
-                uniq = list(counts.keys())
-                waves = self._term_waves(uniq, W)
-                per_t: list[list[str]] = [[] for _ in range(W)]
-                per_f: list[list[int]] = [[] for _ in range(W)]
-                for t, w in zip(uniq, waves):
-                    per_t[w].append(t)
-                    per_f[w].append(counts[t])
-                for w in range(W):
-                    terms_col[w].append(per_t[w])
-                    tfs_col[w].append(per_f[w])
+            terms_col.append(list(counts.keys()))
+            tfs_col.append(list(counts.values()))
         self.n_docs += len(docs)
         self.n_tokens += sum(doc_lens)
         cols = {
@@ -124,16 +139,10 @@ class TokenizeDocs:
             "doc_len": pa.array(doc_lens, type=pa.uint32()),
         }
         if W == 1:
-            cols["terms"] = pa.array(terms_col[0], type=pa.list_(pa.string()))
-            cols["tfs"] = pa.array(tfs_col[0], type=pa.list_(pa.uint32()))
+            cols["terms"] = pa.array(terms_col, type=pa.list_(pa.string()))
+            cols["tfs"] = pa.array(tfs_col, type=pa.list_(pa.uint32()))
         else:
-            for w in range(W):
-                cols[f"terms_w{w}"] = pa.array(
-                    terms_col[w], type=pa.list_(pa.string())
-                )
-                cols[f"tfs_w{w}"] = pa.array(
-                    tfs_col[w], type=pa.list_(pa.uint32())
-                )
+            cols.update(self._bucket_by_wave(terms_col, tfs_col, W))
         if self._embed_dim:
             from ..functions.embed import hash_embed
 
