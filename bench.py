@@ -170,6 +170,15 @@ def bench_operators() -> dict:
     t0 = time.perf_counter()
     asof_join_events_orders(SF_DIR).count()
     out["asof_join"] = round(time.perf_counter() - t0, 3)
+
+    from vexor_ray.functions.dedup import clean_corpus
+
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    clean_corpus(docs).count()
+    out["clean_corpus"] = round(time.perf_counter() - t0, 3)
     return out
 
 
