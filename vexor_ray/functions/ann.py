@@ -18,6 +18,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ._pool import launch_stage as _launch_stage
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -298,7 +300,7 @@ def embedding_dup_pairs(
     n_planes: int = 4,
     seed: int = 5,
     bucket_cap: int = 4096,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs via SRP bucket blocking.
 
@@ -317,11 +319,12 @@ def embedding_dup_pairs(
     logger = logging.getLogger(__name__)
     sample = embeddings.take(1)
     dim = len(sample[0]["embedding"])
-    bucketed = embeddings.map_batches(
+    bucketed = _launch_stage(
+        embeddings,
         SrpBucketer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
-        batch_format="pyarrow",
+        {"dim": dim, "n_planes": n_planes, "seed": seed},
         concurrency=concurrency,
+        batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
@@ -366,18 +369,19 @@ def lsh_topk(
     *,
     n_planes: int = 12,
     seed: int = 5,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
 ) -> pa.Table:
     """Approximate cosine top-k: probe only the query's SRP bucket."""
     q = np.asarray(queries, dtype=np.float64)
     dim = q.shape[1]
     qbuckets = srp_buckets(q, srp_planes(dim, n_planes, seed))
 
-    bucketed = embeddings.map_batches(
+    bucketed = _launch_stage(
+        embeddings,
         SrpBucketer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
-        batch_format="pyarrow",
+        {"dim": dim, "n_planes": n_planes, "seed": seed},
         concurrency=concurrency,
+        batch_format="pyarrow",
         zero_copy_batch=True,
     )
     wanted = pa.array(np.unique(qbuckets), type=pa.uint64())

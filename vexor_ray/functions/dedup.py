@@ -38,6 +38,7 @@ import ray
 import ray.data
 
 from ..spec import TOKEN_RE
+from ._pool import launch_stage as _launch_stage
 
 logger = logging.getLogger(__name__)
 
@@ -171,7 +172,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 1,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     """MinHash-LSH near-dup candidate pairs verified by exact Jaccard.
 
@@ -183,15 +184,12 @@ def minhash_lsh_pairs(
     sets — both bounded by the number of near-duplicates, not corpus size.
     """
     rows_per_band = num_perm // bands
-    sigs = docs.map_batches(
+    sigs = _launch_stage(
+        docs,
         MinHasher,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "shingle_n": shingle_n,
-            "seed": seed,
-        },
-        batch_format="pyarrow",
+        {"num_perm": num_perm, "shingle_n": shingle_n, "seed": seed},
         concurrency=concurrency,
+        batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
@@ -345,9 +343,15 @@ class SimHasher:
         )
 
 
-def simhash_signatures(docs: ray.data.Dataset, concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
-    return docs.map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True
+def simhash_signatures(
+    docs: ray.data.Dataset, concurrency: int | tuple | None = None
+) -> ray.data.Dataset:
+    return _launch_stage(
+        docs,
+        SimHasher,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
@@ -363,7 +367,7 @@ def simhash_dup_pairs(
     *,
     max_hamming: int = 3,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     """Near-dup pairs by simhash: 16-bit band buckets → verify Hamming dist.
 

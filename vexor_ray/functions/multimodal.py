@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ._pool import launch_stage as _launch_stage
+
 IMAGE_META_TYPE = pa.struct(
     [("width", pa.int32()), ("height", pa.int32()), ("format", pa.string())]
 )
@@ -178,14 +180,15 @@ class DecodeAudio:
 
 
 def decode_audio(
-    ds: ray.data.Dataset, *, batch_size: int = 64, concurrency: int | tuple = (1, 4)
+    ds: ray.data.Dataset, *, batch_size: int = 64, concurrency: int | tuple | None = None
 ) -> ray.data.Dataset:
     """(id, payload) → real WAV features (stub for non-WAV), payload dropped."""
-    return ds.map_batches(
+    return _launch_stage(
+        ds,
         DecodeAudio,
+        concurrency=concurrency,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         zero_copy_batch=True,
     )
 
@@ -251,26 +254,28 @@ class SampleFrames:
 
 
 def decode_images(
-    ds: ray.data.Dataset, *, batch_size: int = 64, concurrency: int | tuple = (1, 4)
+    ds: ray.data.Dataset, *, batch_size: int = 64, concurrency: int | tuple | None = None
 ) -> ray.data.Dataset:
     """(id, payload) → decoded metadata + features, payload dropped."""
-    return ds.map_batches(
+    return _launch_stage(
+        ds,
         DecodeImage,
+        concurrency=concurrency,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         zero_copy_batch=True,
     )
 
 
 def sample_frames(
-    ds: ray.data.Dataset, *, every_n: int = 10, batch_size: int = 32, concurrency: int | tuple = (1, 2)
+    ds: ray.data.Dataset, *, every_n: int = 10, batch_size: int = 32, concurrency: int | tuple | None = None
 ) -> ray.data.Dataset:
-    return ds.map_batches(
+    return _launch_stage(
+        ds,
         SampleFrames,
-        fn_constructor_kwargs={"every_n": every_n},
+        {"every_n": every_n},
+        concurrency=concurrency,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         zero_copy_batch=True,
     )

@@ -17,6 +17,7 @@ import pyarrow as pa
 import ray.data
 
 from ..spec import TOKEN_RE
+from ._pool import launch_stage as _launch_stage
 
 # tiny fixed stopword lists per language for the langid heuristic
 _LANG_STOPWORDS = {
@@ -229,9 +230,15 @@ def quality(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def langid(docs: ray.data.Dataset, concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
-    return docs.map_batches(
-        LangId, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True
+def langid(
+    docs: ray.data.Dataset, concurrency: int | tuple | None = None
+) -> ray.data.Dataset:
+    return _launch_stage(
+        docs,
+        LangId,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
