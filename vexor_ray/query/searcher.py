@@ -274,6 +274,42 @@ class Searcher:
                 by_wave.setdefault(int(w), []).append(t)
         else:
             by_wave[0] = list(terms)
+        def read_gen(gen: dict, ths: np.ndarray, wave_terms: list[str], flt):
+            """One (wave, generation) segment read → [(term, chunk)]."""
+            sel = self._gen_files_for_ths(gen, ths)
+            if not sel:
+                return []
+            tbl = pads.dataset(sel).to_table(filter=flt)
+            if tbl.num_rows == 0:
+                return []
+            if gen["superseded"].size:
+                file_idx = pc.shift_right(
+                    tbl.column("salt"),
+                    pa.scalar(32 - self.salt_shift, pa.uint64()),
+                )
+                keep = np.isin(
+                    file_idx.to_numpy(zero_copy_only=False),
+                    gen["superseded"],
+                    invert=True,
+                )
+                if not keep.all():
+                    tbl = tbl.filter(pa.array(keep))
+                if tbl.num_rows == 0:
+                    return []
+            tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
+            scale = gen["ub_scale"]
+            found = []
+            for term, chunk in _chunks_from_table(tbl):
+                if scale != 1.0:
+                    chunk["block_ub"] = chunk["block_ub"] * np.float32(scale)
+                found.append((term, chunk))
+            return found
+
+        # one task per (wave, generation); tasks run concurrently in a thread
+        # pool (parquet reads release the GIL) and results are appended in
+        # deterministic (wave, gen) order so each term's chunk list stays
+        # gen-ascending / salt-ascending exactly as the sequential loop built
+        tasks: list[tuple[int, int, dict, np.ndarray, list[str], object]] = []
         for w, wave_terms in by_wave.items():
             gens = self._wave_gens.get(w)
             if not gens:
@@ -284,33 +320,22 @@ class Searcher:
             flt = pc.field("th").isin(pa.array(ths, type=pa.uint64())) & pc.field(
                 "term"
             ).isin(wave_terms)
-            for gen in gens:
-                sel = self._gen_files_for_ths(gen, ths)
-                if not sel:
-                    continue
-                tbl = pads.dataset(sel).to_table(filter=flt)
-                if tbl.num_rows == 0:
-                    continue
-                if gen["superseded"].size:
-                    file_idx = pc.shift_right(
-                        tbl.column("salt"),
-                        pa.scalar(32 - self.salt_shift, pa.uint64()),
-                    )
-                    keep = np.isin(
-                        file_idx.to_numpy(zero_copy_only=False),
-                        gen["superseded"],
-                        invert=True,
-                    )
-                    if not keep.all():
-                        tbl = tbl.filter(pa.array(keep))
-                    if tbl.num_rows == 0:
-                        continue
-                tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
-                scale = gen["ub_scale"]
-                for term, chunk in _chunks_from_table(tbl):
-                    if scale != 1.0:
-                        chunk["block_ub"] = chunk["block_ub"] * np.float32(scale)
-                    out[term].append(chunk)
+            for gi, gen in enumerate(gens):
+                tasks.append((w, gi, gen, ths, wave_terms, flt))
+        if len(tasks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as pool:
+                results = list(
+                    pool.map(lambda t: read_gen(t[2], t[3], t[4], t[5]), tasks)
+                )
+        else:
+            results = [read_gen(t[2], t[3], t[4], t[5]) for t in tasks]
+        for (_w, _gi, *_), found in sorted(
+            zip(tasks, results), key=lambda p: (p[0][0], p[0][1])
+        ):
+            for term, chunk in found:
+                out[term].append(chunk)
         if len(self._chunk_cache) + len(terms) > self._chunk_cache_cap:
             self._chunk_cache.clear()
         for t in terms:
