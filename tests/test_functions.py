@@ -53,6 +53,16 @@ def test_minhash_lsh_finds_near_dup(docs_ds):
     j = pairs.set_index(["doc_a", "doc_b"])["jaccard"]
     assert j.loc[(0, 1)] == 1.0
 
+    # the shuffle-join verify (100 TB path) must produce the identical
+    # pair set as the broadcast verify
+    joined = minhash_lsh_pairs(
+        docs_ds, threshold=0.3, broadcast_cands_threshold=0
+    ).to_pandas()
+    assert (
+        sorted(map(tuple, joined[["doc_a", "doc_b", "jaccard"]].values.tolist()))
+        == sorted(map(tuple, pairs[["doc_a", "doc_b", "jaccard"]].values.tolist()))
+    )
+
 
 def test_simhash_and_pairs(docs_ds):
     from vexor_ray.functions.dedup import simhash_dup_pairs, simhash_signatures
@@ -255,10 +265,16 @@ def test_duplicate_clusters_chain(ray_session):
             "doc_b": pa.array([2, 3, 5, 11, 12, 13], type=pa.int64()),
         }
     )
-    df = duplicate_clusters(ray.data.from_arrow(pairs)).to_pandas()
-    got = dict(zip(df["doc_id"], df["cluster_id"]))
-    # chain 1-2-3 collapses transitively; star 10-{11,12,13} keeps min id
-    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 10: 10, 11: 10, 12: 10, 13: 10}
+    expected = {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 10: 10, 11: 10, 12: 10, 13: 10}
+    # chain 1-2-3 collapses transitively; star 10-{11,12,13} keeps min id —
+    # identical from the driver union-find fast path and the distributed
+    # label-propagation path (driver_pairs_threshold=0 forces the latter)
+    for thr in (2_000_000, 0):
+        df = duplicate_clusters(
+            ray.data.from_arrow(pairs), driver_pairs_threshold=thr
+        ).to_pandas()
+        got = dict(zip(df["doc_id"], df["cluster_id"]))
+        assert got == expected, f"threshold={thr}"
 
 
 def test_duplicate_clusters_empty(ray_session):

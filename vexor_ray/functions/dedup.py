@@ -1,16 +1,20 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Shapes follow the standard scale patterns (see Ray Data guide):
+Shapes follow the standard scale patterns (see Ray Data guide), with one
+repo-specific rule everywhere: NO grouped operation ever hands Ray Data a
+key whose cardinality grows with the corpus — Ray's ``groupby`` machinery
+pays per-distinct-group Python (see ``functions/groups.py`` for the
+measurements and the coarse-partition pattern all these pipelines use).
 
-- **exact**: vectorized content-hash per batch → ``groupby(hash)`` keep the
-  smallest doc_id (one small shuffle of (hash, doc_id) pairs, never text);
+- **exact**: vectorized content-hash per batch → coarse-partitioned pandas
+  groupby over (hash, doc_id) pairs, never text;
 - **minhash_lsh**: per-batch shingle→minhash signatures (vectorized uint64
   numpy, no object dtype) → explode to (band, band_key, doc_id) rows →
-  ``groupby`` band buckets (size-capped: a degenerate bucket is dropped and
-  logged, never O(bucket²)-exploded) → candidate pairs as a *Dataset* →
-  map-side exact-Jaccard verification against broadcast candidate shingle
-  sets.  The driver never scans the corpus; it only collects the (small)
-  candidate id list and their shingle sets.
+  coarse-partitioned bucket-size count → collision buckets only (driver
+  holds their keys, bounded by the pair count; over-cap degenerate buckets
+  are dropped and logged, never O(bucket²)-exploded) → coarse-partitioned
+  numpy pair-gen → exact-Jaccard verify via broadcast bytes map (small
+  candidate side) or two coarse hash joins (large side / 100 TB path);
 - **simhash**: 64-bit simhash per doc; near-dup candidates = equal value of
   any of 4 16-bit sub-bands (Hamming ≤ 3 guarantee needs all bands; this is
   the standard block-split recall trade-off), verified by vectorized Hamming
@@ -130,37 +134,68 @@ def exact_duplicates(docs: ray.data.Dataset) -> ray.data.Dataset:
     ``keep_doc_id`` = smallest doc_id with that content (first-wins under the
     deterministic docID order).
     """
+    from .groups import coarse_grouped, str_pid
     from .textstats import fingerprint_batch
 
     fps = docs.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
-    from ray.data.aggregate import Count, Min
 
-    out = fps.groupby("fp").aggregate(
-        Count(alias_name="n_dups"), Min("doc_id", alias_name="keep_doc_id")
-    )
-    return out
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        # fp cardinality ~ corpus size: pandas C-kernel groupby inside coarse
+        # hash partitions (see functions/groups.py), never per-fp Python
+        return df.groupby("fp", as_index=False).agg(
+            n_dups=pd.NamedAgg(column="doc_id", aggfunc="count"),
+            keep_doc_id=pd.NamedAgg(column="doc_id", aggfunc="min"),
+        )
+
+    return coarse_grouped(fps, lambda b: str_pid(b, "fp", 64), agg)
 
 
 _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
 
-def _bucket_pairs_fn(cap: int):
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        if ids.size > cap:
-            logger.warning(
-                "minhash-lsh: dropping band bucket of %d docs (> cap %d); "
-                "recall for members of this bucket relies on their other bands",
-                ids.size,
-                cap,
-            )
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+def _jaccard_bytes(sa: bytes, sb: bytes) -> float:
+    """Exact Jaccard of two shingle sets stored as raw uint64 bytes."""
+    va = np.frombuffer(sa, dtype=np.uint64)
+    vb = np.frombuffer(sb, dtype=np.uint64)
+    inter = np.intersect1d(va, vb, assume_unique=True).size
+    union = va.size + vb.size - inter
+    return inter / union if union else 0.0
 
-    return bucket_pairs
+
+def _bucket_spans(bid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-``bid`` runs in a bid-sorted array."""
+    starts = np.flatnonzero(np.r_[True, bid[1:] != bid[:-1]])
+    ends = np.r_[starts[1:], bid.size]
+    return starts, ends
+
+
+def _multi_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """All within-bucket (doc_a < doc_b) pairs for every bucket in one
+    coarse partition — one numpy pass, no per-bucket pandas calls (the
+    per-group overhead of a bucket-keyed ``map_groups`` scales with bucket
+    count; this scales with the partition count P)."""
+    bid = group["bid"].to_numpy()
+    ids = group["doc_id"].to_numpy()
+    order = np.lexsort((ids, bid))
+    bid, ids = bid[order], ids[order]
+    out_a, out_b = [], []
+    for s, e in zip(*_bucket_spans(bid)):
+        if e - s < 2:
+            continue
+        ia, ib = np.triu_indices(e - s, k=1)
+        seg = ids[s:e]
+        out_a.append(seg[ia])
+        out_b.append(seg[ib])
+    if not out_a:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    )
 
 
 def minhash_lsh_pairs(
@@ -173,15 +208,25 @@ def minhash_lsh_pairs(
     seed: int = 1,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
     concurrency: int | tuple | None = None,
+    broadcast_cands_threshold: int = 1_000_000,
 ) -> ray.data.Dataset:
     """MinHash-LSH near-dup candidate pairs verified by exact Jaccard.
 
     Returns a Dataset of (doc_a, doc_b, jaccard) with doc_a < doc_b and
-    jaccard >= threshold.  Pipeline: signatures (actor pool) → band explode →
-    band-bucket groupby (capped) → candidate-pair Dataset → map-side exact
-    verification against broadcast candidate shingle sets.  The only
-    driver-side materializations are the candidate id list and their shingle
-    sets — both bounded by the number of near-duplicates, not corpus size.
+    jaccard >= threshold.  Pipeline: signatures → band explode →
+    coarse-partitioned bucket-size count (collision buckets only; singleton
+    buckets never touch per-group Python) → semi-join band rows to
+    collision buckets → coarse-partitioned numpy pair-gen → candidate-pair
+    Dataset → exact-Jaccard verification.
+
+    Verification picks a join strategy by candidate count (classic
+    broadcast-vs-shuffle join split): ``<= broadcast_cands_threshold``
+    candidates ship as one compact ``{doc_id: shingle_bytes}`` broadcast
+    and verify is a single map over the pair Dataset; above it (the 100 TB
+    path; force with ``broadcast_cands_threshold=0``) the shingle arrays
+    stay a Dataset and attach to each pair side via two coarse-partitioned
+    hash joins.  Driver-side state is bounded by the number of
+    near-duplicates either way, never corpus size.
     """
     rows_per_band = num_perm // bands
     sigs = _launch_stage(
@@ -221,21 +266,97 @@ def minhash_lsh_pairs(
             }
         )
 
+    sigs = sigs.materialize()  # feeds two passes; 1 row/doc (64 x uint32)
     bands_ds = sigs.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = (
-        bands_ds.groupby(["band", "key"])
-        .map_groups(_bucket_pairs_fn(bucket_cap), batch_format="pandas")
-    )
-    # dedup (a pair can collide in several bands); pairs are a tiny table of
-    # int64 ids — materialized into the object store, never pandas-on-driver
-    from ray.data.aggregate import Count
 
-    pairs = (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()
+    # Pass 1 — bucket-size count in coarse hash partitions (bucket
+    # cardinality ~ bands × docs, so neither a bucket-keyed map_groups nor
+    # a native Aggregate may ever see the real key; see functions/groups.py)
+    from .groups import coarse_grouped, str_pid
+
+    def count_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["band", "key"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    counts = coarse_grouped(
+        bands_ds, lambda b: str_pid(b, "key", 64), count_buckets
     )
+
+    def only_multi(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("n"), pa.scalar(2)))
+
+    multi = counts.map_batches(
+        only_multi, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # collision-bucket key → integer bucket id: driver-bounded by the
+    # candidate-pair count (every kept bucket yields >= 1 pair); over-cap
+    # buckets are dropped here with their exact size logged
+    bid_by_band: dict[int, dict[str, int]] = {}
+    n_buckets = 0
+    for b in multi.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for band, key, n in zip(
+            b["band"].to_pylist(), b["key"].to_pylist(), b["n"].to_pylist()
+        ):
+            if n > bucket_cap:
+                logger.warning(
+                    "minhash-lsh: dropping band bucket of %d docs (> cap %d); "
+                    "recall for members of this bucket relies on their other "
+                    "bands",
+                    n,
+                    bucket_cap,
+                )
+                continue
+            bid_by_band.setdefault(band, {})[key] = n_buckets
+            n_buckets += 1
+    if n_buckets:
+        keys_ref = ray.put(bid_by_band)
+        # Pass 2 — semi-join band rows to collision buckets, coarse-partition
+        # buckets by bid % P, and generate pairs for MANY buckets per group
+        # call in pure numpy.  Per-group Python cost therefore scales with P
+        # (constant), not with bucket count — a dup-heavy corpus (76k
+        # collision buckets at 500k docs) spent 349 s in per-bucket pandas
+        # calls before this shape, 4 s after.
+        n_parts = min(64, n_buckets)
+
+        def tag_bucket(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(keys_ref)
+            bandc = batch.column("band").to_pylist()
+            keyc = batch.column("key").to_pylist()
+            docc = batch.column("doc_id").to_numpy()
+            bids = np.empty(len(bandc), dtype=np.int64)
+            keep = np.zeros(len(bandc), dtype=bool)
+            for i, (bd, kk) in enumerate(zip(bandc, keyc)):
+                bid = wanted.get(bd, {}).get(kk)
+                if bid is not None:
+                    keep[i] = True
+                    bids[i] = bid
+            bids = bids[keep]
+            return pa.table(
+                {
+                    "pid": pa.array(bids % n_parts, type=pa.int64()),
+                    "bid": pa.array(bids, type=pa.int64()),
+                    "doc_id": pa.array(docc[keep], type=pa.int64()),
+                }
+            )
+
+        pairs = (
+            bands_ds.map_batches(
+                tag_bucket, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("pid")
+            .map_groups(_multi_bucket_pairs, batch_format="pandas")
+        )
+        # dedup (a pair can collide in several bands) in coarse partitions;
+        # pairs stay a Dataset of int64 ids — materialized into the object
+        # store, never pandas-on-driver
+        from .groups import dedup_int_pairs
+
+        pairs = dedup_int_pairs(pairs, ["doc_a", "doc_b"]).materialize()
+    else:
+        pairs = ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
     if pairs.count() == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -262,31 +383,141 @@ def minhash_lsh_pairs(
         for d, t in zip(ids, texts):
             if d in wanted:
                 out_id.append(d)
-                out_sh.append(_shingle_hashes(t, shingle_n).tolist())
+                # raw uint64 bytes: a simple nullable binary column joins
+                # through pandas without list/tensor type coercion
+                out_sh.append(_shingle_hashes(t, shingle_n).tobytes())
         return pa.table(
             {
                 "doc_id": pa.array(out_id, type=pa.int64()),
-                "shingles": pa.array(out_sh, type=pa.list_(pa.uint64())),
+                "shingles": pa.array(out_sh, type=pa.binary()),
             }
         )
 
-    # distributed semi-join: full corpus streams through the filter; only
-    # candidate rows (small) come back to build the broadcast shingle map
-    sh_map: dict[int, frozenset[int]] = {}
-    for b in docs.map_batches(
+    if len(cand_ids) <= broadcast_cands_threshold:
+        # broadcast-join verify: the shingle map ships once as compact raw
+        # bytes (unpickle ≈ memcpy, unlike a dict of frozensets) and the
+        # verify is ONE map over the pair Dataset — the right strategy while
+        # the candidate side fits a worker heap
+        sh_map: dict[int, bytes] = {}
+        for b in docs.map_batches(
+            cand_shingles, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+            for d, s in zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist()):
+                sh_map[d] = s
+        sh_ref = ray.put(sh_map)
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            sh = ray.get(sh_ref)
+            out_a, out_b, out_j = [], [], []
+            for a_, b_ in zip(
+                batch.column("doc_a").to_pylist(),
+                batch.column("doc_b").to_pylist(),
+            ):
+                sa, sb = sh.get(a_), sh.get(b_)
+                if sa is None or sb is None:
+                    continue
+                j = _jaccard_bytes(sa, sb)
+                if j >= threshold:
+                    out_a.append(a_)
+                    out_b.append(b_)
+                    # half-up rounding = SQL ROUND semantics
+                    out_j.append(math.floor(j * 1e6 + 0.5) / 1e6)
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, type=pa.int64()),
+                    "doc_b": pa.array(out_b, type=pa.int64()),
+                    "jaccard": pa.array(out_j, type=pa.float64()),
+                }
+            )
+
+        return pairs.map_batches(
+            verify_bcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # shuffle-join verify: full corpus streams through the filter; only
+    # candidate rows (bounded by #near-dups) survive.  Their shingle arrays
+    # stay a DATASET — nothing corpus- or candidate-sized on the driver.
+    shingles = docs.map_batches(
         cand_shingles, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for d, s in zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist()):
-            sh_map[d] = frozenset(s)
-    sh_ref = ray.put(sh_map)
+    ).materialize()
+
+    # attach each side's shingles with a coarse-partitioned hash join
+    # (functions/groups.py), then verify with C-kernel set intersections
+    from .groups import coarse_grouped, int_pid
+
+    def join_side(
+        pairs_ds: ray.data.Dataset, side: str, carry: list[str]
+    ) -> ray.data.Dataset:
+        """pairs_ds + shingles → pairs_ds with a ``sh_{a|b}`` column.
+
+        ``carry``: pair columns to keep; binary carries (``sh_a`` on the
+        second join) ride through as null on shingle rows so the union
+        schemas match.  Int columns are re-cast after the pandas merge
+        (nullable int64 → float64 is pandas' doing, not a value change).
+        """
+        out_col = f"sh_{side[-1]}"
+
+        def pair_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                "key": batch.column(side),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "shingles": pa.nulls(n, type=pa.binary()),
+            }
+            for c in carry:
+                cols[c] = batch.column(c)
+            return pa.table(cols)
+
+        def shingle_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                "key": batch.column("doc_id"),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "shingles": batch.column("shingles"),
+            }
+            for c in carry:
+                typ = pa.binary() if c.startswith("sh_") else pa.int64()
+                cols[c] = pa.nulls(n, type=typ)
+            return pa.table(cols)
+
+        int_carry = [c for c in carry if not c.startswith("sh_")]
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.astype({"key": "int64"})
+            sh = df.loc[df["kind"] == 0, ["key", "shingles"]]
+            pr = df.loc[df["kind"] == 1, ["key", *carry]]
+            m = pr.merge(sh, on="key", how="left")
+            out = m[[*carry, "shingles"]].rename(columns={"shingles": out_col})
+            return out.astype({c: "int64" for c in int_carry})
+
+        tagged = pairs_ds.map_batches(
+            pair_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            shingles.map_batches(
+                shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        return coarse_grouped(tagged, lambda b: int_pid(b, ["key"], 64), merge)
+
+    joined = join_side(
+        join_side(pairs, "doc_a", ["doc_a", "doc_b"]),
+        "doc_b",
+        ["doc_a", "doc_b", "sh_a"],
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
         out_a, out_b, out_j = [], [], []
-        for a_, b_ in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            sa, sb = sh.get(a_, frozenset()), sh.get(b_, frozenset())
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
+        sh_a = batch.column("sh_a").to_pylist()
+        sh_b = batch.column("sh_b").to_pylist()
+        for a_, b_, sa, sb in zip(
+            batch.column("doc_a").to_pylist(),
+            batch.column("doc_b").to_pylist(),
+            sh_a,
+            sh_b,
+        ):
+            if sa is None or sb is None:
+                continue
+            j = _jaccard_bytes(sa, sb)
             if j >= threshold:
                 out_a.append(a_)
                 out_b.append(b_)
@@ -300,7 +531,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class SimHasher:
@@ -398,61 +629,198 @@ def simhash_dup_pairs(
 
     bands_ds = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        if ids.size > bucket_cap:
-            logger.warning(
-                "simhash: dropping band bucket of %d docs (> cap %d)",
-                ids.size,
-                bucket_cap,
-            )
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(ids.size, k=1)
-        ham = _popcount64(hs[ia] ^ hs[ib])
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]}
+    # collision buckets via coarse-partitioned counting, then
+    # coarse-partitioned numpy pair-gen (same shape as MinHash-LSH:
+    # per-group Python scales with the partition count P, never with
+    # bucket or corpus size; see functions/groups.py)
+    from .groups import coarse_grouped, dedup_int_pairs, int_pid
+
+    bands_ds = bands_ds.materialize()
+
+    def count_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["band", "key"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    counts = coarse_grouped(
+        bands_ds.select_columns(["band", "key"]),
+        lambda b: int_pid(b, ["key"], 64),
+        count_buckets,
+    )
+
+    def only_multi(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("n"), pa.scalar(2)))
+
+    bid_by_band: dict[int, dict[int, int]] = {}
+    n_buckets = 0
+    for bt in counts.map_batches(
+        only_multi, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for band, key, n in zip(
+            bt["band"].to_pylist(), bt["key"].to_pylist(), bt["n"].to_pylist()
+        ):
+            if n > bucket_cap:
+                logger.warning(
+                    "simhash: dropping band bucket of %d docs (> cap %d)",
+                    n,
+                    bucket_cap,
+                )
+                continue
+            bid_by_band.setdefault(band, {})[key] = n_buckets
+            n_buckets += 1
+    if not n_buckets:
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("doc_a", pa.int64()),
+                    ("doc_b", pa.int64()),
+                    ("hamming", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    keys_ref = ray.put(bid_by_band)
+    n_parts = min(64, n_buckets)
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(keys_ref)
+        bandc = batch.column("band").to_pylist()
+        keyc = batch.column("key").to_pylist()
+        docc = batch.column("doc_id").to_numpy()
+        shc = batch.column("simhash").to_numpy()
+        bids = np.empty(len(bandc), dtype=np.int64)
+        keep = np.zeros(len(bandc), dtype=bool)
+        for i, (bd, kk) in enumerate(zip(bandc, keyc)):
+            bid = wanted.get(bd, {}).get(kk)
+            if bid is not None:
+                keep[i] = True
+                bids[i] = bid
+        bids = bids[keep]
+        return pa.table(
+            {
+                "pid": pa.array(bids % n_parts, type=pa.int64()),
+                "bid": pa.array(bids, type=pa.int64()),
+                "doc_id": pa.array(docc[keep], type=pa.int64()),
+                "simhash": pa.array(shc[keep], type=pa.uint64()),
+            }
         )
 
-    pairs = bands_ds.groupby(["band", "key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    from ray.data.aggregate import Min
+    def multi_bucket_ham_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        bid = group["bid"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        hs = group["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, bid))
+        bid, ids, hs = bid[order], ids[order], hs[order]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(*_bucket_spans(bid)):
+            if e - s < 2:
+                continue
+            ia, ib = np.triu_indices(e - s, k=1)
+            seg_i, seg_h = ids[s:e], hs[s:e]
+            ham = _popcount64(seg_h[ia] ^ seg_h[ib])
+            ok = ham <= max_hamming
+            out_a.append(seg_i[ia][ok])
+            out_b.append(seg_i[ib][ok])
+            out_h.append(ham[ok])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
 
+    pairs = (
+        bands_ds.map_batches(tag_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pid")
+        .map_groups(multi_bucket_ham_pairs, batch_format="pandas")
+    )
     # dedup across bands (hamming is identical wherever the pair collides)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    return dedup_int_pairs(
+        pairs, ["doc_a", "doc_b"], agg={"hamming": ("hamming", "min")}
     )
 
 
 def duplicate_clusters(
-    pairs: ray.data.Dataset, *, max_iters: int = 16
+    pairs: ray.data.Dataset,
+    *,
+    max_iters: int = 16,
+    driver_pairs_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Connected components over a duplicate-pair list → (doc_id, cluster_id).
 
     The missing step between pair detection (exact/MinHash/SimHash/embedding)
     and corpus cleaning: pairs chain (A~B, B~C ⇒ {A,B,C} one cluster), so a
-    keep-one-per-pair policy over-deletes or under-deletes.  Label propagation
-    with min-id labels, expressed purely in Dataset ops:
+    keep-one-per-pair policy over-deletes or under-deletes.
 
-    each round, every node's current label is sent to all neighbors via a
-    ``groupby(node).map_groups`` over (edge ∪ label) rows, then reduced with
-    ``groupby(node).min(label)``.  Min-labels converge in O(component
-    diameter) rounds — near-dup clusters are stars/cliques (diameter ≤ ~3),
-    so the loop exits early long before ``max_iters``; each round is two
-    hash shuffles of the EDGE LIST only (no corpus pass, no driver-side
-    edge materialization).  ``cluster_id`` = the component's min doc_id;
-    only docs appearing in ≥1 pair emit a row (singletons need no cleanup).
+    Two identical-result paths, picked by pair count (the pair list is
+    bounded by the near-duplicate count, the same bound the LSH candidate
+    set already relies on):
+
+    - ``<= driver_pairs_threshold``: union-find on the driver (min-id root
+      invariant), one pass over the pair batches — no per-round shuffles.
+    - above it (the 100 TB path; force with ``driver_pairs_threshold=0``):
+      label propagation in Dataset ops.  Each round, every node's label
+      flows to all neighbors, then each node takes the min it received;
+      both steps run inside COARSE hash partitions of the node id
+      (functions/groups.py — Ray's per-group Python cost makes node-keyed
+      groupbys O(#nodes)), so a round is two pid-shuffles of the edge list
+      with pandas C-kernel merges inside.  Min-labels converge in
+      O(component diameter) rounds; near-dup clusters are stars/cliques
+      (diameter ≤ ~3), so the loop exits long before ``max_iters``.
+
+    ``cluster_id`` = the component's min doc_id; only docs appearing in ≥1
+    pair emit a row (singletons need no cleanup).  No corpus pass either
+    way.
     """
     import pandas as pd
-    from ray.data.aggregate import Min
 
-    # Edge list both directions, as (node, peer).  Self-loop per node keeps
-    # the node's own label in play and guarantees every node emits a row.
+    from .groups import coarse_grouped, int_pid
+
+    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    if pairs.count() <= driver_pairs_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        seen: list[np.ndarray] = []
+        for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            aa = b["doc_a"].to_numpy()
+            bb = b["doc_b"].to_numpy()
+            seen.append(np.unique(np.concatenate([aa, bb])))
+            for a_, b_ in zip(aa.tolist(), bb.tolist()):
+                ra, rb = find(a_), find(b_)
+                if ra != rb:
+                    # min-id root invariant ⇒ final root == component min id
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        out_nodes = np.unique(np.concatenate(seen)) if seen else np.zeros(0, np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(out_nodes, type=pa.int64()),
+                    "cluster_id": pa.array(
+                        [find(int(n)) for n in out_nodes], type=pa.int64()
+                    ),
+                }
+            )
+        )
+
+    # Edge list both directions, as (node, peer).
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy().astype(np.int64)
         b = batch.column("doc_b").to_numpy().astype(np.int64)
@@ -463,34 +831,55 @@ def duplicate_clusters(
             }
         )
 
-    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
-        to_edges, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-    # labels(node) := min(node, min over neighbors of their current label)
-    def seed_labels(batch: pa.Table) -> pa.Table:
-        nodes = batch.column("node")
-        return pa.table({"node": nodes, "label": batch.column("peer")})
-
-    labels = (
-        edges.map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
+    # materialized once: every propagation round unions the edge list into
+    # its message stream, and the upstream pair pipeline (LSH + verify
+    # joins) must not re-execute per round
+    edges = (
+        pairs.select_columns(["doc_a", "doc_b"])
+        .map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
 
-    def spread(group: pd.DataFrame) -> pd.DataFrame:
-        # rows tagged kind 0 = label row (peer = current label of this node),
-        # kind 1 = edge row (peer = neighbor id).  The node's label flows to
-        # every neighbor; the node keeps its own label via a self row.
-        lab = group.loc[group["kind"] == 0, "peer"]
-        if lab.empty:
-            return pd.DataFrame({"node": [], "label": []})
-        label = int(lab.min())
-        nbrs = group.loc[group["kind"] == 1, "peer"].astype("int64")
-        nodes = list(nbrs) + [int(group["node"].iloc[0])]
-        return pd.DataFrame({"node": nodes, "label": label})
+    def node_pid(batch: pa.Table) -> pa.Table:
+        return int_pid(batch, ["node"], 64)
 
+    def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["label"].min()
+
+    # labels(node) := min(node, min over neighbors)
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "label": pc.min_element_wise(
+                    batch.column("node"), batch.column("peer")
+                ),
+            }
+        )
+
+    labels = coarse_grouped(
+        edges.map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True),
+        node_pid,
+        reduce_min,
+    ).materialize()
+
+    def spread(df: pd.DataFrame) -> pd.DataFrame:
+        # kind 0 rows carry (node, peer=current label); kind 1 rows carry
+        # (node, peer=neighbor).  Each node's label flows to every neighbor
+        # and back to itself; a local min pre-reduce shrinks the shuffle.
+        lab = df.loc[df["kind"] == 0, ["node", "peer"]].rename(
+            columns={"peer": "label"}
+        )
+        edg = df.loc[df["kind"] == 1, ["node", "peer"]]
+        sent = edg.merge(lab, on="node", how="inner")[["peer", "label"]].rename(
+            columns={"peer": "node"}
+        )
+        out = pd.concat([sent, lab], ignore_index=True)
+        return out.groupby("node", as_index=False)["label"].min()
+
+    prev_sum = labels.sum("label")
     for _ in range(max_iters):
         def tag_label(batch: pa.Table) -> pa.Table:
             return pa.table(
@@ -510,24 +899,27 @@ def duplicate_clusters(
                 }
             )
 
-        msgs = (
-            labels.map_batches(tag_label, batch_format="pyarrow", zero_copy_batch=True)
-            .union(
-                edges.map_batches(tag_edge, batch_format="pyarrow", zero_copy_batch=True)
-            )
-            .groupby("node")
-            .map_groups(spread, batch_format="pandas")
+        msgs = coarse_grouped(
+            labels.map_batches(
+                tag_label, batch_format="pyarrow", zero_copy_batch=True
+            ).union(
+                edges.map_batches(
+                    tag_edge, batch_format="pyarrow", zero_copy_batch=True
+                )
+            ),
+            node_pid,
+            spread,
         )
-        new_labels = msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        new_labels = coarse_grouped(msgs, node_pid, reduce_min).materialize()
 
         # convergence check: total label sum is monotone non-increasing and
-        # strictly decreases while any label still moves — one tiny aggregate,
-        # no row-by-row driver comparison
+        # strictly decreases while any label still moves — one tiny aggregate
+        # per round (the previous round's sum is carried over, not recomputed)
         new_sum = new_labels.sum("label")
-        old_sum = labels.sum("label")
         labels = new_labels
-        if new_sum == old_sum:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -546,21 +938,21 @@ def exact_dup_drops(docs: ray.data.Dataset) -> ray.data.Dataset:
     ``exact_duplicates``, but emitting the complement)."""
     import pandas as pd
 
+    from .groups import coarse_grouped, str_pid
     from .textstats import fingerprint_batch
 
     fps = docs.map_batches(
         fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def non_min(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
-        keep = group["doc_id"].min()
-        return pd.DataFrame(
-            {"doc_id": group.loc[group["doc_id"] != keep, "doc_id"].astype("int64")}
-        )
+    def non_min(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a fingerprint share a coarse partition; the group min
+        # is a C-kernel transform, never per-fp Python
+        keep = df.groupby("fp")["doc_id"].transform("min")
+        out = df.loc[df["doc_id"] != keep, ["doc_id"]]
+        return out.astype({"doc_id": "int64"})
 
-    return fps.groupby("fp").map_groups(non_min, batch_format="pandas")
+    return coarse_grouped(fps, lambda b: str_pid(b, "fp", 64), non_min)
 
 
 def clean_corpus(
@@ -582,8 +974,7 @@ def clean_corpus(
     — no driver-side id sets, no broadcast of corpus-sized state, so the
     same plan runs at 10^12 docs.
     """
-    from ray.data.aggregate import Max, Min
-
+    from .groups import dedup_int_pairs
     from .textstats import quality_filter
 
     kept = quality_filter(docs, **quality_thresholds)
@@ -613,17 +1004,13 @@ def clean_corpus(
 
         return fn
 
-    merged = (
-        kept.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
-        .union(
+    merged = dedup_int_pairs(
+        kept.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True).union(
             near_drops.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True),
             exact_drops.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True),
-        )
-        .groupby("doc_id")
-        .aggregate(
-            Min("keep", alias_name="dropped"),
-            Max("keep", alias_name="quality_ok"),
-        )
+        ),
+        ["doc_id"],
+        agg={"dropped": ("keep", "min"), "quality_ok": ("keep", "max")},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
