@@ -279,10 +279,24 @@ def federated_documents_scores(sf_dir: str, query: str) -> pa.Table:
 
 
 def doc_df(sf_dir: str) -> ray.data.Dataset:
-    """Document frequency per term: (term, df)."""
-    from ray.data.aggregate import Count
+    """Document frequency per term: (term, df).
 
-    return doc_term_tf(sf_dir).groupby("term").aggregate(Count(alias_name="df"))
+    Term cardinality = vocabulary size, so the count runs in coarse hash
+    partitions (functions/groups.py), never a term-keyed Ray groupby.
+    """
+    import pandas as pd
+
+    from ..functions.groups import coarse_grouped, str_pid
+
+    def df_count(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("term", as_index=False).size()
+        return out.rename(columns={"size": "df"})
+
+    return coarse_grouped(
+        doc_term_tf(sf_dir).select_columns(["term"]),
+        lambda b: str_pid(b, "term", 64),
+        df_count,
+    )
 
 
 def doc_stats(sf_dir: str) -> pa.Table:

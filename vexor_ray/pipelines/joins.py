@@ -7,9 +7,10 @@ standard co-partition shape is used (documented partitioning assumption:
 both sides hash-partition cleanly by the key):
 
 1. project both tables to a tagged common schema;
-2. ``union`` → one ``groupby(key)`` (the only shuffle);
-3. per group: sort each side by time, one vectorized ``searchsorted`` maps
-   every event to its predecessor order — no per-row Python.
+2. ``union`` → one coarse hash-partition shuffle of the key
+   (functions/groups.py — never a user-cardinality groupby);
+3. per partition: ``pd.merge_asof(by=key)`` maps every event to its
+   predecessor order — C kernels, no per-row or per-user Python.
 
 Tie rule (deterministic): latest ``o_orderdate``, then highest
 ``o_orderkey``.  Events with no prior order are dropped (inner as-of).
@@ -62,33 +63,41 @@ def asof_join_events_orders(sf_dir: str) -> ray.data.Dataset:
         od.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
-        evs = g[g["src"] == 0]
-        ods = g[g["src"] == 1]
+    def asof_part(df: pd.DataFrame) -> pd.DataFrame:
+        # one coarse partition holds MANY user keys (functions/groups.py:
+        # Ray's per-group Python makes a user-keyed groupby O(#users));
+        # pd.merge_asof(by="key") is the C-kernel multi-key as-of.  Right
+        # side sorted (t asc, orderkey asc, stable) so "backward" picks the
+        # deterministic (latest date, highest orderkey) winner.
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_totalprice": pd.Series([], dtype="float64"),
+            }
+        )
+        evs = df.loc[df["src"] == 0, ["key", "t", "event_id"]].sort_values(
+            "t", kind="mergesort"
+        )
+        ods = df.loc[
+            df["src"] == 1, ["key", "t", "o_orderkey", "o_totalprice"]
+        ].sort_values(["t", "o_orderkey"], kind="mergesort")
         if evs.empty or ods.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "o_orderkey": pd.Series([], dtype="int64"),
-                    "o_totalprice": pd.Series([], dtype="float64"),
-                }
-            )
-        # orders sorted (date asc, orderkey asc): searchsorted(side="right")
-        # lands past the LAST order with date <= ts, i.e. the deterministic
-        # (latest date, highest orderkey) winner is at idx-1
-        ods = ods.sort_values(["t", "o_orderkey"], kind="mergesort")
-        odt = ods["t"].to_numpy()
-        idx = np.searchsorted(odt, evs["t"].to_numpy(), side="right") - 1
-        hit = idx >= 0
-        sel = ods.iloc[idx[hit]]
+            return empty
+        m = pd.merge_asof(evs, ods, on="t", by="key", direction="backward")
+        m = m.loc[m["o_orderkey"].notna()]
+        if m.empty:
+            return empty
         return pd.DataFrame(
             {
-                "event_id": evs["event_id"].to_numpy()[hit].astype("int64"),
-                "user_id": evs["key"].to_numpy()[hit].astype("int64"),
-                "o_orderkey": sel["o_orderkey"].to_numpy().astype("int64"),
-                "o_totalprice": sel["o_totalprice"].to_numpy(),
+                "event_id": m["event_id"].astype("int64").to_numpy(),
+                "user_id": m["key"].astype("int64").to_numpy(),
+                "o_orderkey": m["o_orderkey"].astype("int64").to_numpy(),
+                "o_totalprice": m["o_totalprice"].to_numpy(),
             }
         )
 
-    return tagged.groupby("key").map_groups(asof_group, batch_format="pandas")
+    from ..functions.groups import coarse_grouped, int_pid
+
+    return coarse_grouped(tagged, lambda b: int_pid(b, ["key"], 64), asof_part)

@@ -179,15 +179,20 @@ def events_hopping_agg(sf_dir: str) -> pa.Table:
             }
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "window_start"])
-        .aggregate(
-            Sum("sum_value", alias_name="sum_value"),
-            Sum("n_events", alias_name="n_events"),
+    from ..functions.groups import coarse_grouped, int_pid
+
+    def final(df):
+        return df.groupby(["user_id", "window_start"], as_index=False).agg(
+            sum_value=("sum_value", "sum"), n_events=("n_events", "sum")
         )
-        .to_pandas()
-    )
+
+    # (user, window) cardinality grows with the log: finish inside coarse
+    # hash partitions (functions/groups.py), not a Ray keyed groupby
+    out = coarse_grouped(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        lambda b: int_pid(b, ["user_id"], 64),
+        final,
+    ).to_pandas()
     out = out.sort_values(["user_id", "window_start"])
     out["sum_value"] = out["sum_value"].round(6)
     out["n_events"] = out["n_events"].astype("int64")
@@ -248,15 +253,20 @@ def events_window_agg(sf_dir: str) -> pa.Table:
             }
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "window_start"])
-        .aggregate(
-            Sum("sum_value", alias_name="sum_value"),
-            Sum("n_events", alias_name="n_events"),
+    from ..functions.groups import coarse_grouped, int_pid
+
+    def final(df):
+        return df.groupby(["user_id", "window_start"], as_index=False).agg(
+            sum_value=("sum_value", "sum"), n_events=("n_events", "sum")
         )
-        .to_pandas()
-    )
+
+    # (user, window) cardinality grows with the log: finish inside coarse
+    # hash partitions (functions/groups.py), not a Ray keyed groupby
+    out = coarse_grouped(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        lambda b: int_pid(b, ["user_id"], 64),
+        final,
+    ).to_pandas()
     out = out.sort_values(["user_id", "window_start"])
     out["sum_value"] = out["sum_value"].round(6)
     out["n_events"] = out["n_events"].astype("int64")
