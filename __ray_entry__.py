@@ -492,6 +492,42 @@ def _q_clean_corpus(sf_dir: str):
     return clean_corpus(_docs_ds(sf_dir))
 
 
+def _q_session_agg(sf_dir: str):
+    from vexor_ray.pipelines.relational import events_session_agg
+
+    return events_session_agg(sf_dir)
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    from vexor_ray.pipelines.relational import top_docs_per_lang
+
+    return top_docs_per_lang(sf_dir, k=3)
+
+
+def _q_price_quantiles(sf_dir: str):
+    from vexor_ray.pipelines.relational import price_quantiles
+
+    return price_quantiles(sf_dir)
+
+
+def _q_bigram_counts(sf_dir: str):
+    from vexor_ray.functions.textstats import bigram_counts
+
+    return bigram_counts(_docs_ds(sf_dir), min_count=5)
+
+
+def _q_scrub(sf_dir: str):
+    from vexor_ray.functions.textstats import scrub
+
+    return scrub(_docs_ds(sf_dir))
+
+
+def _q_hll_distinct(sf_dir: str):
+    from vexor_ray.functions.sketch import hll_distinct_tokens
+
+    return hll_distinct_tokens(_docs_ds(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_scores": _q_bm25_scores,
@@ -532,6 +568,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "dup_clusters": _q_dup_clusters,
         "clean_corpus": _q_clean_corpus,
+        "events_session_agg": _q_session_agg,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "price_quantiles": _q_price_quantiles,
+        "bigram_counts": _q_bigram_counts,
+        "pii_scrub": _q_scrub,
+        "hll_distinct": _q_hll_distinct,
     }
 
 
@@ -1081,4 +1123,78 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY vec_a, vec_b
         "quality_filter": _quality_filter_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "clean_corpus": _clean_corpus_sql(),
+        "events_session_agg": """
+WITH flg AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flg)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+        "top_docs_per_lang": """
+SELECT lang, rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents) WHERE rank <= 3 ORDER BY lang, rank""",
+        "price_quantiles": """
+WITH s AS (SELECT l_extendedprice AS v,
+                  row_number() OVER (ORDER BY l_extendedprice) - 1 AS r
+           FROM lineitem),
+n AS (SELECT COUNT(*) AS c FROM lineitem),
+q(q) AS (VALUES (0.5), (0.9), (0.99))
+SELECT q.q AS q, s.v AS value
+FROM q JOIN n ON TRUE
+JOIN s ON s.r = CAST(floor(q.q * (n.c - 1)) AS BIGINT)
+ORDER BY q.q""",
+        "bigram_counts": f"""
+WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
+bgs AS (SELECT unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        FROM toks)
+SELECT bigram, COUNT(*)::BIGINT AS n FROM bgs
+GROUP BY bigram HAVING COUNT(*) >= 5 ORDER BY bigram""",
+        "pii_scrub": r"""
+WITH pre AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS no_email
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(no_email, '[0-9]+', '<NUM>', 'g') AS clean_text,
+       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(no_email, '[0-9]+')))::BIGINT AS n_redacted
+FROM pre ORDER BY doc_id""",
+        "hll_distinct": f"""
+WITH toks AS (SELECT DISTINCT unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT md5_number_lower(tok) AS hv FROM toks),
+rho AS (SELECT (hv >> 56)::BIGINT AS bucket,
+               CASE WHEN (hv & ((1::UBIGINT << 56) - 1)) = 0 THEN 57
+                    ELSE 57 - length(bin(hv & ((1::UBIGINT << 56) - 1))) END AS r
+        FROM h),
+regs AS (SELECT b.bucket, COALESCE(MAX(rho.r), 0) AS m
+         FROM (SELECT unnest(range(0, 256)) AS bucket) b
+         LEFT JOIN rho ON rho.bucket = b.bucket GROUP BY b.bucket),
+agg AS (SELECT SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS v,
+               SUM(1::HUGEINT << (57 - m)) AS s,
+               (SUM(m) * 1000003 + SUM(m * bucket))::BIGINT AS checksum
+        FROM regs)
+SELECT CASE WHEN ((0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 144115188075855872.0)
+                 / CAST(s AS DOUBLE) <= 640.0 AND v > 0
+            THEN CAST(floor(256.0 * ln(256.0 / v) + 0.5) AS BIGINT)
+            ELSE CAST(floor(((0.7213/(1.0 + 1.079/256.0)) * 65536.0
+                             * 144115188075855872.0) / CAST(s AS DOUBLE) + 0.5)
+                      AS BIGINT)
+       END AS n_distinct_est,
+       v AS n_zero_registers, checksum AS register_checksum
+FROM agg""",
     }

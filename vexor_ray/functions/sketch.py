@@ -1,0 +1,131 @@
+"""Mergeable cardinality sketch (HyperLogLog) over a token stream.
+
+Upgrades SURVEY.md §2.5 A8 from "exact kept by design" to a real mergeable
+sketch: per-batch register partials (a 256-row table each) merge by MAX —
+associative, commutative, idempotent — so the reduce is a tiny fixed-size
+exchange no matter the corpus size, the canonical sketch shape for 100 TB
+(reference keeps exact COUNT/AVG in SQLite, `vexor/cache.py`; a distributed
+engine needs the mergeable form).
+
+Every step is exactly reproducible in ANSI SQL (DuckDB) from the
+``md5_number_lower`` twin of :func:`vexor_ray.functions.dedup.md5_u64`:
+
+- hash h = md5-lower-uint64(token)
+- bucket = h >> 56 (m = 256 registers, p = 8)
+- rho = (leading zeros of the low 56 bits) + 1 = 57 - bit_length(w)
+- register[b] = max rho; estimate = alpha_256 * m^2 / sum(2^-register[b])
+
+The harmonic sum is kept as an EXACT integer (sum of 2^(57-M[b]), fits in
+a Python int / DuckDB HUGEINT) so the only float operations are one
+conversion and one division — bit-identical between numpy and DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..spec import TOKEN_RE
+from .dedup import md5_u64
+
+_P = 8
+_M = 1 << _P  # 256 registers
+_W_BITS = 64 - _P  # 56
+_W_MASK = np.uint64((1 << _W_BITS) - 1)
+# alpha_m * m^2 * 2^57 — identical literal expression in the SQL twin
+_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 144115188075855872.0
+
+
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (no float log2 — values just
+    below 2**k round UP when cast to float64 and off-by-one the result)."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = np.uint64(shift)
+        big = v >= (np.uint64(1) << s)
+        bl[big] += shift
+        v[big] >>= s
+    bl[w > np.uint64(0)] += 1
+    return bl
+
+
+def hll_partial_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → present-register partial (bucket, rho_max)."""
+    regs = np.zeros(_M, dtype=np.int64)
+    for t in batch.column("text").to_pylist():
+        toks = set(TOKEN_RE.findall(t.lower())) if t else ()
+        if not toks:
+            continue
+        hv = np.fromiter(
+            (md5_u64(tok.encode()) for tok in toks), dtype=np.uint64, count=len(toks)
+        )
+        bucket = (hv >> np.uint64(_W_BITS)).astype(np.int64)
+        rho = (_W_BITS + 1) - _bitlen_u64(hv & _W_MASK)
+        np.maximum.at(regs, bucket, rho)
+    present = np.nonzero(regs)[0]
+    return pa.table(
+        {
+            "bucket": pa.array(present, type=pa.int64()),
+            "rho_max": pa.array(regs[present], type=pa.int64()),
+        }
+    )
+
+
+def merge_registers(partials: pa.Table) -> np.ndarray:
+    """MAX-merge partial register tables into one dense register vector."""
+    regs = np.zeros(_M, dtype=np.int64)
+    if partials.num_rows:
+        np.maximum.at(
+            regs,
+            partials.column("bucket").to_numpy(zero_copy_only=False),
+            partials.column("rho_max").to_numpy(zero_copy_only=False),
+        )
+    return regs
+
+
+def estimate_from_registers(regs: np.ndarray) -> tuple[int, int, int]:
+    """(estimate, n_zero_registers, register_checksum) — all exact ints.
+
+    The harmonic sum S = sum(2^(57 - M[b])) is an exact Python int; the
+    raw estimate alpha*m^2/ (S/2^57) is one float division.  Small-range
+    correction (linear counting) below 2.5*m, as in the HLL paper.
+    """
+    s = sum(1 << (_W_BITS + 1 - int(m)) for m in regs)
+    v = int(np.count_nonzero(regs == 0))
+    raw = _ALPHA_NUM / np.float64(s)
+    if raw <= 2.5 * _M and v > 0:
+        est = _M * math.log(_M / v)
+    else:
+        est = raw
+    checksum = int(regs.sum()) * 1_000_003 + int((regs * np.arange(_M)).sum())
+    return int(math.floor(est + 0.5)), v, checksum
+
+
+def hll_distinct_tokens(docs: ray.data.Dataset) -> pa.Table:
+    """Approximate distinct-token count over a documents corpus.
+
+    Scale shape: the only data movement after the linear scan is one
+    ≤256-row register table per batch — the merge is driver-side because
+    the reduced state is ~2 KB regardless of corpus size.
+    """
+    partials = docs.map_batches(
+        hll_partial_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tbl = pa.concat_tables(
+        [pa.Table.from_pandas(df, preserve_index=False) for df in
+         partials.iter_batches(batch_format="pandas", batch_size=None)]
+        or [pa.table({"bucket": pa.array([], pa.int64()),
+                      "rho_max": pa.array([], pa.int64())})]
+    )
+    est, v, checksum = estimate_from_registers(merge_registers(tbl))
+    return pa.table(
+        {
+            "n_distinct_est": pa.array([est], type=pa.int64()),
+            "n_zero_registers": pa.array([v], type=pa.int64()),
+            "register_checksum": pa.array([checksum], type=pa.int64()),
+        }
+    )

@@ -360,3 +360,91 @@ def quality_filter(docs: ray.data.Dataset, **thresholds) -> ray.data.Dataset:
 
     fn = functools.partial(quality_filter_batch, **thresholds)
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram counts (training-data LM-count shape)
+
+
+def bigram_partial_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-batch partial (bigram, n) counts.
+
+    Map-side combine: the shuffle moves one row per distinct bigram per
+    batch, not one per occurrence — the partial+final shape of SURVEY.md
+    §2.5 A6 applied to an unbounded key domain.
+    """
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in batch.column("text").to_pylist():
+        toks = TOKEN_RE.findall(t.lower()) if t else []
+        counts.update(
+            " ".join(pair) for pair in zip(toks, toks[1:])
+        )
+    return pa.table(
+        {
+            "bigram": pa.array(list(counts.keys()), type=pa.string()),
+            "n": pa.array(list(counts.values()), type=pa.int64()),
+        }
+    )
+
+
+def bigram_counts(
+    docs: ray.data.Dataset, *, min_count: int = 5, n_parts: int = 64
+) -> ray.data.Dataset:
+    """Corpus-wide bigram count table with a frequency floor.
+
+    Bigram cardinality grows with the corpus, so the final sum runs inside
+    coarse hash partitions (``functions/groups.py``) — Ray never sees the
+    bigram as a group key.  The min-count filter happens inside the
+    partition, before anything is returned, so the output shrinks there too.
+    """
+    from .groups import coarse_grouped, str_pid
+
+    partials = docs.map_batches(
+        bigram_partial_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final(df):
+        g = df.groupby("bigram", as_index=False, sort=False)["n"].sum()
+        return g[g["n"] >= min_count]
+
+    return coarse_grouped(
+        partials, lambda b: str_pid(b, "bigram", n_parts), final, n_parts=n_parts
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (vectorized regex redaction)
+
+# RE2 syntax on BOTH sides: pyarrow.compute uses RE2, DuckDB regexp_* uses
+# RE2 — the patterns below must stay within the common subset (no
+# backreferences, no lookaround) so engine and oracle agree byte-for-byte.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_NUMBER_RE = r"[0-9]+"
+
+
+def scrub_batch(batch: pa.Table) -> pa.Table:
+    """Redact email-shaped spans then digit runs; count redactions.
+
+    Pure Arrow kernels (RE2), zero Python per row — the shape a 100 TB
+    scrub pass needs.
+    """
+    import pyarrow.compute as pc
+
+    text = batch.column("text")
+    n_email = pc.count_substring_regex(text, _EMAIL_RE)
+    clean = pc.replace_substring_regex(text, _EMAIL_RE, "<EMAIL>")
+    n_num = pc.count_substring_regex(clean, _NUMBER_RE)
+    clean = pc.replace_substring_regex(clean, _NUMBER_RE, "<NUM>")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "clean_text": clean,
+            "n_redacted": pc.cast(pc.add(n_email, n_num), pa.int64()),
+        }
+    )
+
+
+def scrub(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(scrub_batch, batch_format="pyarrow", zero_copy_batch=True)

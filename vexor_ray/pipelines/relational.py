@@ -272,3 +272,153 @@ def events_window_agg(sf_dir: str) -> pa.Table:
     out["n_events"] = out["n_events"].astype("int64")
     out = out[["user_id", "window_start", "n_events", "sum_value"]]
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_session_agg(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Session windows: per-user gap-based sessionization (gap > 30 min).
+
+    The one window type that cannot be computed map-side (a session's extent
+    depends on every event of the user), so each user's full history must
+    co-locate once: coarse hash partitions on user_id (functions/groups.py),
+    then a fully vectorized session assignment inside the partition — sort by
+    (user, ts), new-session flag where the user changes or the gap exceeds
+    the threshold, session id = cumsum of flags.  One shuffle total; a hot
+    user costs one numpy pass, not a Python loop.
+    Output: (user_id, session_start, n_events, sum_value).
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    gap_us = gap_minutes * 60_000_000
+
+    def sessions(df):
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        user = df["user_id"].to_numpy()
+        new = np.ones(len(df), dtype=np.int64)
+        if len(df) > 1:
+            new[1:] = (user[1:] != user[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        df = df.assign(_sid=np.cumsum(new))
+        return df.groupby(["user_id", "_sid"], as_index=False).agg(
+            session_start=("ts", "min"),
+            n_events=("ts", "count"),
+            sum_value=("value", "sum"),
+        )[["user_id", "session_start", "n_events", "sum_value"]]
+
+    from ..functions.groups import coarse_grouped, int_pid
+
+    out = coarse_grouped(
+        ds, lambda b: int_pid(b, ["user_id"], 64), sessions
+    ).to_pandas()
+    out = out.sort_values(["user_id", "session_start"])
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped top-k: the k largest documents per language.
+
+    Partial top-k per batch (each batch keeps at most k rows per lang seen
+    in it) then a tiny driver-side final — the shuffle-free grouped-top-k
+    shape; group count is bounded, per-group candidate volume is k × #blocks
+    regardless of corpus size.  Tie-break (n_chars desc, doc_id asc).
+    Output: (lang, rank, doc_id, n_chars).
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("lang").head(k), preserve_index=False)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = cand.to_pandas()
+    df = df.sort_values(["lang", "n_chars", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    top = df.groupby("lang").head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("lang").cumcount() + 1
+    top["rank"] = top["rank"].astype("int64")
+    return pa.Table.from_pandas(
+        top[["lang", "rank", "doc_id", "n_chars"]], preserve_index=False
+    )
+
+
+def price_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)) -> pa.Table:
+    """Exact distributed quantiles without a global sort.
+
+    Three bounded passes instead of an all-to-all sort: (1) count + min/max
+    partials; (2) a 4096-bin histogram partial per batch (tiny fixed-size
+    reduce); (3) fetch only the rows of the bins that contain the target
+    ranks (≈ n/4096 rows per quantile) and select exactly.  Quantile q =
+    the element at zero-based rank floor(q*(n-1)) of the ascending sort —
+    the returned value is an existing datum, so the oracle compare is exact
+    with no rounding.
+    """
+    import numpy as np
+
+    col = "l_extendedprice"
+    ds = _read(sf_dir, "lineitem", [col])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array([float(v.min())] if v.size else [np.inf]),
+                "hi": pa.array([float(v.max())] if v.size else [-np.inf]),
+                "n": pa.array([int(v.size)], type=pa.int64()),
+            }
+        )
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    lo, hi, n = mm["lo"].min(), mm["hi"].max(), int(mm["n"].sum())
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    ranks = [int(np.floor(q * (n - 1))) for q in qs]
+    nbins = 4096
+    edges = np.linspace(lo, hi, nbins + 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        h, _ = np.histogram(v, bins=edges)
+        return pa.table({"bin": pa.array(np.arange(nbins), type=pa.int64()),
+                         "cnt": pa.array(h, type=pa.int64())})
+
+    hp = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    counts = np.zeros(nbins, dtype=np.int64)
+    np.add.at(counts, hp["bin"].to_numpy(), hp["cnt"].to_numpy())
+    cum = np.cumsum(counts)
+    # target bin per rank: first bin whose cumulative count exceeds the rank
+    target_bins = sorted({int(np.searchsorted(cum, r + 1)) for r in ranks})
+    lo_edges = edges[target_bins]
+    hi_edges = edges[[b + 1 for b in target_bins]]
+    is_last = np.array([b == nbins - 1 for b in target_bins])
+
+    def in_bins(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        keep = np.zeros(v.shape, dtype=bool)
+        for blo, bhi, last in zip(lo_edges, hi_edges, is_last):
+            m = (v >= blo) & ((v <= bhi) if last else (v < bhi))
+            keep |= m
+        return pa.table({col: pa.array(v[keep])})
+
+    cand = np.sort(
+        ds.map_batches(in_bins, batch_format="pyarrow").to_pandas()[col].to_numpy()
+    )
+    # rows below each target bin are accounted by the cumulative histogram
+    out_q, out_v = [], []
+    for q, r in zip(qs, ranks):
+        b = int(np.searchsorted(cum, r + 1))
+        below = int(cum[b - 1]) if b > 0 else 0
+        # offset of this bin's values within the concatenated candidate array
+        off = 0
+        for tb in target_bins:
+            if tb == b:
+                break
+            off += int(counts[tb])
+        out_q.append(float(q))
+        out_v.append(float(cand[off + (r - below)]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})
