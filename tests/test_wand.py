@@ -116,3 +116,74 @@ def test_wand_empty_cases():
     )
     chunks, n, avgdl, _ = _encode_corpus([["a", "b"], ["a"]], 2)
     assert block_max_wand(["a"], chunks, doc_count=n, avg_doc_len=avgdl, k=0, k1=1.5, b=0.75) == []
+
+
+def test_wand_forced_drain_rank_identity(monkeypatch):
+    """Force the drain fallback on every query shape and demand bit-identity.
+
+    _DRAIN_CHECK=1 with an impossible skip-rate floor makes the very first
+    main-loop iteration switch to the vectorized drain — mid-query states
+    (heap partially full, cursors mid-block, salted chunks) all exercised by
+    the randomized corpus.
+    """
+    import vexor_ray.query.wand as wand_mod
+
+    monkeypatch.setattr(wand_mod, "_DRAIN_CHECK", 1)
+    monkeypatch.setattr(wand_mod, "_DRAIN_MIN_SKIP", 2.0)
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(25)]
+    probs = 1.0 / np.arange(1, 26) ** 1.1
+    probs /= probs.sum()
+    for trial in range(15):
+        n_docs = int(rng.integers(5, 150))
+        docs = [
+            list(rng.choice(vocab, size=int(rng.integers(1, 50)), p=probs))
+            for _ in range(n_docs)
+        ]
+        chunks, n, avgdl, postings = _encode_corpus(docs, int(rng.choice([2, 4, 8])))
+        for _ in range(8):
+            terms = list(
+                dict.fromkeys(rng.choice(vocab + ["absent"], size=int(rng.integers(1, 6))))
+            )
+            k = int(rng.choice([1, 3, 10, n]))
+            expected = refbm25.top_k(
+                refbm25.score_postings(terms, postings, n, avgdl), k
+            )
+            got = block_max_wand(
+                terms, chunks, doc_count=n, avg_doc_len=avgdl, k=k, k1=1.5, b=0.75
+            )
+            assert [d for d, _ in got] == [d for d, _ in expected], (trial, terms, k)
+            for (_, gs), (_, es) in zip(got, expected):
+                assert gs == es, (trial, terms, k)
+
+
+def test_wand_mid_drain_rank_identity(monkeypatch):
+    """Drain after a few real WAND iterations (partially-consumed cursors)."""
+    import vexor_ray.query.wand as wand_mod
+
+    monkeypatch.setattr(wand_mod, "_DRAIN_CHECK", 5)
+    monkeypatch.setattr(wand_mod, "_DRAIN_MIN_SKIP", 2.0)
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(30)]
+    probs = 1.0 / np.arange(1, 31) ** 1.3
+    probs /= probs.sum()
+    for trial in range(15):
+        n_docs = int(rng.integers(20, 200))
+        docs = [
+            list(rng.choice(vocab, size=int(rng.integers(1, 40)), p=probs))
+            for _ in range(n_docs)
+        ]
+        chunks, n, avgdl, postings = _encode_corpus(docs, 3)
+        for _ in range(8):
+            terms = list(
+                dict.fromkeys(rng.choice(vocab, size=int(rng.integers(2, 6))))
+            )
+            expected = refbm25.top_k(
+                refbm25.score_postings(terms, postings, n, avgdl), 10
+            )
+            got = block_max_wand(
+                terms, chunks, doc_count=n, avg_doc_len=avgdl, k=10, k1=1.5, b=0.75
+            )
+            assert [d for d, _ in got] == [d for d, _ in expected], (trial, terms)
+            for (_, gs), (_, es) in zip(got, expected):
+                assert gs == es, (trial, terms)

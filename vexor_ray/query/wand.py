@@ -14,7 +14,11 @@ score could reach the current heap threshold — skips happen only on strict
 
 A salted (hot) term contributes one cursor per doc-range chunk; ranges are
 disjoint so treating them as independent cursors only over-estimates bounds
-(rank-safe).  Scoring a pivot walks the query terms in query order and sums
+(rank-safe).  Dense (stop-word-class) queries defeat pruning, and then
+per-posting Python is strictly worse than vector math — the main loop
+monitors its own skip rate and, when pruning is not paying, drains every
+remaining posting in one vectorized exact-style pass (``_drain_remaining``;
+rank-safe and bit-identical, proof in its docstring).  Scoring a pivot walks the query terms in query order and sums
 contributions with plain Python float arithmetic in the reference's
 association order — bit-identical to the exact scorer and the oracle.
 """
@@ -110,6 +114,86 @@ class _Cursor:
         return self.idf * tf * (k1 + 1.0) / denominator
 
 
+# adaptive drain: every _DRAIN_CHECK main-loop iterations, if block-max
+# pruning skipped fewer than _DRAIN_MIN_SKIP of pivots, the query is dense
+# (stop-word-class) and per-posting Python cannot win — finish it with one
+# vectorized exact-style pass over the remaining postings (rank-safe, see
+# _drain_remaining)
+_DRAIN_CHECK = 512
+_DRAIN_MIN_SKIP = 0.05
+
+
+def _drain_remaining(
+    cursors: list[_Cursor],
+    heap: list[tuple[float, int]],
+    *,
+    n_terms: int,
+    k: int,
+    k1: float,
+    b: float,
+    avg_doc_len: float,
+) -> None:
+    """Score every remaining (unconsumed) posting vectorized, update heap.
+
+    Rank-safety: a doc with SOME postings already consumed was jumped past
+    only under a strict block-max/ub proof that its full score is < the
+    then-threshold; thresholds only rise, so the partial score computed here
+    (≤ the full score) can never displace a heap entry — and every doc with
+    no posting consumed gets its exact full score, accumulated per term in
+    query order with the same float association as the exact scorer
+    (bit-identical results).
+    """
+    per_term: list[list[tuple[float, np.ndarray, np.ndarray, np.ndarray]]] = [
+        [] for _ in range(n_terms)
+    ]
+    all_docs = []
+    for c in cursors:
+        if c.cur_doc >= _INF:
+            continue
+        docs = [c.docs[c.pos :]]
+        tfs = [c.tfs[c.pos :]]
+        dls = [c.dls[c.pos :]]
+        for blk in range(c.block + 1, c.n_blocks):
+            d, t, l = codec.decode_block(c.chunk, blk)
+            docs.append(d)
+            tfs.append(t)
+            dls.append(l)
+        d = np.concatenate(docs)
+        per_term[c.term_idx].append(
+            (c.idf, d, np.concatenate(tfs), np.concatenate(dls))
+        )
+        all_docs.append(d)
+        c.cur_doc = _INF  # consumed
+    if not all_docs:
+        return
+    uniq = np.unique(np.concatenate(all_docs))
+    acc: np.ndarray | None = None
+    for ti in range(n_terms):
+        if not per_term[ti]:
+            continue
+        part = np.zeros(uniq.size)
+        for idf, d, tf, dl in per_term[ti]:
+            # same expression/association order as Searcher._exact_scores
+            tf = tf.astype(np.float64)
+            dl = dl.astype(np.float64)
+            denom = tf + k1 * ((1.0 - b) + (b * dl) / avg_doc_len)
+            # salted chunks of one term cover disjoint doc ranges, so plain
+            # assignment (not +=) is exact
+            part[np.searchsorted(uniq, d)] = (idf * tf) * (k1 + 1.0) / denom
+        acc = part if acc is None else acc + part
+    if acc is None:
+        return
+    order = np.lexsort((uniq, -acc))
+    for i in order:
+        key = (float(acc[i]), -int(uniq[i]))
+        if len(heap) < k:
+            heapq.heappush(heap, key)
+        elif key > heap[0]:
+            heapq.heapreplace(heap, key)
+        else:
+            break  # keys descend in (score desc, docID asc): none left can enter
+
+
 def block_max_wand(
     terms: list[str],
     chunks_by_term: dict[str, list[dict]],
@@ -151,7 +235,22 @@ def block_max_wand(
     def threshold() -> float:
         return heap[0][0] if len(heap) == k else -math.inf
 
+    n_iters = 0
+    n_pruned = 0
     while True:
+        n_iters += 1
+        if n_iters % _DRAIN_CHECK == 0 and n_pruned < _DRAIN_MIN_SKIP * n_iters:
+            # pruning is not paying: finish vectorized (rank-safe)
+            _drain_remaining(
+                cursors,
+                heap,
+                n_terms=len(terms),
+                k=k,
+                k1=k1,
+                b=b,
+                avg_doc_len=avg_doc_len,
+            )
+            break
         live = [c for c in cursors if c.cur_doc < _INF]
         if not live:
             break
@@ -177,6 +276,7 @@ def block_max_wand(
         infos = [c.block_info(pivot_doc) for c in lead]
         bm_sum = sum(ub for ub, _ in infos)
         if bm_sum < thr:
+            n_pruned += 1
             # the per-pivot-block bounds hold for every doc from pivot_doc
             # to the smallest block boundary; never jump past the first
             # non-lead cursor's doc (its contribution was not in the bound)
