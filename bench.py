@@ -179,6 +179,39 @@ def bench_operators() -> dict:
     )
     clean_corpus(docs).count()
     out["clean_corpus"] = round(time.perf_counter() - t0, 3)
+
+    from vexor_ray.functions.sketch import hll_distinct_tokens
+    from vexor_ray.functions.textstats import bigram_counts, scrub
+    from vexor_ray.pipelines.relational import events_session_agg, price_quantiles
+
+    t0 = time.perf_counter()
+    events_session_agg(SF_DIR)
+    out["session_windows"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    price_quantiles(SF_DIR)
+    out["exact_quantiles"] = round(time.perf_counter() - t0, 3)
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t0 = time.perf_counter()
+    bigram_counts(docs, min_count=5).count()
+    out["bigram_counts"] = round(time.perf_counter() - t0, 3)
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t0 = time.perf_counter()
+    scrub(docs).count()
+    out["pii_scrub"] = round(time.perf_counter() - t0, 3)
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t0 = time.perf_counter()
+    hll_distinct_tokens(docs)
+    out["hll_distinct"] = round(time.perf_counter() - t0, 3)
     return out
 
 
