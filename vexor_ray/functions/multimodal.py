@@ -4,12 +4,13 @@ Images / audio / video travel as ``binary`` columns with a sidecar metadata
 struct; decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages.  Image decoding is REAL for PNG payloads — the
 from-scratch stdlib-only codec in ``functions/png.py`` (all five scanline
-filters, gray/RGB/RGBA) — and uses PIL when importable (JPEG etc.).
-Payloads that are neither go through a clearly-marked md5-derived fake
-(schema/flow exercise only).  Video frame sampling is REAL for
-uncompressed-AVI payloads via the from-scratch RIFF parser
-(``functions/avi.py``); compressed codecs stay out of scope (no codec
-libraries in this environment) and fall back to the marked stub.
+filters, gray/RGB/RGBA) — and for baseline JPEG payloads — the
+from-scratch Huffman+DCT codec in ``functions/jpeg.py`` — with PIL
+preferred when importable.  Payloads that are none of these go through a
+clearly-marked md5-derived fake (schema/flow exercise only).  Video frame
+sampling is REAL for uncompressed-AVI payloads via the from-scratch RIFF
+parser (``functions/avi.py``); inter-frame video codecs (H.264 etc.) stay
+out of scope and fall back to the marked stub.
 
 Scale notes: payload rows are wide → callers should use a small
 ``batch_size`` (e.g. 32-128) and let blocks stay under the object-store
@@ -34,10 +35,12 @@ IMAGE_META_TYPE = pa.struct(
 class DecodeImage:
     """Actor-pool stage: (id, payload:binary) → (id, width, height, feat).
 
-    Decode priority: PIL when importable (JPEG etc.) → the from-scratch PNG
-    codec (``functions/png.py``, stdlib-only, REAL pixel decode) for PNG
-    payloads → a deterministic md5-derived fake for anything else (clearly a
-    stub: it exercises schema/flow, not pixels).
+    Decode priority: PIL when importable → the from-scratch PNG codec
+    (``functions/png.py``, stdlib-only, REAL pixel decode) for PNG payloads
+    → the from-scratch baseline JPEG codec (``functions/jpeg.py``, REAL
+    Huffman+DCT decode) for JPEG payloads → a deterministic md5-derived
+    fake for anything else (clearly a stub: it exercises schema/flow, not
+    pixels).
     """
 
     def __init__(self, feat_dim: int = 16):
@@ -68,6 +71,16 @@ class DecodeImage:
         feat = np.resize(feat, self.feat_dim)
         return arr.shape[1], arr.shape[0], feat
 
+    def _decode_jpeg(self, payload: bytes):
+        from .jpeg import decode_jpeg
+
+        arr = decode_jpeg(payload).astype(np.float64)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        feat = arr.mean(axis=(0, 1)).ravel() / 255.0  # per-channel means
+        feat = np.resize(feat, self.feat_dim)
+        return arr.shape[1], arr.shape[0], feat
+
     def _decode_fake(self, payload: bytes):
         # all values are md5-derived (DuckDB md5_number_lower parity) so the
         # stub is value-checkable by the SQL oracle, not just shape-checked;
@@ -85,6 +98,7 @@ class DecodeImage:
         return width, height, feat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import is_jpeg
         from .png import is_png
 
         payloads = batch.column("payload").to_pylist()
@@ -94,6 +108,8 @@ class DecodeImage:
                 w, h, f = self._decode_real(p)
             elif p and is_png(p):
                 w, h, f = self._decode_png(p)
+            elif p and is_jpeg(p):
+                w, h, f = self._decode_jpeg(p)
             else:
                 w, h, f = self._decode_fake(p)
             widths.append(w)
