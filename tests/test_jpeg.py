@@ -90,3 +90,46 @@ def test_decode_image_stage_routes_jpeg(ray_session):
     # flat image -> per-channel means ~64/255
     feat = np.asarray(out["feat"].iloc[0])
     assert np.allclose(feat[:3], 64.0 / 255.0, atol=0.02)
+
+
+def test_resize_images_stage(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from vexor_ray.functions.multimodal import resize_images
+    from vexor_ray.functions.png import decode_png, encode_png
+
+    # 128x64 gradient PNG + 100x40 flat JPEG + one non-image payload
+    yy, xx = np.mgrid[0:64, 0:128]
+    grad = ((yy + xx) % 256).astype(np.uint8)
+    flat = np.full((40, 100, 3), 77, dtype=np.uint8)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array(
+                    [encode_png(grad), encode_jpeg(flat, quality=90), b"blob"],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    out = resize_images(ds, max_side=32).to_pandas().set_index("id")
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (32, 16)
+    assert (out.loc[2, "width"], out.loc[2, "height"]) == (32, 13)
+    assert (out.loc[3, "width"], out.loc[3, "height"]) == (-1, -1)
+    r1 = decode_png(out.loc[1, "payload"])
+    assert r1.shape[:2] == (16, 32)
+    r2 = decode_png(out.loc[2, "payload"])
+    # flat image stays flat through JPEG + bilinear (q90 rounding ≤ 2)
+    assert np.abs(r2.astype(int) - 77).max() <= 2
+
+
+def test_bilinear_resize_identity_and_mean():
+    from vexor_ray.functions.multimodal import _bilinear_resize
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    same = _bilinear_resize(img, 8, 8)
+    assert (same[:, :, 0] == img).all()  # identity at same size
+    half = _bilinear_resize(img, 4, 4)
+    assert abs(float(half.mean()) - float(img.mean())) < 1.0

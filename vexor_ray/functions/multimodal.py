@@ -269,6 +269,99 @@ class SampleFrames:
         )
 
 
+def _bilinear_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resize (align_corners=False convention)."""
+    in_h, in_w = arr.shape[:2]
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    ys = (np.arange(out_h) + 0.5) * in_h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * in_w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, in_h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, in_w - 1)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = arr[y0][:, x0].astype(np.float64)
+    b = arr[y0][:, x1].astype(np.float64)
+    c = arr[y1][:, x0].astype(np.float64)
+    d = arr[y1][:, x1].astype(np.float64)
+    out = (
+        a * (1 - wy) * (1 - wx)
+        + b * (1 - wy) * wx
+        + c * wy * (1 - wx)
+        + d * wy * wx
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+class ResizeImage:
+    """Actor-pool stage: (id, payload) → (id, payload, width, height).
+
+    Decodes PNG (``functions/png.py``) or baseline JPEG
+    (``functions/jpeg.py``) payloads, bilinear-resizes to fit inside
+    ``max_side`` × ``max_side`` (aspect preserved, never upscales), and
+    re-encodes as PNG (lossless output — re-encoding to JPEG would stack
+    generation loss).  Non-image payloads pass through untouched with
+    width/height -1 so a mixed corpus keeps flowing; ``strict=True`` raises
+    instead.
+    """
+
+    def __init__(self, max_side: int = 64, strict: bool = False):
+        self.max_side = max_side
+        self.strict = strict
+
+    def _resize_one(self, p: bytes):
+        from .jpeg import decode_jpeg, is_jpeg
+        from .png import decode_png, encode_png, is_png
+
+        if p and is_png(p):
+            arr = decode_png(p)
+        elif p and is_jpeg(p):
+            arr = decode_jpeg(p)
+        else:
+            if self.strict:
+                raise ValueError("not a decodable image payload")
+            return p, -1, -1
+        h, w = arr.shape[:2]
+        scale = min(1.0, self.max_side / max(h, w))
+        out_h, out_w = max(1, round(h * scale)), max(1, round(w * scale))
+        if (out_h, out_w) != (h, w):
+            arr = _bilinear_resize(arr, out_h, out_w)
+        return encode_png(arr), out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        outs = [self._resize_one(p) for p in payloads]
+        return pa.table(
+            {
+                "id": batch.column("id"),
+                "payload": pa.array([o[0] for o in outs], type=pa.binary()),
+                "width": pa.array([o[1] for o in outs], type=pa.int32()),
+                "height": pa.array([o[2] for o in outs], type=pa.int32()),
+            }
+        )
+
+
+def resize_images(
+    ds: ray.data.Dataset,
+    *,
+    max_side: int = 64,
+    batch_size: int = 32,
+    concurrency: int | tuple | None = None,
+) -> ray.data.Dataset:
+    """(id, payload) → payloads resized to fit max_side (PNG out)."""
+    return _launch_stage(
+        ds,
+        ResizeImage,
+        {"max_side": max_side},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
 def decode_images(
     ds: ray.data.Dataset, *, batch_size: int = 64, concurrency: int | tuple | None = None
 ) -> ray.data.Dataset:
