@@ -528,6 +528,24 @@ def _q_hll_distinct(sf_dir: str):
     return hll_distinct_tokens(_docs_ds(sf_dir))
 
 
+def _q_range_join(sf_dir: str):
+    from vexor_ray.pipelines.joins import range_join_events
+
+    return range_join_events(sf_dir, window_minutes=60)
+
+
+def _q_group_quantiles(sf_dir: str):
+    from vexor_ray.pipelines.relational import group_quantiles
+
+    return group_quantiles(sf_dir)
+
+
+def _q_user_moving_avg(sf_dir: str):
+    from vexor_ray.pipelines.relational import user_moving_avg
+
+    return user_moving_avg(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_scores": _q_bm25_scores,
@@ -574,6 +592,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": _q_bigram_counts,
         "pii_scrub": _q_scrub,
         "hll_distinct": _q_hll_distinct,
+        "range_join": _q_range_join,
+        "group_quantiles": _q_group_quantiles,
+        "user_moving_avg": _q_user_moving_avg,
     }
 
 
@@ -1197,4 +1218,28 @@ SELECT CASE WHEN ((0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 144115188075855872.0)
        END AS n_distinct_est,
        v AS n_zero_registers, checksum AS register_checksum
 FROM agg""",
+        "range_join": """
+SELECT a.event_id, b.event_id AS prior_event_id, a.user_id
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts <= a.ts
+ AND b.ts >= a.ts - INTERVAL 1 HOUR
+ AND b.event_id != a.event_id
+ORDER BY a.event_id, b.event_id""",
+        "group_quantiles": """
+WITH s AS (SELECT l_returnflag, l_extendedprice AS v,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) - 1 AS r,
+                  COUNT(*) OVER (PARTITION BY l_returnflag) AS c
+           FROM lineitem),
+q(q) AS (VALUES (0.5), (0.9))
+SELECT s.l_returnflag, q.q AS q, s.v AS value
+FROM q JOIN s ON s.r = CAST(floor(q.q * (s.c - 1)) AS BIGINT)
+ORDER BY s.l_returnflag, q.q""",
+        "user_moving_avg": """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             6) AS mov_avg
+FROM events ORDER BY event_id""",
     }

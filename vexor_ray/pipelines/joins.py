@@ -101,3 +101,71 @@ def asof_join_events_orders(sf_dir: str) -> ray.data.Dataset:
     from ..functions.groups import coarse_grouped, int_pid
 
     return coarse_grouped(tagged, lambda b: int_pid(b, ["key"], 64), asof_part)
+
+
+def range_join_events(sf_dir: str, window_minutes: int = 60) -> ray.data.Dataset:
+    """Self range join: every (event, prior event) of the same user with the
+    prior event inside the ``window_minutes`` before it (inclusive), self
+    excluded — the "gather a user's recent context" join of a training-data
+    pipeline.
+
+    Ray Data has no range-predicate join; each user's history co-locates
+    once (coarse hash shuffle, functions/groups.py), then the interval probe
+    is fully vectorized inside the partition: rows sorted by a single
+    monotonic int64 composite key (dense user code x time span + offset)
+    turn both window edges into two ``searchsorted`` calls, and match
+    expansion is ``np.repeat`` index arithmetic — no per-event Python, no
+    per-user cross product beyond the true matches.
+
+    Partitioning assumption (documented per the task brief): the join key
+    hashes cleanly; a pathologically hot user bounds work at (its events x
+    its in-window events) inside one partition.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    win_us = np.int64(window_minutes) * np.int64(60_000_000)
+
+    def range_part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "prior_event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        keys, codes = np.unique(df["user_id"].to_numpy(), return_inverse=True)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tmin = int(t.min())
+        span = int(t.max()) - tmin + int(win_us) + 2
+        if span * len(keys) >= np.iinfo(np.int64).max:
+            raise OverflowError("composite range-join key overflows int64")
+        comp = codes.astype(np.int64) * span + (t - tmin)
+        order = np.argsort(comp, kind="stable")
+        comp_sorted = comp[order]
+        ids = df["event_id"].astype("int64").to_numpy()
+        users = df["user_id"].astype("int64").to_numpy()
+        lo = np.searchsorted(comp_sorted, comp - int(win_us))
+        hi = np.searchsorted(comp_sorted, comp, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        probe_idx = np.repeat(np.arange(comp.size), counts)
+        starts = np.repeat(lo, counts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        match_idx = order[starts + offs]
+        keep = ids[match_idx] != ids[probe_idx]  # drop the self pair
+        return pd.DataFrame(
+            {
+                "event_id": ids[probe_idx][keep],
+                "prior_event_id": ids[match_idx][keep],
+                "user_id": users[probe_idx][keep],
+            }
+        )
+
+    from ..functions.groups import coarse_grouped, int_pid
+
+    return coarse_grouped(ev, lambda b: int_pid(b, ["user_id"], 64), range_part)

@@ -422,3 +422,82 @@ def price_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)) -> pa.Table:
         out_v.append(float(cand[off + (r - below)]))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.float64())})
+
+
+def group_quantiles(
+    sf_dir: str, qs: tuple = (0.5, 0.9)
+) -> pa.Table:
+    """Exact per-group quantiles: l_extendedprice by l_returnflag.
+
+    Same rank definition as ``price_quantiles`` (element at zero-based rank
+    floor(q*(n-1)) of the ascending sort) applied per group.  Groups
+    co-locate via one coarse hash shuffle; the per-group selection is a
+    numpy sort inside the partition — returned values are existing data, so
+    the oracle compare is exact with no rounding.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def part(df):
+        rows = []
+        for flag, g in df.groupby("l_returnflag"):
+            v = np.sort(g["l_extendedprice"].to_numpy())
+            for q in qs:
+                rows.append((flag, float(q), float(v[int(np.floor(q * (len(v) - 1)))])))
+        import pandas as pd
+
+        return pd.DataFrame(rows, columns=["l_returnflag", "q", "value"])
+
+    from ..functions.groups import coarse_grouped, str_pid
+
+    out = coarse_grouped(
+        ds, lambda b: str_pid(b, "l_returnflag", 64), part
+    ).to_pandas()
+    out = out.sort_values(["l_returnflag", "q"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def user_moving_avg(sf_dir: str, window: int = 3) -> pa.Table:
+    """Ordered window function: per-user moving average over the last
+    ``window`` events (ROWS window-1 PRECEDING .. CURRENT ROW).
+
+    Each user's ordered history co-locates once (coarse hash partitions);
+    inside the partition the sliding mean is one cumsum pass with per-user
+    boundary resets — no per-user Python, no pandas groupby.rolling.
+    Deterministic order: (ts, event_id).  Rounded 6dp (windowed-sum float
+    association differs between engines).
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def part(df):
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = df["user_id"].to_numpy()
+        v = df["value"].to_numpy().astype(np.float64)
+        n = len(df)
+        idx = np.arange(n)
+        # first row index of each user's run, broadcast per row
+        starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        run_len = np.diff(np.r_[starts, n])
+        first = np.repeat(starts, run_len)
+        lo = np.maximum(idx - (window - 1), first)
+        csum = np.concatenate(([0.0], np.cumsum(v)))
+        s = csum[idx + 1] - csum[lo]
+        cnt = idx - lo + 1
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": user,
+                "mov_avg": np.round(s / cnt, 6),
+            }
+        )
+
+    from ..functions.groups import coarse_grouped, int_pid
+
+    out = coarse_grouped(ds, lambda b: int_pid(b, ["user_id"], 64), part).to_pandas()
+    out = out.sort_values("event_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
