@@ -58,6 +58,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--overlap", type=int, default=100)
     c.add_argument("--pre-extracted", action="store_true")
 
+    ig = sub.add_parser(
+        "ingest", help="extract a directory of raw files into a pages parquet"
+    )
+    ig.add_argument("--root", required=True, help="directory of txt/md/pdf/docx/pptx")
+    ig.add_argument("--out", required=True, help="pages parquet output directory")
+    ig.add_argument(
+        "--exclude", action="append", default=[], help="fnmatch pattern (repeatable)"
+    )
+
     cp = sub.add_parser(
         "compact", help="merge all incremental generations into one per wave"
     )
@@ -70,6 +79,18 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("-k", type=int, default=10)
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "ingest":
+        _init_ray(args.num_cpus)
+        from vexor_ray.sources import collect_files, ingest_directory
+
+        n = len(collect_files(args.root, exclude=tuple(args.exclude)))
+        ingest_directory(args.root, args.out, exclude=tuple(args.exclude))
+        print(json.dumps({"files": n, "out": args.out}))
+        import ray
+
+        ray.shutdown()
+        return 0
 
     if args.cmd == "build":
         _init_ray(args.num_cpus)
