@@ -528,6 +528,12 @@ def _q_hll_distinct(sf_dir: str):
     return hll_distinct_tokens(_docs_ds(sf_dir))
 
 
+def _q_cms_counts(sf_dir: str):
+    from vexor_ray.functions.sketch import cms_token_counts
+
+    return cms_token_counts(_docs_ds(sf_dir))
+
+
 def _q_range_join(sf_dir: str):
     from vexor_ray.pipelines.joins import range_join_events
 
@@ -595,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "group_quantiles": _q_group_quantiles,
         "user_moving_avg": _q_user_moving_avg,
+        "cms_counts": _q_cms_counts,
     }
 
 
@@ -1242,4 +1249,22 @@ SELECT event_id, user_id,
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
              6) AS mov_avg
 FROM events ORDER BY event_id""",
+        "cms_counts": f"""
+WITH occ AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+cnts AS (SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok),
+js AS (SELECT unnest(range(0, 4)) AS j),
+cells AS (SELECT js.j,
+                 md5_number_lower('cms|' || CAST(js.j AS VARCHAR) || '|' || tok)
+                   % 1024 AS cell,
+                 SUM(c) AS cnt
+          FROM cnts CROSS JOIN js GROUP BY js.j, cell),
+probes(token) AS (VALUES ('the'), ('a'), ('of'), ('and'), ('to'),
+                         ('in'), ('is'), ('that'), ('for'), ('it')),
+pc AS (SELECT p.token, js.j,
+              md5_number_lower('cms|' || CAST(js.j AS VARCHAR) || '|' || p.token)
+                % 1024 AS cell
+       FROM probes p CROSS JOIN js)
+SELECT pc.token, CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS est_count
+FROM pc LEFT JOIN cells ON cells.j = pc.j AND cells.cell = pc.cell
+GROUP BY pc.token ORDER BY pc.token""",
     }

@@ -174,3 +174,50 @@ def test_scrub_batch_redacts_and_counts():
     out = scrub_batch(t).to_pydict()
     assert out["clean_text"] == ["mail <EMAIL> now", "pin <NUM> and <NUM>"]
     assert out["n_redacted"] == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+
+
+def test_cms_upper_bound_and_exactness_when_sparse(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.sketch import cms_token_counts
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": ["the the the cat", "the dog in a hat"],
+            }
+        )
+    )
+    out = cms_token_counts(docs, probes=("the", "cat", "absent")).to_pandas()
+    got = dict(zip(out["token"], out["est_count"]))
+    # few distinct tokens -> no collisions: estimates are exact; CMS never
+    # under-counts, and an absent token estimates 0 here
+    assert got["the"] == 4
+    assert got["cat"] == 1
+    assert got["absent"] == 0
+
+
+def test_cms_partials_merge_additively():
+    from vexor_ray.functions.sketch import cms_partial_batch
+
+    t1 = pa.table({"doc_id": [1], "text": ["x y x"]})
+    t2 = pa.table({"doc_id": [2], "text": ["x z"]})
+    both = pa.table({"doc_id": [1, 2], "text": ["x y x", "x z"]})
+    import pandas as pd
+
+    merged = (
+        pa.concat_tables([cms_partial_batch(t1), cms_partial_batch(t2)])
+        .to_pandas()
+        .groupby(["row", "cell"], as_index=False)["cnt"]
+        .sum()
+    )
+    direct = cms_partial_batch(both).to_pandas()
+    pd.testing.assert_frame_equal(
+        merged.sort_values(["row", "cell"]).reset_index(drop=True),
+        direct.sort_values(["row", "cell"]).reset_index(drop=True),
+    )

@@ -129,3 +129,81 @@ def hll_distinct_tokens(docs: ray.data.Dataset) -> pa.Table:
             "register_checksum": pa.array([checksum], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy-hitter counts)
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # counters per row
+
+# fixed probe list: estimated corpus counts for these tokens are the query
+# output (high-frequency function words + a rare-tail control)
+CMS_PROBES = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "it")
+
+
+def _cms_cell(token: str, row: int) -> int:
+    """Row-j cell of a token: md5-lower-uint64('cms|j|' || token) mod W.
+
+    String-domain key composition (like the LSH/SimHash twins) so DuckDB
+    reproduces every cell with its own ``md5_number_lower``.
+    """
+    return md5_u64(f"cms|{row}|{token}".encode()) % _CMS_W
+
+
+def cms_partial_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-batch partial counters (row, cell, cnt).
+
+    Counters are ADDITIVE (order-independent), so partials merge by plain
+    sum — the mergeable-sketch property that makes the reduce a fixed
+    ≤ d*w rows per batch regardless of corpus size.
+    """
+    rows = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in batch.column("text").to_pylist():
+        counts.update(TOKEN_RE.findall(t.lower()) if t else ())
+    for tok, c in counts.items():
+        for j in range(_CMS_D):
+            rows[j, _cms_cell(tok, j)] += c
+    j_idx, cell_idx = np.nonzero(rows)
+    return pa.table(
+        {
+            "row": pa.array(j_idx, type=pa.int64()),
+            "cell": pa.array(cell_idx, type=pa.int64()),
+            "cnt": pa.array(rows[j_idx, cell_idx], type=pa.int64()),
+        }
+    )
+
+
+def cms_token_counts(
+    docs: ray.data.Dataset, probes: tuple[str, ...] = CMS_PROBES
+) -> pa.Table:
+    """Count-min estimated corpus counts for the probe tokens.
+
+    est(token) = min over rows j of counter[j][cell_j(token)] — an upper
+    bound on the true count with the classic (eps, delta) guarantee.  The
+    sketch is ~32 KB regardless of corpus size; the driver-side merge is
+    the same tiny-reduced-state shape as the HLL sketch.
+    """
+    partials = docs.map_batches(
+        cms_partial_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    rows = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for df in partials.iter_batches(batch_format="pandas", batch_size=None):
+        np.add.at(
+            rows,
+            (df["row"].to_numpy(), df["cell"].to_numpy()),
+            df["cnt"].to_numpy(),
+        )
+    toks = sorted(probes)
+    ests = [
+        int(min(rows[j, _cms_cell(t, j)] for j in range(_CMS_D))) for t in toks
+    ]
+    return pa.table(
+        {
+            "token": pa.array(toks, type=pa.string()),
+            "est_count": pa.array(ests, type=pa.int64()),
+        }
+    )
