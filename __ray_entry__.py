@@ -552,6 +552,41 @@ def _q_user_moving_avg(sf_dir: str):
     return user_moving_avg(sf_dir)
 
 
+def _q_substring_dup(sf_dir: str):
+    from vexor_ray.functions.dedup import substring_dup_stats
+
+    return substring_dup_stats(_docs_ds(sf_dir), window=8)
+
+
+def _q_stratified_sample(sf_dir: str):
+    from vexor_ray.pipelines.relational import stratified_sample_documents
+
+    return stratified_sample_documents(sf_dir)
+
+
+def _q_source_stats(sf_dir: str):
+    from vexor_ray.pipelines.relational import source_stats
+
+    return source_stats(sf_dir)
+
+
+def _q_anti_join(sf_dir: str):
+    from vexor_ray.pipelines.relational import customers_without_orders
+
+    return customers_without_orders(sf_dir)
+
+
+def _q_embedding_dup_clusters(sf_dir: str):
+    import ray.data
+
+    from vexor_ray.functions.ann import embedding_dup_clusters
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_dup_clusters(emb, threshold=0.4, n_planes=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_scores": _q_bm25_scores,
@@ -602,6 +637,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "user_moving_avg": _q_user_moving_avg,
         "cms_counts": _q_cms_counts,
+        "substring_dup": _q_substring_dup,
+        "stratified_sample": _q_stratified_sample,
+        "source_stats": _q_source_stats,
+        "anti_join": _q_anti_join,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
     }
 
 
@@ -930,6 +970,30 @@ WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
 ORDER BY doc_id"""
 
 
+# SRP-bucket embedding near-dup pairs (shared by the pair and cluster oracles)
+_EMB_PAIRS_SQL = """
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+pl AS (SELECT j.j, dims.d,
+              CAST(md5_number_lower('srp|5|' || j.j || '|' || (dims.d - 1)) % 2001 AS BIGINT) - 1000 AS w
+       FROM (SELECT unnest(generate_series(0, 3)) AS j) j CROSS JOIN dims),
+ev AS (SELECT vec_id, dims.d,
+              CAST(floor(CAST(embedding[dims.d] AS DOUBLE) * 1048576) AS BIGINT) AS e
+       FROM embeddings CROSS JOIN dims),
+dots AS (SELECT ev.vec_id, pl.j, SUM(ev.e * pl.w) AS dot
+         FROM ev JOIN pl ON pl.d = ev.d GROUP BY ev.vec_id, pl.j),
+buck AS (SELECT vec_id,
+                SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
+         FROM dots GROUP BY vec_id),
+pairs AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                 ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                              CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+          FROM buck x
+          JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          JOIN embeddings ea ON ea.vec_id = x.vec_id
+          JOIN embeddings eb ON eb.vec_id = y.vec_id)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
+
+
 def oracle_sql() -> dict[str, str]:
     en = "('the','a','of','and','to','in','is','that','for','it')"
     de = "('der','die','das','und','ist','ein','eine','zu','mit','von')"
@@ -1126,27 +1190,51 @@ ORDER BY e.event_id""",
 SELECT doc_id, n_chars FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
 ORDER BY doc_id""",
-        "embedding_dup_pairs": """
-WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
-pl AS (SELECT j.j, dims.d,
-              CAST(md5_number_lower('srp|5|' || j.j || '|' || (dims.d - 1)) % 2001 AS BIGINT) - 1000 AS w
-       FROM (SELECT unnest(generate_series(0, 3)) AS j) j CROSS JOIN dims),
-ev AS (SELECT vec_id, dims.d,
-              CAST(floor(CAST(embedding[dims.d] AS DOUBLE) * 1048576) AS BIGINT) AS e
-       FROM embeddings CROSS JOIN dims),
-dots AS (SELECT ev.vec_id, pl.j, SUM(ev.e * pl.w) AS dot
-         FROM ev JOIN pl ON pl.d = ev.d GROUP BY ev.vec_id, pl.j),
-buck AS (SELECT vec_id,
-                SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
-         FROM dots GROUP BY vec_id),
-pairs AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-                 ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                              CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
-          FROM buck x
-          JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-          JOIN embeddings ea ON ea.vec_id = x.vec_id
-          JOIN embeddings eb ON eb.vec_id = y.vec_id)
-SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""",
+        "embedding_dup_pairs": _EMB_PAIRS_SQL,
+        "embedding_dup_clusters": f"""
+WITH RECURSIVE pairs AS ({_EMB_PAIRS_SQL}),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+  UNION SELECT vec_a, vec_a FROM pairs
+  UNION SELECT vec_b, vec_b FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u ORDER BY u""",
+        "substring_dup": f"""
+WITH tl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+       FROM tl WHERE len(toks) >= 8),
+win AS (SELECT doc_id,
+               md5_number_lower(array_to_string(toks[i:i+7], ' ')) AS wh
+        FROM w0),
+cnt AS (SELECT wh, COUNT(*) AS c FROM win GROUP BY wh),
+per AS (SELECT win.doc_id, COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_windows
+        FROM win JOIN cnt USING (wh) GROUP BY win.doc_id)
+SELECT doc_id, n_windows, n_dup_windows,
+       ROUND(n_dup_windows * 1.0 / n_windows, 6) AS dup_frac
+FROM per ORDER BY doc_id""",
+        "stratified_sample": """
+WITH r(lang, pct) AS (VALUES ('en', 5), ('de', 10), ('zh', 20),
+                             ('fr', 30), ('es', 40))
+SELECT d.doc_id, d.lang
+FROM documents d LEFT JOIN r USING (lang)
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 100 < COALESCE(r.pct, 50)
+ORDER BY d.doc_id""",
+        "source_stats": """
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
+FROM documents GROUP BY source ORDER BY source""",
+        "anti_join": """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey""",
         "repetition": _repetition_sql(),
         "quality_filter": _quality_filter_sql(),
         "dup_clusters": _dup_clusters_sql(),

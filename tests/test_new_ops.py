@@ -221,3 +221,167 @@ def test_cms_partials_merge_additively():
         merged.sort_values(["row", "cell"]).reset_index(drop=True),
         direct.sort_values(["row", "cell"]).reset_index(drop=True),
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup stats
+
+
+def test_substring_dup_stats_hand_corpus(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.dedup import substring_dup_stats
+
+    base = "a b c d e f g h"  # 8 tokens = exactly one window
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    base + " i",        # windows: a..h, b..i
+                    base + " x",        # windows: a..h, b..x
+                    "too short",        # < 8 tokens -> no row
+                    base + " " + base,  # 9 windows; a..h occurs at i=0 and i=8
+                ],
+            }
+        )
+    )
+    out = (
+        substring_dup_stats(docs, window=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [1, 2, 4]  # doc 3 emits nothing
+    # window "a b c d e f g h" occurs 4x corpus-wide (docs 1, 2, 4, 4)
+    assert out.loc[1, "n_windows"] == 2 and out.loc[1, "n_dup_windows"] == 1
+    assert out.loc[1, "dup_frac"] == 0.5
+    assert out.loc[2, "n_windows"] == 2 and out.loc[2, "n_dup_windows"] == 1
+    # doc 4: 16 tokens -> 9 windows; only the two aligned repeats of the
+    # base window are duplicated (within-doc repeats count)
+    assert out.loc[4, "n_windows"] == 9 and out.loc[4, "n_dup_windows"] == 2
+    assert out.loc[4, "dup_frac"] == round(2 / 9, 6)
+
+
+def test_substring_dup_stats_no_dups(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.dedup import substring_dup_stats
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1],
+                "text": ["one two three four five six seven eight nine"],
+            }
+        )
+    )
+    out = substring_dup_stats(docs, window=8).to_pandas()
+    assert out["n_dup_windows"].tolist() == [0]
+    assert out["dup_frac"].tolist() == [0.0]
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling / source stats / anti-join
+
+
+def test_stratified_sample_rates(ray_session, tmp_path):
+    from vexor_ray.functions.dedup import md5_u64
+    from vexor_ray.pipelines.relational import stratified_sample_documents
+
+    n = 400
+    df = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "lang": ["en", "de", "zh", "xx"] * (n // 4),
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = stratified_sample_documents(str(tmp_path)).to_pandas()
+    # exact membership: md5 bucket < per-stratum rate (default 50 for xx)
+    rates = {"en": 5, "de": 10, "zh": 20, "xx": 50}
+    expect = {
+        d
+        for d, lg in zip(df["doc_id"], df["lang"])
+        if md5_u64(str(d).encode()) % 100 < rates[lg]
+    }
+    assert set(out["doc_id"].tolist()) == expect
+    # strata keep-rates differ (the point of stratification)
+    got = out.groupby("lang").size()
+    assert got.get("en", 0) < got.get("zh", 0) < got.get("xx", 0)
+
+
+def test_source_stats_exact(ray_session, tmp_path):
+    from vexor_ray.pipelines.relational import source_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["x"] * 4,
+            "lang": ["en", "de", "en", "en"],
+            "source": ["s1", "s1", "s1", "s2"],
+            "n_chars": [10, 20, 31, 7],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = source_stats(str(tmp_path)).to_pandas().set_index("source")
+    assert out.loc["s1", "n_docs"] == 3
+    assert out.loc["s1", "n_langs"] == 2
+    assert out.loc["s1", "total_chars"] == 61
+    assert out.loc["s1", "avg_chars"] == round(61 / 3, 6)
+    assert out.loc["s2", "n_docs"] == 1 and out.loc["s2", "n_langs"] == 1
+
+
+def test_customers_without_orders_anti_join(ray_session, tmp_path):
+    from vexor_ray.pipelines.relational import customers_without_orders
+
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4],
+            "c_mktsegment": ["A", "B", "C", "D"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {
+            "o_custkey": [1, 2, 2, 9],
+            "o_totalprice": [500.0, 50.0, 80.0, 999.0],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    out = (
+        customers_without_orders(str(tmp_path), min_totalprice=100.0)
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    # cust 1 has a qualifying order; cust 2 only cheap ones; 3,4 none at all
+    assert out["c_custkey"].tolist() == [2, 3, 4]
+    assert out["c_mktsegment"].tolist() == ["B", "C", "D"]
+
+
+def test_embedding_dup_clusters_chain(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.ann import embedding_dup_clusters
+
+    # three near-identical vectors (one SRP bucket, pairwise cosine ~1) and
+    # one orthogonal singleton
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [1.0, 0.001, 0.0, 0.0],
+        [1.0, 0.0, 0.001, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+    ]
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": [10, 11, 12, 20],
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = (
+        embedding_dup_clusters(emb, threshold=0.9)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert out["vec_id"].tolist() == [10, 11, 12]  # singleton emits nothing
+    assert out["cluster_id"].tolist() == [10, 10, 10]

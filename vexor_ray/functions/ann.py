@@ -393,3 +393,51 @@ def lsh_topk(
         zero_copy_batch=True,
     )
     return brute_force_topk(cands, q, k)
+
+
+def embedding_dup_clusters(
+    embeddings: "ray.data.Dataset",
+    *,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    seed: int = 5,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic dedup: near-dup cosine pairs → connected
+    components → ``(vec_id, cluster_id)`` with cluster_id = min member id.
+
+    Composes ``embedding_dup_pairs`` (SRP-blocked exact-cosine pairs) with
+    the same label-propagation components used for text near-dups
+    (``dedup.duplicate_clusters``), so a keep-min-id policy per cluster is
+    a pure filter on the output.  Only vectors in >= 1 pair emit a row.
+    """
+    import pyarrow as pa
+
+    from .dedup import duplicate_clusters
+
+    pairs = embedding_dup_pairs(
+        embeddings, threshold=threshold, n_planes=n_planes, seed=seed
+    )
+
+    def rename_in(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch.column("vec_a"),
+                "doc_b": batch.column("vec_b"),
+            }
+        )
+
+    clusters = duplicate_clusters(
+        pairs.map_batches(rename_in, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def rename_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch.column("doc_id"),
+                "cluster_id": batch.column("cluster_id"),
+            }
+        )
+
+    return clusters.map_batches(
+        rename_out, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1023,6 +1023,94 @@ def clean_corpus(
     return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def substring_dup_stats(
+    docs: ray.data.Dataset,
+    *,
+    window: int = 8,
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """Exact substring-level duplication stats (Lee et al. 2021 shape).
+
+    Every consecutive ``window``-token span of every document is hashed; a
+    span *occurrence* is duplicated iff its span text occurs >= 2 times
+    corpus-wide (within-doc repeats count — the suffix-array dedup paper's
+    "repeated substring" criterion at fixed granularity).  Output one row
+    per document with at least one span:
+    ``(doc_id, n_windows, n_dup_windows, dup_frac)``; docs shorter than
+    ``window`` tokens emit nothing (no span can be duplicated).
+
+    Distributed shape — never a corpus-cardinality Ray group key:
+
+    1. map: tokenize + hash each span (md5-low64 of the space-joined token
+       window — the SQL twin is ``md5_number_lower(array_to_string(...))``,
+       so the driver oracle checks values);
+    2. one coarse hash shuffle of (span_hash, doc_id) pairs → per-partition
+       pandas ``transform('size')`` flags each occurrence (all occurrences
+       of one span share a partition by construction);
+    3. one coarse hash shuffle of (doc_id, dup) pairs → per-doc counts.
+
+    At 100 TB the md5-per-span map cost would swap for a rolling 64-bit
+    polynomial (one pass per doc) at the price of the SQL-checkable twin;
+    the shuffle shape is unchanged.  Reference analogue: vexor has only
+    whole-text dedup (`vexor/search.py:194-206`); this is the training-data
+    extension the task brief asks for.
+    """
+    from .groups import coarse_grouped, int_pid
+    from .textstats import _round6_half_up
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_wh: list[int] = []
+        out_id: list[int] = []
+        for d, t in zip(ids, texts):
+            toks = TOKEN_RE.findall((t or "").lower())
+            if len(toks) < window:
+                continue
+            for i in range(len(toks) - window + 1):
+                out_wh.append(md5_u64(" ".join(toks[i : i + window]).encode()))
+                out_id.append(d)
+        return pa.table(
+            {
+                "wh": pa.array(out_wh, type=pa.uint64()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+            }
+        )
+
+    pairs = docs.map_batches(
+        explode_windows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def flag_dups(df: pd.DataFrame) -> pd.DataFrame:
+        occ = df.groupby("wh")["doc_id"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "dup": (occ >= 2).astype("int64"),
+            }
+        )
+
+    flagged = coarse_grouped(
+        pairs, lambda b: int_pid(b, ["wh"], n_parts), flag_dups, n_parts=n_parts
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_windows=("dup", "size"), n_dup_windows=("dup", "sum")
+        )
+        g["dup_frac"] = [
+            _round6_half_up(d / n)
+            for d, n in zip(g["n_dup_windows"].tolist(), g["n_windows"].tolist())
+        ]
+        return g.astype(
+            {"doc_id": "int64", "n_windows": "int64", "n_dup_windows": "int64"}
+        )
+
+    return coarse_grouped(
+        flagged, lambda b: int_pid(b, ["doc_id"], n_parts), per_doc, n_parts=n_parts
+    )
+
+
 def ngram_jaccard(
     texts_a: list[str], texts_b: list[str], n: int = 3
 ) -> list[float]:

@@ -501,3 +501,129 @@ def user_moving_avg(sf_dir: str, window: int = 3) -> pa.Table:
     out = coarse_grouped(ds, lambda b: int_pid(b, ["user_id"], 64), part).to_pandas()
     out = out.sort_values("event_id")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_STRATA_PCT = {"en": 5, "de": 10, "zh": 20, "fr": 30, "es": 40}
+
+
+def stratified_sample_documents(
+    sf_dir: str,
+    rates: dict[str, int] | None = None,
+    default_pct: int = 50,
+) -> ray.data.Dataset:
+    """Stratified deterministic sampling: per-stratum (lang) hash rates.
+
+    Same shuffle-free md5-bucket membership as ``hash_sample_documents``
+    but with a different keep-rate per stratum — the standard shape for
+    rebalancing a web corpus by language/domain without a global pass
+    (any worker decides membership locally; exactly reproducible in SQL).
+    """
+    from ..functions.dedup import md5_u64
+
+    rates = dict(_STRATA_PCT if rates is None else rates)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        keep = [
+            md5_u64(str(d).encode()) % 100 < rates.get(lg, default_pct)
+            for d, lg in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-source (the web-crawl "domain" analogue) corpus statistics:
+    ``(source, n_docs, n_langs, total_chars, avg_chars)``.
+
+    Grouped by a corpus-growing string key → coarse hash partitions
+    (functions/groups.py), exact aggregates via pandas C kernels inside
+    each partition; one shuffle of narrow projected rows.
+    """
+    import pandas as pd
+
+    from ..functions.groups import coarse_grouped, str_pid
+    from ..functions.textstats import _round6_half_up
+
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"),
+            n_langs=("lang", "nunique"),
+            total_chars=("n_chars", "sum"),
+        )
+        g["avg_chars"] = [
+            _round6_half_up(t / n)
+            for t, n in zip(g["total_chars"].tolist(), g["n_docs"].tolist())
+        ]
+        return g.astype(
+            {"n_docs": "int64", "n_langs": "int64", "total_chars": "int64"}
+        )
+
+    return coarse_grouped(ds, lambda b: str_pid(b, "source", 64), agg)
+
+
+def customers_without_orders(
+    sf_dir: str, min_totalprice: float = 300_000.0
+) -> ray.data.Dataset:
+    """Distributed anti-join: customers with no order above a price floor.
+
+    Tagged-union shape (the same one the as-of join uses): both sides
+    project to narrow (key, payload, side) rows, ONE coarse hash shuffle
+    co-locates every key, and the anti-join inside each partition is a
+    vectorized ``isin`` — no broadcast of the (potentially huge) probe
+    side, no driver-side id set.  The probe side is filtered at the read
+    (predicate before the shuffle), the general semi/anti-join shape.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.groups import coarse_grouped, int_pid
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["o_totalprice"], pa.scalar(min_totalprice))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("c_custkey").cast(pa.int64()),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def tag_ord(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("o_custkey").cast(pa.int64()),
+                "c_mktsegment": pa.array([""] * n, type=pa.string()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    tagged = cust.map_batches(
+        tag_cust, batch_format="pyarrow", zero_copy_batch=True
+    ).union(ords.map_batches(tag_ord, batch_format="pyarrow", zero_copy_batch=True))
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        has_order = df.loc[df["side"] == 1, "key"].unique()
+        left = df[df["side"] == 0]
+        out = left.loc[~left["key"].isin(has_order), ["key", "c_mktsegment"]]
+        return out.rename(columns={"key": "c_custkey"}).astype(
+            {"c_custkey": "int64"}
+        )
+
+    return coarse_grouped(tagged, lambda b: int_pid(b, ["key"], 64), anti)
