@@ -576,6 +576,12 @@ def _q_anti_join(sf_dir: str):
     return customers_without_orders(sf_dir)
 
 
+def _q_pack_sequences(sf_dir: str):
+    from vexor_ray.pipelines.relational import pack_sequences
+
+    return pack_sequences(sf_dir, capacity=2048)
+
+
 def _q_embedding_dup_clusters(sf_dir: str):
     import ray.data
 
@@ -642,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": _q_source_stats,
         "anti_join": _q_anti_join,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1230,6 +1237,14 @@ SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
 FROM documents GROUP BY source ORDER BY source""",
+        "pack_sequences": f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - n_tokens AS start
+      FROM t)
+SELECT doc_id, n_tokens, CAST(start // 2048 AS BIGINT) AS bin_id
+FROM c ORDER BY doc_id""",
         "anti_join": """
 SELECT c_custkey, c_mktsegment FROM customer
 WHERE c_custkey NOT IN

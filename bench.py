@@ -212,6 +212,20 @@ def bench_operators() -> dict:
     t0 = time.perf_counter()
     hll_distinct_tokens(docs)
     out["hll_distinct"] = round(time.perf_counter() - t0, 3)
+
+    from vexor_ray.functions.dedup import substring_dup_stats
+    from vexor_ray.pipelines.relational import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t0 = time.perf_counter()
+    substring_dup_stats(docs, window=8).count()
+    out["substring_dup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pack_sequences(SF_DIR).count()
+    out["pack_sequences"] = round(time.perf_counter() - t0, 3)
     return out
 
 

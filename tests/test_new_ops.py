@@ -385,3 +385,24 @@ def test_embedding_dup_clusters_chain(ray_session):
     )
     assert out["vec_id"].tolist() == [10, 11, 12]  # singleton emits nothing
     assert out["cluster_id"].tolist() == [10, 10, 10]
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (global ordered prefix sum)
+
+
+def test_pack_sequences_prefix_sum(ray_session, tmp_path):
+    from vexor_ray.pipelines.relational import pack_sequences
+
+    texts = ["a b c", "d e", "f g h i", "j", "k l m n o p"]  # 3,2,4,1,6 tokens
+    pd.DataFrame({"doc_id": range(5), "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = (
+        pack_sequences(str(tmp_path), capacity=4, n_ranges=3)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # exclusive prefix sums: 0,3,5,9,10 -> bins 0,0,1,2,2 at capacity 4
+    assert out["n_tokens"].tolist() == [3, 2, 4, 1, 6]
+    assert out["bin_id"].tolist() == [0, 0, 1, 2, 2]

@@ -627,3 +627,74 @@ def customers_without_orders(
         )
 
     return coarse_grouped(tagged, lambda b: int_pid(b, ["key"], 64), anti)
+
+
+def pack_sequences(
+    sf_dir: str, capacity: int = 2048, n_ranges: int = 64
+) -> ray.data.Dataset:
+    """Sequence packing: assign docs (in doc_id order) to fixed token-budget
+    bins — ``bin_id = exclusive_prefix_sum(n_tokens) // capacity``.
+
+    The LM-training packing step (documents streamed in order into
+    ~capacity-token shards), and the repo's demonstration of a **global
+    ordered prefix sum** without a global sort: doc_ids partition into
+    contiguous ranges, pass 1 reduces per-range token sums (tiny R-row
+    table → driver computes exclusive range offsets), pass 2 cumsums
+    inside each co-located range and adds its offset.  Both passes move
+    only (doc_id, n_tokens) int pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import coarse_grouped, int_pid
+    from ..functions.textstats import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two passes below; never re-tokenize
+
+    n_docs = toks.count()
+    range_size = max(1, -(-n_docs // n_ranges))  # ceil; doc_ids are dense
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        rid = batch.column("doc_id").to_numpy() // range_size
+        return batch.append_column("range_id", pa.array(rid, type=pa.int64()))
+
+    # pass 1: per-range token sums (R rows) -> exclusive offsets on driver
+    def range_sums(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("range_id", as_index=False)["n_tokens"].sum()
+
+    sums = coarse_grouped(
+        toks.map_batches(add_range, batch_format="pyarrow", zero_copy_batch=True),
+        lambda b: int_pid(b, ["range_id"], 64),
+        range_sums,
+    ).to_pandas()
+    sums = sums.sort_values("range_id")
+    offsets = dict(
+        zip(
+            sums["range_id"].tolist(),
+            np.concatenate(([0], np.cumsum(sums["n_tokens"].to_numpy())[:-1])).tolist(),
+        )
+    )
+
+    # pass 2: within-range ordered cumsum + range offset -> bin ids
+    def assign_bins(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        excl = df.groupby("range_id")["n_tokens"].cumsum() - df["n_tokens"]
+        start = excl.to_numpy() + np.array(
+            [offsets[r] for r in df["range_id"].tolist()], dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": df["n_tokens"].to_numpy(),
+                "bin_id": start // capacity,
+            }
+        ).astype({"doc_id": "int64", "n_tokens": "int64", "bin_id": "int64"})
+
+    return coarse_grouped(
+        toks.map_batches(add_range, batch_format="pyarrow", zero_copy_batch=True),
+        lambda b: int_pid(b, ["range_id"], 64),
+        assign_bins,
+    )
