@@ -576,6 +576,33 @@ def _q_anti_join(sf_dir: str):
     return customers_without_orders(sf_dir)
 
 
+def _q_decontaminate(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vexor_ray.functions.dedup import decontaminate
+
+    cut = pa.scalar(10, type=pa.int64())
+    all_docs = _docs_ds(sf_dir)
+    eval_docs = all_docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], cut)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    corpus = all_docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], cut)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return decontaminate(corpus, eval_docs, window=8)
+
+
+def _q_cap_per_source(sf_dir: str):
+    from vexor_ray.pipelines.relational import cap_per_source
+
+    return cap_per_source(sf_dir, cap=10)
+
+
 def _q_pack_sequences(sf_dir: str):
     from vexor_ray.pipelines.relational import pack_sequences
 
@@ -649,6 +676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _q_anti_join,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
+        "cap_per_source": _q_cap_per_source,
     }
 
 
@@ -1237,6 +1266,25 @@ SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
 FROM documents GROUP BY source ORDER BY source""",
+        "decontaminate": f"""
+WITH tl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+       FROM tl WHERE len(toks) >= 8),
+win AS (SELECT doc_id,
+               md5_number_lower(array_to_string(toks[i:i+7], ' ')) AS wh
+        FROM w0),
+evalw AS (SELECT DISTINCT wh FROM win WHERE doc_id < 10)
+SELECT DISTINCT doc_id FROM win
+WHERE doc_id >= 10 AND wh IN (SELECT wh FROM evalw)
+ORDER BY doc_id""",
+        "cap_per_source": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+  FROM documents)
+WHERE rnk <= 10 ORDER BY doc_id""",
         "pack_sequences": f"""
 WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
 c AS (SELECT doc_id, n_tokens,

@@ -406,3 +406,55 @@ def test_pack_sequences_prefix_sum(ray_session, tmp_path):
     # exclusive prefix sums: 0,3,5,9,10 -> bins 0,0,1,2,2 at capacity 4
     assert out["n_tokens"].tolist() == [3, 2, 4, 1, 6]
     assert out["bin_id"].tolist() == [0, 0, 1, 2, 2]
+
+
+# ---------------------------------------------------------------------------
+# decontamination / domain capping
+
+
+def test_decontaminate_flags_shared_spans(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.dedup import decontaminate
+
+    span = "one two three four five six seven eight"
+    eval_docs = ray.data.from_arrow(
+        pa.table({"doc_id": [0], "text": [span + " benchmark tail"]})
+    )
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    "prefix " + span + " suffix",      # shares the 8-gram
+                    "totally different words here with no overlap at all ok",
+                    "one two three four five six SEVEN different",  # 8-gram broken
+                ],
+            }
+        )
+    )
+    out = decontaminate(corpus, eval_docs, window=8).to_pandas()
+    assert out["doc_id"].tolist() == [10]
+
+
+def test_cap_per_source(ray_session, tmp_path):
+    from vexor_ray.functions.dedup import md5_u64
+    from vexor_ray.pipelines.relational import cap_per_source
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": ["x"] * 30,
+            "lang": ["en"] * 30,
+            "source": ["big"] * 25 + ["small"] * 5,
+            "n_chars": [1] * 30,
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = cap_per_source(str(tmp_path), cap=10).to_pandas()
+    big = out[out["source"] == "big"]["doc_id"].tolist()
+    assert len(big) == 10  # capped
+    assert len(out[out["source"] == "small"]) == 5  # under cap: all kept
+    # membership = 10 smallest by (md5(doc_id), doc_id) within the source
+    expect = sorted(range(25), key=lambda d: (md5_u64(str(d).encode()), d))[:10]
+    assert sorted(big) == sorted(expect)

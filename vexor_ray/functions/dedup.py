@@ -1023,6 +1023,60 @@ def clean_corpus(
     return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _token_window_hashes(text: str, window: int) -> list[int]:
+    """md5-low64 hashes of every consecutive ``window``-token span (all
+    occurrences, not deduplicated); SQL twin:
+    ``md5_number_lower(array_to_string(toks[i:i+W-1], ' '))``."""
+    toks = TOKEN_RE.findall((text or "").lower())
+    if len(toks) < window:
+        return []
+    return [
+        md5_u64(" ".join(toks[i : i + window]).encode())
+        for i in range(len(toks) - window + 1)
+    ]
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    eval_docs: ray.data.Dataset,
+    *,
+    window: int = 8,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: corpus docs sharing any ``window``-token
+    span with an eval/benchmark set → contaminated doc_id list.
+
+    The standard pre-training hygiene op (n-gram-overlap decontamination):
+    the eval side is tiny by definition, so its window-hash set is computed
+    once and BROADCAST (``ray.put`` of a sorted uint64 array, not a pickled
+    Python set); the corpus side is one shuffle-free linear scan with a
+    vectorized ``searchsorted`` membership probe per doc.  Same md5 window
+    hashing as ``substring_dup_stats`` → exactly reproducible in SQL.
+    """
+    eval_hashes: set[int] = set()
+    for b in eval_docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for t in b.column("text").to_pylist():
+            eval_hashes.update(_token_window_hashes(t, window))
+    probe = np.sort(np.fromiter(eval_hashes, dtype=np.uint64, count=len(eval_hashes)))
+    probe_ref = ray.put(probe)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        probe_arr = ray.get(probe_ref)
+        hit: list[int] = []
+        if probe_arr.size:
+            texts = batch.column("text").to_pylist()
+            ids = batch.column("doc_id").to_pylist()
+            for d, t in zip(ids, texts):
+                whs = np.asarray(_token_window_hashes(t, window), dtype=np.uint64)
+                if whs.size:
+                    pos = np.searchsorted(probe_arr, whs)
+                    pos[pos == probe_arr.size] = 0
+                    if bool((probe_arr[pos] == whs).any()):
+                        hit.append(d)
+        return pa.table({"doc_id": pa.array(hit, type=pa.int64())})
+
+    return docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def substring_dup_stats(
     docs: ray.data.Dataset,
     *,
@@ -1064,12 +1118,9 @@ def substring_dup_stats(
         out_wh: list[int] = []
         out_id: list[int] = []
         for d, t in zip(ids, texts):
-            toks = TOKEN_RE.findall((t or "").lower())
-            if len(toks) < window:
-                continue
-            for i in range(len(toks) - window + 1):
-                out_wh.append(md5_u64(" ".join(toks[i : i + window]).encode()))
-                out_id.append(d)
+            whs = _token_window_hashes(t, window)
+            out_wh.extend(whs)
+            out_id.extend([d] * len(whs))
         return pa.table(
             {
                 "wh": pa.array(out_wh, type=pa.uint64()),

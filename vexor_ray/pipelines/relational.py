@@ -698,3 +698,28 @@ def pack_sequences(
         lambda b: int_pid(b, ["range_id"], 64),
         assign_bins,
     )
+
+
+def cap_per_source(sf_dir: str, cap: int = 10) -> ray.data.Dataset:
+    """Per-domain capping: keep at most ``cap`` documents per source,
+    chosen by deterministic hash order (md5(doc_id), doc_id) — the web-
+    corpus rebalancing step that stops one huge domain from dominating.
+
+    One coarse string-keyed shuffle; ranking inside each partition is a
+    pandas C-kernel groupby-rank, never per-source Python.
+    """
+    import pandas as pd
+
+    from ..functions.dedup import md5_u64
+    from ..functions.groups import coarse_grouped, str_pid
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = [md5_u64(str(d).encode()) for d in df["doc_id"].tolist()]
+        df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        rnk = df.groupby("source").cumcount()
+        return df.loc[rnk < cap, ["doc_id", "source"]].astype({"doc_id": "int64"})
+
+    return coarse_grouped(ds, lambda b: str_pid(b, "source", 64), pick)
