@@ -390,6 +390,51 @@ def _q_hash_embed(sf_dir: str):
     )
 
 
+def _q_hash_embed_idf(sf_dir: str):
+    """IDF-weighted word-bigram hash embedding, exploded to (doc_id, dim,
+    value) rows.
+
+    Per-bucket IDF quantized to 1/1024 multiples (dyadic rationals), so
+    bucket sums are exact doubles in any accumulation order and the SQL
+    twin hash-matches values bit-for-bit.
+    """
+    import pyarrow as pa
+
+    from vexor_ray.functions.embed import bucket_doc_freq, hash_embed, idf_weights
+
+    docs = _docs_ds(sf_dir)
+    df, n_docs = bucket_doc_freq(docs, dim=64, mode="word", n=2)
+    idf = idf_weights(df, n_docs)
+
+    def embed_explode(batch: pa.Table) -> pa.Table:
+        emb = hash_embed(
+            batch.column("text").to_pylist(),
+            dim=64,
+            n=2,
+            mode="word",
+            as_float32=False,
+            idf=idf,
+        )
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_dim, out_val = [], [], []
+        for i, d in enumerate(ids):
+            nz = np.flatnonzero(emb[i])
+            out_id.extend([d] * nz.size)
+            out_dim.extend(int(j) for j in nz)
+            out_val.extend(round(float(emb[i][j]), 6) for j in nz)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "dim": pa.array(out_dim, type=pa.int64()),
+                "value": pa.array(out_val, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(
+        embed_explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_federated_bm25(sf_dir: str):
     from vexor_ray.pipelines.corpus import federated_documents_scores
 
@@ -678,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
         "cap_per_source": _q_cap_per_source,
+        "hash_embed_idf": _q_hash_embed_idf,
     }
 
 
@@ -1139,6 +1185,34 @@ bv AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS dim,
               CASE WHEN (h >> 63) & 1 = 1 THEN -1 ELSE 1 END AS sign
        FROM hv),
 sums AS (SELECT doc_id, dim, CAST(SUM(sign) AS DOUBLE) AS v FROM bv GROUP BY doc_id, dim),
+norms AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM sums GROUP BY doc_id)
+SELECT s.doc_id, s.dim, ROUND(s.v / n.nrm, 6) AS value
+FROM sums s JOIN norms n USING (doc_id)
+WHERE s.v != 0 ORDER BY s.doc_id, s.dim""",
+        "hash_embed_idf": f"""
+WITH lt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g0 AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 2
+                   THEN list_transform(generate_series(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i+1])
+                   WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                   ELSE [] END AS grams
+       FROM lt),
+hv AS (SELECT DISTINCT doc_id, md5_number_lower(g) AS h
+       FROM (SELECT doc_id, unnest(grams) AS g FROM g0)),
+bv AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS dim,
+              CASE WHEN (h >> 63) & 1 = 1 THEN -1.0 ELSE 1.0 END AS sign
+       FROM hv),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+bdf AS (SELECT b.dim, COUNT(DISTINCT bv.doc_id) AS df
+        FROM (SELECT unnest(generate_series(0, 63)) AS dim) b
+        LEFT JOIN bv ON bv.dim = b.dim GROUP BY b.dim),
+idf AS (SELECT bdf.dim,
+               floor((ln((nd.n + 1.0) / (bdf.df + 1.0)) + 1.0) * 1024 + 0.5)
+                 / 1024 AS w
+        FROM bdf CROSS JOIN nd),
+sums AS (SELECT bv.doc_id, bv.dim, SUM(bv.sign * idf.w) AS v
+         FROM bv JOIN idf ON idf.dim = bv.dim GROUP BY bv.doc_id, bv.dim),
 norms AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM sums GROUP BY doc_id)
 SELECT s.doc_id, s.dim, ROUND(s.v / n.nrm, 6) AS value
 FROM sums s JOIN norms n USING (doc_id)

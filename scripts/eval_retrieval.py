@@ -105,22 +105,31 @@ def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
     ds = read_with_doc_ids(files, ["url", "html"])
     ds = ds.map_batches(make_extract_fn(), batch_format="pyarrow",
                         batch_size=256, zero_copy_batch=True)
-    emb_ds = ds.map_batches(hash_embed_batch,
-                            fn_kwargs={"dim": 512, "mode": "word", "n": 2},
-                            batch_format="pyarrow", zero_copy_batch=True)
-    qemb = hash_embed(qtexts, dim=512, n=2, mode="word")
-    dense_top = brute_force_topk(emb_ds, qemb.astype(np.float64), k=50,
-                                 id_col="doc_id")
-    dense_by_q: dict[int, list[int]] = {}
-    dcos_by_q: dict[int, dict[int, float]] = {}
-    dt = dense_top.to_pydict()
-    for qi, vid, cos in zip(dt["query_idx"], dt["vec_id"], dt["cosine"]):
-        dense_by_q.setdefault(qi, []).append(vid)
-        dcos_by_q.setdefault(qi, {})[vid] = cos
+    from vexor_ray.functions.embed import bucket_doc_freq, idf_weights
+
+    def dense_orders(idf):
+        emb_ds = ds.map_batches(
+            hash_embed_batch,
+            fn_kwargs={"dim": 512, "mode": "word", "n": 2, "idf": idf},
+            batch_format="pyarrow", zero_copy_batch=True)
+        qemb = hash_embed(qtexts, dim=512, n=2, mode="word", idf=idf)
+        dense_top = brute_force_topk(emb_ds, qemb.astype(np.float64), k=50,
+                                     id_col="doc_id")
+        by_q: dict[int, list[int]] = {}
+        cos_q: dict[int, dict[int, float]] = {}
+        dt = dense_top.to_pydict()
+        for qi, vid, cos in zip(dt["query_idx"], dt["vec_id"], dt["cosine"]):
+            by_q.setdefault(qi, []).append(vid)
+            cos_q.setdefault(qi, {})[vid] = cos
+        return by_q, cos_q
+
+    dense_by_q, dcos_by_q = dense_orders(None)
+    bdf, n_docs = bucket_doc_freq(ds, dim=512, mode="word", n=2)
+    idf_by_q, _ = dense_orders(idf_weights(bdf, n_docs))
 
     arms: dict[str, list[list[int]]] = {
-        "bm25_exact": [], "bm25_wand": [], "dense": [], "hybrid": [],
-        "rerank_bm25l": [],
+        "bm25_exact": [], "bm25_wand": [], "dense": [], "dense_idf": [],
+        "hybrid": [], "hybrid_idf": [], "rerank_bm25l": [],
     }
     for qi, qtext in enumerate(qtexts):
         exact = s.search(qtext, k=10, method="exact")
@@ -132,6 +141,11 @@ def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
         arms["dense"].append(dense_order[:10])
         fused = s.search_hybrid(qtext, dense_order, k=10)
         arms["hybrid"].append([d for d, _ in fused])
+        idf_order = idf_by_q.get(qi, [])
+        arms["dense_idf"].append(idf_order[:10])
+        arms["hybrid_idf"].append(
+            [d for d, _ in s.search_hybrid(qtext, idf_order, k=10)]
+        )
         # rerank arm: BM25 candidates + dense cosine as the semantic score
         n_cand = resolve_rerank_candidates(10)
         cands_scored = s.search(qtext, k=n_cand, method="exact")

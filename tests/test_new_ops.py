@@ -458,3 +458,59 @@ def test_cap_per_source(ray_session, tmp_path):
     # membership = 10 smallest by (md5(doc_id), doc_id) within the source
     expect = sorted(range(25), key=lambda d: (md5_u64(str(d).encode()), d))[:10]
     assert sorted(big) == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# IDF-weighted hash embeddings
+
+
+def test_bucket_doc_freq_counts(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.dedup import md5_u64
+    from vexor_ray.functions.embed import bucket_doc_freq
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["alpha beta", "alpha beta", ""],  # bigram: "alpha beta"
+            }
+        )
+    )
+    df, n_docs = bucket_doc_freq(docs, dim=16, mode="word", n=2)
+    assert n_docs == 3
+    b = md5_u64(b"alpha beta") % 16
+    assert df[b] == 2  # two docs contain the bigram; empty doc counts nowhere
+    assert df.sum() == 2
+
+
+def test_idf_weights_dyadic_and_monotone():
+    from vexor_ray.functions.embed import IDF_QUANT, idf_weights
+
+    df = np.array([0, 1, 10, 99], dtype=np.int64)
+    w = idf_weights(df, n_docs=99)
+    # dyadic grid: exact multiples of 1/1024
+    assert np.all(w * IDF_QUANT == np.round(w * IDF_QUANT))
+    # rarer bucket -> larger weight; always positive
+    assert np.all(np.diff(w) < 0) and np.all(w > 0)
+
+
+def test_hash_embed_idf_downweights_common_grams():
+    from vexor_ray.functions.embed import hash_embed, idf_weights
+
+    dim = 32
+    # bucket of "common gram" gets df=90/100 docs, the rest df=1
+    from vexor_ray.functions.dedup import md5_u64
+
+    common = "the cat"
+    rare = "quetzal xylophone"
+    df = np.ones(dim, dtype=np.int64)
+    df[md5_u64(common.encode()) % dim] = 90
+    idf = idf_weights(df, n_docs=100)
+    emb = hash_embed([common + " " + rare.split()[0] + " " +
+                      rare.split()[1]], dim=dim, n=2, mode="word",
+                     as_float32=False, idf=idf)[0]
+    b_common = md5_u64(common.encode()) % dim
+    b_rare = md5_u64(rare.encode()) % dim
+    assert abs(emb[b_rare]) > abs(emb[b_common])  # rare gram dominates
