@@ -579,6 +579,12 @@ def _q_cms_counts(sf_dir: str):
     return cms_token_counts(_docs_ds(sf_dir))
 
 
+def _q_lm_quality(sf_dir: str):
+    from vexor_ray.functions.sketch import lm_quality
+
+    return lm_quality(_docs_ds(sf_dir))
+
+
 def _q_range_join(sf_dir: str):
     from vexor_ray.pipelines.joins import range_join_events
 
@@ -724,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "cap_per_source": _q_cap_per_source,
         "hash_embed_idf": _q_hash_embed_idf,
+        "lm_quality": _q_lm_quality,
     }
 
 
@@ -1340,6 +1347,31 @@ SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
 FROM documents GROUP BY source ORDER BY source""",
+        "lm_quality": f"""
+WITH occ AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM occ GROUP BY doc_id, tok),
+cnts AS (SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok),
+tt AS (SELECT SUM(c) AS t FROM cnts),
+js AS (SELECT unnest(range(0, 4)) AS j),
+cells AS (SELECT js.j,
+                 md5_number_lower('cms|' || CAST(js.j AS VARCHAR) || '|' || tok)
+                   % 1024 AS cell,
+                 SUM(c) AS cnt
+          FROM cnts CROSS JOIN js GROUP BY js.j, cell),
+est AS (SELECT v.tok, MIN(cells.cnt) AS e
+        FROM cnts v CROSS JOIN js
+        JOIN cells ON cells.j = js.j
+          AND cells.cell = md5_number_lower(
+                'cms|' || CAST(js.j AS VARCHAR) || '|' || v.tok) % 1024
+        GROUP BY v.tok),
+q AS (SELECT est.tok,
+             floor(ln(est.e * 1.0 / tt.t) * 1048576 + 0.5) / 1048576 AS lq
+      FROM est CROSS JOIN tt),
+per AS (SELECT tf.doc_id, SUM(tf.c) AS n_tokens, SUM(tf.c * q.lq) AS s
+        FROM tf JOIN q ON q.tok = tf.tok GROUP BY tf.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(s / n_tokens, 6) AS avg_logp
+FROM per ORDER BY doc_id""",
         "decontaminate": f"""
 WITH tl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 w0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i

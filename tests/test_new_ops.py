@@ -514,3 +514,28 @@ def test_hash_embed_idf_downweights_common_grams():
     b_common = md5_u64(common.encode()) % dim
     b_rare = md5_u64(rare.encode()) % dim
     assert abs(emb[b_rare]) > abs(emb[b_common])  # rare gram dominates
+
+
+def test_lm_quality_prefers_common_tokens(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.sketch import lm_quality
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "common common common common",   # high-prob tokens
+                    "zyxwv qporst unique tokens",    # rare tokens
+                    "",                              # no tokens -> no row
+                ],
+            }
+        )
+    )
+    out = lm_quality(docs).to_pandas().set_index("doc_id")
+    assert out.index.tolist() == [1, 2]
+    assert out.loc[1, "n_tokens"] == 4
+    # the all-common doc scores strictly higher (less negative) avg logp
+    assert out.loc[1, "avg_logp"] > out.loc[2, "avg_logp"]
+    assert (out["avg_logp"] < 0).all()

@@ -207,3 +207,82 @@ def cms_token_counts(
             "est_count": pa.array(ests, type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketched unigram-LM quality scoring (KenLM-shape with count-min counts)
+
+LM_QUANT = 1 << 20  # log-probs quantized to 2^-20 dyadic grid (exact sums)
+
+
+def cms_merged(docs: ray.data.Dataset) -> np.ndarray:
+    """Merged (d, w) count-min counters over the corpus (driver-side; the
+    reduced state is ~32 KB regardless of corpus size)."""
+    partials = docs.map_batches(
+        cms_partial_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    rows = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for df in partials.iter_batches(batch_format="pandas", batch_size=None):
+        np.add.at(
+            rows,
+            (df["row"].to_numpy(), df["cell"].to_numpy()),
+            df["cnt"].to_numpy(),
+        )
+    return rows
+
+
+def lm_quality(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document average token log-probability under a sketched unigram
+    LM — the perplexity-style quality signal (CCNet/KenLM shape) with
+    count-min-estimated counts instead of a vocabulary table.
+
+    Scale story: the "model" is the merged CMS (~32 KB) + the total token
+    count, broadcast via ``ray.put`` — never a vocabulary-sized dict.  Two
+    linear scans (count pass, score pass), no shuffle.  Per-token log-probs
+    are quantized to the 2^-20 dyadic grid so per-doc sums are exact in any
+    accumulation order — the SQL oracle reproduces ``avg_logp`` bit-for-bit
+    (upper-bound CMS estimates make scores slightly optimistic for rare
+    tokens; that bias is the standard sketch trade-off and identical on
+    both sides).
+    """
+    import math
+
+    import ray as _ray
+
+    rows = cms_merged(docs)
+    total = int(rows[0].sum())  # row 0 counts every occurrence exactly once
+    rows_ref = _ray.put(rows)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cms = _ray.get(rows_ref)
+        out_id, out_n, out_avg = [], [], []
+        qcache: dict[str, float] = {}
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            counts = Counter(TOKEN_RE.findall(t.lower()) if t else ())
+            n = sum(counts.values())
+            if n == 0:
+                continue
+            s = 0.0
+            for tok, c in counts.items():
+                q = qcache.get(tok)
+                if q is None:
+                    est = min(cms[j, _cms_cell(tok, j)] for j in range(_CMS_D))
+                    q = math.floor(math.log(est / total) * LM_QUANT + 0.5) / LM_QUANT
+                    qcache[tok] = q
+                s += c * q  # int * dyadic -> exact; order-independent
+            out_id.append(d)
+            out_n.append(n)
+            out_avg.append(math.floor((s / n) * 1e6 + 0.5) / 1e6)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "n_tokens": pa.array(out_n, type=pa.int64()),
+                "avg_logp": pa.array(out_avg, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
