@@ -118,7 +118,8 @@ def test_compaction_merges_generations(incr_setup):
 
     manifest = compact_index(incr_setup["pages"], idx, _cfg())
     for w, gens in manifest["wave_gens"].items():
-        assert [g["gen"] for g in gens] == [0]
+        # one FULL generation per wave (numbered after the deltas it merged)
+        assert len(gens) == 1 and gens[0]["full"]
         assert gens[0]["covers_files"] == [0, 1, 2, 3]
     # tokenize stage untouched (docs_tok records keep their committed_at)
     tok_names = {
@@ -137,3 +138,48 @@ def test_config_change_forces_full_rebuild(incr_setup, tmp_path):
     for w, gens in manifest["wave_gens"].items():
         assert [g["gen"] for g in gens] == [0]
         assert gens[0]["covers_files"] == [0, 1, 2, 3]
+
+
+def test_compaction_crash_leaves_old_index_readable(ray_session, tmp_path):
+    """A kill at ANY point during compaction must leave the committed index
+    fully readable (the crash-safety protocol: old generations are deleted
+    only after the new manifest commits)."""
+    from pathlib import Path
+
+    from vexor_ray.index.build import compact_index
+    from vexor_ray.index.manifest import InjectedFault
+
+    # self-contained index with an incremental history (gens [0, 1])
+    pages = write_pages(tmp_path / "pages", 200, seed=42, rows_per_file=50)
+    idx = tmp_path / "idx_crash"
+    build_index(pages, idx, _cfg())
+    shards = sorted(pages.glob("part-*.parquet"))
+    pq.write_table(generate_pages(120, seed=55).slice(20, 40), shards[1])
+    manifest_before = build_index(pages, idx, _cfg())
+    assert all(len(g) == 2 for g in manifest_before["wave_gens"].values())
+    queries = generate_queries(10, seed=33)
+    want = [Searcher(idx).search(q["query"], k=10, method="exact") for q in queries]
+
+    # kill mid-compaction (after the first segment-partition commit)
+    with pytest.raises(InjectedFault):
+        compact_index(pages, idx, _cfg(fail_after_partitions=1))
+
+    # the previously committed manifest is untouched and fully readable
+    s = Searcher(idx)
+    got = [s.search(q["query"], k=10, method="exact") for q in queries]
+    assert got == want
+
+    # a re-run finishes the compaction; results unchanged; old gens GC'd
+    manifest = compact_index(pages, idx, _cfg())
+    for w, gens in manifest["wave_gens"].items():
+        assert len(gens) == 1 and gens[0]["full"]
+    seg_dirs = sorted(p.name for p in (idx / "segments").iterdir())
+    live = {
+        Path(f).parent.name
+        for gens in manifest["wave_gens"].values()
+        for g in gens
+        for f in g["files"]
+    }
+    assert set(seg_dirs) == live  # no superseded/orphan dirs survive
+    got = [Searcher(idx).search(q["query"], k=10, method="exact") for q in queries]
+    assert got == want

@@ -340,15 +340,25 @@ def compact_index(
     out_dir: str | Path,
     cfg: "BuildConfig | None" = None,
 ) -> dict:
-    """Merge all delta generations back into a single gen-0 per wave.
+    """Merge all delta generations back into a single FULL generation per
+    wave, crash-safely.
 
     Long incremental histories fragment per-term chunk lists (the query
     layer merges per-generation chunks and filters superseded salts on
-    every lookup).  Compaction drops every committed segment generation and
-    re-runs the posting shuffle from the — unchanged, therefore skipped —
-    ``docs_tok`` checkpoint: tokenization is NOT repeated, only stage 3.
-    Results are bit-identical (same postings, same stats); queries against
-    the old manifest keep working until the new one is atomically renamed.
+    every lookup).  Compaction re-runs the posting shuffle over ALL shard
+    groups from the — unchanged, therefore skipped — ``docs_tok``
+    checkpoint (tokenization is NOT repeated) into a NEW generation marked
+    ``full``; results are bit-identical (same postings, same stats).
+
+    Crash-safety protocol: old generations are left on disk until the new
+    manifest (which references only the full generation) has atomically
+    committed, so the previously committed manifest stays fully readable
+    at every instant — a kill at ANY point leaves either the old index or
+    the new one, never a manifest pointing at deleted files.  Superseded
+    records/dirs are garbage-collected afterwards (idempotent: a kill
+    mid-cleanup is finished by the next compaction; orphan dirs are never
+    referenced and get overwritten by the atomic dir writer if their name
+    is ever reused).
     """
     out = Path(out_dir)
     if cfg is None:
@@ -360,14 +370,46 @@ def compact_index(
         recorded = dict(load_manifest(out)["config"])
         recorded.pop("term_hasher", None)
         cfg = BuildConfig(**recorded)
+    result = build_index(source, out_dir, cfg, compact=True)
+
+    # GC superseded generations — only AFTER the new manifest committed
     manifest = BuildManifest(out)
-    for rec in list(manifest.load_partitions().values()):
+    by_wave: dict[int, list] = {}
+    for rec in manifest.load_partitions().values():
         if rec.stage == "segments":
-            manifest.delete_partition(rec.key())
-            d = out / "segments" / rec.partition_id
+            by_wave.setdefault(rec.lineage.get("wave"), []).append(rec)
+    removed = False
+    for recs in by_wave.values():
+        recs.sort(key=lambda r: r.lineage.get("gen", 0))
+        base = 0
+        for i, r in enumerate(recs):
+            if r.lineage.get("full") or r.lineage.get("gen", 0) == 0:
+                base = i
+        for r in recs[:base]:
+            # record first (so a half-done GC never resurrects the gen),
+            # then the now-unreferenced files
+            manifest.delete_partition(r.key())
+            d = out / "segments" / r.partition_id
             if d.exists():
                 shutil.rmtree(d)
-    return build_index(source, out_dir, cfg)
+            removed = True
+    if removed:
+        # refresh the manifest's informational partition list (waves /
+        # wave_gens / stats are unchanged — they already exclude the
+        # superseded generations)
+        from .manifest import load_manifest
+
+        man = load_manifest(out)
+        result = manifest.finalize(
+            config=man["config"],
+            stats=man["stats"],
+            extra={
+                k: man[k]
+                for k in man
+                if k not in ("format_version", "config", "stats", "partitions")
+            },
+        )
+    return result
 
 
 # --------------------------------------------------------------------------
@@ -470,11 +512,18 @@ def build_index(
     source: str | Path | list,
     out_dir: str | Path,
     cfg: BuildConfig | None = None,
+    *,
+    compact: bool = False,
 ) -> dict:
     """Build (or resume) an index at ``out_dir`` from pages parquet shards.
 
     Returns the final manifest dict.  Safe to re-run: completed partitions
-    are skipped via the checkpoint manifest.
+    are skipped via the checkpoint manifest.  With ``compact=True`` every
+    wave whose newest generation is not already a full cover is rebuilt
+    from ALL shard groups into a new generation marked ``full`` — old
+    generations stay on disk (and the previously committed manifest stays
+    valid) until ``compact_index`` deletes them after the new manifest
+    commit.
     """
     cfg = cfg or BuildConfig()
     out = Path(out_dir)
@@ -671,7 +720,14 @@ def build_index(
                     for gid, fp in group_fp_now.items()
                     if prev_cover[gid] != fp
                 )
-                if not dirty:
+                last_full = gens[-1].lineage.get("full") or (
+                    gens[-1].lineage.get("gen", 0) == 0
+                )
+                if compact:
+                    if not dirty and last_full:
+                        continue  # newest gen already covers everything
+                    dirty = sorted(group_fp_now)  # full cover into a new gen
+                elif not dirty:
                     continue  # wave fully up to date
                 next_gen = gens[-1].lineage.get("gen", 0) + 1
             else:
@@ -697,6 +753,9 @@ def build_index(
                 "gen": next_gen,
                 "cfg_fp": cfg_fp,
                 "avgdl": avg_doc_len,
+                # a FULL generation covers every group and supersedes all
+                # earlier generations (gen 0 is implicitly full)
+                "full": next_gen == 0 or set(dirty) == set(group_fp_now),
                 "group_fps": {g: group_fp_now[g] for g in dirty},
                 "covers_files": sorted(
                     fi for g in dirty for fi in group_file_indices[g]
@@ -804,6 +863,10 @@ def build_index(
             wave_gens.setdefault(rec.lineage["wave"], []).append(
                 {
                     "gen": rec.lineage.get("gen", 0),
+                    "full": bool(
+                        rec.lineage.get("full")
+                        or rec.lineage.get("gen", 0) == 0
+                    ),
                     "files": rec.output_files,
                     # per-file th min/max from the parquet footers, recorded
                     # once at build commit so every query process can prune
@@ -813,8 +876,16 @@ def build_index(
                     "avgdl": rec.lineage.get("avgdl", avg_doc_len),
                 }
             )
-    for gens in wave_gens.values():
+    for w, gens in wave_gens.items():
         gens.sort(key=lambda g: g["gen"])
+        # generations older than the newest FULL one are superseded in
+        # their entirety: the manifest exposes only the live suffix (the
+        # stale dirs/records are garbage-collected by compact_index AFTER
+        # this manifest commits, so readers never see dangling files)
+        base = max(
+            (i for i, g in enumerate(gens) if g["full"]), default=0
+        )
+        wave_gens[w] = gens[base:]
     return manifest.finalize(
         config=cfg.public_dict(),
         stats={
