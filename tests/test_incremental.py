@@ -183,3 +183,33 @@ def test_compaction_crash_leaves_old_index_readable(ray_session, tmp_path):
     assert set(seg_dirs) == live  # no superseded/orphan dirs survive
     got = [Searcher(idx).search(q["query"], k=10, method="exact") for q in queries]
     assert got == want
+
+
+def test_live_searcher_survives_online_compaction(ray_session, tmp_path):
+    """A long-lived Searcher created before a compaction keeps answering
+    (bit-identically) after the superseded generations are GC'd: the
+    missing-file retry reloads the new manifest once."""
+    from vexor_ray.index.build import compact_index
+
+    pages = write_pages(tmp_path / "pages", 200, seed=42, rows_per_file=50)
+    idx = tmp_path / "idx_live"
+    build_index(pages, idx, _cfg())
+    shards = sorted(pages.glob("part-*.parquet"))
+    pq.write_table(generate_pages(120, seed=55).slice(20, 40), shards[1])
+    build_index(pages, idx, _cfg())
+
+    s_live = Searcher(idx)  # holds the pre-compaction manifest
+    queries = generate_queries(10, seed=44)
+    want = [s_live.search(q["query"], k=10, method="exact") for q in queries[:3]]
+
+    compact_index(pages, idx, _cfg())  # replaces + deletes old segment dirs
+
+    # cached terms keep answering from the decoded cache; NEW terms hit the
+    # deleted files and must transparently refresh
+    got_cached = [s_live.search(q["query"], k=10, method="exact") for q in queries[:3]]
+    assert got_cached == want
+    fresh = Searcher(idx)
+    for q in queries[3:]:
+        assert s_live.search(q["query"], k=10, method="exact") == fresh.search(
+            q["query"], k=10, method="exact"
+        )

@@ -539,3 +539,76 @@ def test_lm_quality_prefers_common_tokens(ray_session):
     # the all-common doc scores strictly higher (less negative) avg logp
     assert out.loc[1, "avg_logp"] > out.loc[2, "avg_logp"]
     assert (out["avg_logp"] < 0).all()
+
+
+# ---------------------------------------------------------------------------
+# randomized brute-force cross-checks
+
+
+def test_substring_dup_stats_matches_bruteforce_random(ray_session):
+    import random
+
+    import ray.data
+
+    from vexor_ray.functions.dedup import substring_dup_stats
+    from vexor_ray.spec import TOKEN_RE
+
+    rng = random.Random(123)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(60)
+    ]
+    W = 5
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(60)), "text": texts})
+    )
+    got = (
+        substring_dup_stats(docs, window=W)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # brute force: count every window occurrence corpus-wide
+    from collections import Counter
+
+    occ = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for d, t in enumerate(texts):
+        toks = TOKEN_RE.findall(t.lower())
+        wins = [" ".join(toks[i : i + W]) for i in range(max(len(toks) - W + 1, 0))]
+        per_doc[d] = wins
+        occ.update(wins)
+    for d, wins in per_doc.items():
+        if not wins:
+            assert d not in got.index
+            continue
+        n_dup = sum(occ[w] >= 2 for w in wins)
+        assert got.loc[d, "n_windows"] == len(wins)
+        assert got.loc[d, "n_dup_windows"] == n_dup
+
+
+def test_pack_sequences_matches_numpy_random(ray_session, tmp_path):
+    import random
+
+    from vexor_ray.pipelines.relational import pack_sequences
+    from vexor_ray.spec import TOKEN_RE
+
+    rng = random.Random(7)
+    texts = [
+        " ".join("tok" for _ in range(rng.randint(0, 40))) for _ in range(200)
+    ]
+    pd.DataFrame({"doc_id": range(200), "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    cap = 64
+    out = (
+        pack_sequences(str(tmp_path), capacity=cap, n_ranges=7)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    n_tokens = np.array([len(TOKEN_RE.findall(t)) for t in texts])
+    starts = np.concatenate(([0], np.cumsum(n_tokens)[:-1]))
+    assert out["n_tokens"].tolist() == n_tokens.tolist()
+    assert out["bin_id"].tolist() == (starts // cap).tolist()

@@ -249,8 +249,30 @@ class Searcher:
         )
         return [f for f, h in zip(files, hit) if h]
 
+    def refresh(self) -> None:
+        """Reload the committed manifest and segment layout in place.
+
+        Needed when an online compaction replaced the segment files under a
+        long-lived searcher: the new manifest references the new (bit-
+        identical) generation.  Decoded caches are dropped with the rest of
+        the state — refresh is a rare event, warmth rebuilds on use.
+        """
+        self.__init__(self.index_dir)
+
     def term_chunks(self, terms: list[str]) -> dict[str, list[dict]]:
-        """Fetch encoded posting chunks for each term (wave + row-group pruned).
+        """Fetch encoded posting chunks for each term, surviving an online
+        compaction: if a referenced segment file disappeared (compaction
+        GC'd the superseded generation after committing a new manifest),
+        reload the manifest once and retry — compaction is bit-identical by
+        contract, so results are unchanged."""
+        try:
+            return self._term_chunks_once(terms)
+        except FileNotFoundError:
+            self.refresh()
+            return self._term_chunks_once(terms)
+
+    def _term_chunks_once(self, terms: list[str]) -> dict[str, list[dict]]:
+        """One attempt at the pruned segment read (see ``term_chunks``).
 
         Chunks for one term are returned in ascending salt (doc-range) order,
         so their concatenation is globally docID-ascending.
