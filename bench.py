@@ -226,6 +226,25 @@ def bench_operators() -> dict:
     t0 = time.perf_counter()
     pack_sequences(SF_DIR).count()
     out["pack_sequences"] = round(time.perf_counter() - t0, 3)
+
+    from vexor_ray.functions.sketch import lm_quality
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t0 = time.perf_counter()
+    lm_quality(docs).count()
+    out["lm_quality"] = round(time.perf_counter() - t0, 3)
+
+    from vexor_ray.functions.dedup import decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    eval_docs = docs.limit(10)
+    t0 = time.perf_counter()
+    decontaminate(docs, eval_docs, window=8).count()
+    out["decontaminate"] = round(time.perf_counter() - t0, 3)
     return out
 
 
