@@ -585,6 +585,44 @@ def _q_lm_quality(sf_dir: str):
     return lm_quality(_docs_ds(sf_dir))
 
 
+def _q_brief_keywords(sf_dir: str):
+    from vexor_ray.functions.textstats import brief_keywords
+
+    return brief_keywords(_docs_ds(sf_dir))
+
+
+def _brief_keywords_sql() -> str:
+    """Reference-faithful brief keywords in SQL: word + CJK-run passes,
+    shared counts, (count desc, pass, first-occurrence) rank order, display
+    form = first raw occurrence."""
+    from vexor_ray.functions.textstats import _BRIEF_STOP, _BRIEF_STOP_ZH
+
+    stop = ", ".join(f"'{s}'" for s in sorted(_BRIEF_STOP))
+    stop_zh = ", ".join(f"'{s}'" for s in sorted(_BRIEF_STOP_ZH))
+    return f"""
+WITH sn AS (SELECT doc_id, substr(text, 1, 4000) AS t FROM documents),
+w AS (SELECT doc_id, regexp_extract_all(t, '[A-Za-z][A-Za-z0-9_-]+') AS toks FROM sn),
+we AS (SELECT doc_id, unnest(toks) AS raw, generate_subscripts(toks, 1) AS i FROM w),
+wk AS (SELECT doc_id, lower(raw) AS key, raw, i FROM we
+       WHERE length(raw) >= 3 AND lower(raw) NOT IN ({stop})),
+wagg AS (SELECT doc_id, key, COUNT(*) AS c, MIN(i) AS fi,
+                arg_min(raw, i) AS display
+         FROM wk GROUP BY doc_id, key),
+cj AS (SELECT doc_id, regexp_extract_all(t, '[一-鿿]{{2,}}') AS toks FROM sn),
+ce AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM cj),
+ck AS (SELECT doc_id, tok, i FROM ce WHERE tok NOT IN ({stop_zh})),
+cagg AS (SELECT doc_id, tok AS display, COUNT(*) AS c, MIN(i) AS fi
+         FROM ck GROUP BY doc_id, tok),
+allk AS (SELECT doc_id, display, c, 0 AS pass, fi FROM wagg
+         UNION ALL SELECT doc_id, display, c, 1, fi FROM cagg),
+rk AS (SELECT doc_id, display AS keyword,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, pass, fi) AS kw_rank
+       FROM allk)
+SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, keyword
+FROM rk WHERE kw_rank <= 20 ORDER BY doc_id, kw_rank"""
+
+
 def _q_range_join(sf_dir: str):
     from vexor_ray.pipelines.joins import range_join_events
 
@@ -731,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "hash_embed_idf": _q_hash_embed_idf,
         "lm_quality": _q_lm_quality,
+        "brief_keywords": _q_brief_keywords,
     }
 
 
@@ -1347,6 +1386,7 @@ SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
 FROM documents GROUP BY source ORDER BY source""",
+        "brief_keywords": _brief_keywords_sql(),
         "lm_quality": f"""
 WITH occ AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM occ GROUP BY doc_id, tok),

@@ -612,3 +612,36 @@ def test_pack_sequences_matches_numpy_random(ray_session, tmp_path):
     starts = np.concatenate(([0], np.cumsum(n_tokens)[:-1]))
     assert out["n_tokens"].tolist() == n_tokens.tolist()
     assert out["bin_id"].tolist() == (starts // cap).tolist()
+
+
+def test_brief_keywords_reference_semantics(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.textstats import brief_keywords
+
+    text = (
+        "Widget the and for WIDGET gadget 中文关键 的 中文关键 gadget widget "
+        "gadget ab a-b"
+    )
+    docs = ray.data.from_arrow(pa.table({"doc_id": [1], "text": [text]}))
+    out = brief_keywords(docs).to_pandas().sort_values("kw_rank")
+    # counts: widget 3, gadget 3, 中文关键 2, a-b 1; stopwords/len<3 dropped;
+    # ties (widget==gadget) break by first occurrence; display = first raw
+    # form ("Widget", capitalized); CJK keys rank after word keys at equal
+    # counts but here counts differ
+    assert out["keyword"].tolist() == ["Widget", "gadget", "中文关键", "a-b"]
+    assert out["kw_rank"].tolist() == [1, 2, 3, 4]
+
+
+def test_brief_keywords_cjk_after_words_on_ties(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.textstats import brief_keywords
+
+    # equal counts: CJK token occurs FIRST in the text but must rank after
+    # the word keys (reference inserts all word keys before any CJK key)
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": [1], "text": ["汉字词 alpha beta 汉字词 alpha beta"]})
+    )
+    out = brief_keywords(docs).to_pandas().sort_values("kw_rank")
+    assert out["keyword"].tolist() == ["alpha", "beta", "汉字词"]

@@ -448,3 +448,80 @@ def scrub_batch(batch: pa.Table) -> pa.Table:
 
 def scrub(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(scrub_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Reference-faithful brief keywords (vexor/services/keyword_service.py:67-107)
+
+_BRIEF_CHAR_LIMIT = 4000
+_BRIEF_LIMIT = 20
+_BRIEF_WORD_RE = None  # compiled lazily (module import stays light)
+_BRIEF_CJK_RE = None
+_BRIEF_STOP = frozenset(
+    "the and for are with this that from have will should must need user "
+    "users data when your their about into which within where while there "
+    "only each more than also such shall can may our per any all like been "
+    "over ensure including include".split()
+)
+_BRIEF_STOP_ZH = frozenset(
+    ["的", "了", "和", "或", "及", "需要", "支持", "功能", "用户", "系统"]
+)
+
+
+def brief_keywords_batch(batch: pa.Table, *, limit: int = _BRIEF_LIMIT) -> pa.Table:
+    """(doc_id, text) → exploded (doc_id, kw_rank, keyword).
+
+    Bit-faithful to the reference's ``_extract_keywords``
+    (``vexor/services/keyword_service.py:86-107``): word tokens
+    ``[A-Za-z][A-Za-z0-9_-]+`` lowercased, len>=3, 44-word stopword set;
+    CJK runs ``[\\u4e00-\\u9fff]{2,}`` minus the ZH stopword set; counts
+    shared across both passes; ``Counter.most_common`` ranking with the
+    insertion-order tie-break (all word keys enter before all CJK keys);
+    the DISPLAY form is the first raw occurrence (case preserved).  Input
+    snippet = first 4000 chars (the BRIEF_CHAR_LIMIT head cap).
+    """
+    import re
+    from collections import Counter
+
+    global _BRIEF_WORD_RE, _BRIEF_CJK_RE
+    if _BRIEF_WORD_RE is None:
+        _BRIEF_WORD_RE = re.compile(r"[A-Za-z][A-Za-z0-9_-]+")
+        _BRIEF_CJK_RE = re.compile("[一-鿿]{2,}")
+
+    out_id, out_rank, out_kw = [], [], []
+    for d, t in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        snippet = (t or "")[:_BRIEF_CHAR_LIMIT]
+        display: dict[str, str] = {}
+        counter: Counter = Counter()
+        for m in _BRIEF_WORD_RE.finditer(snippet):
+            raw = m.group(0)
+            key = raw.lower()
+            if len(key) < 3 or key in _BRIEF_STOP:
+                continue
+            counter[key] += 1
+            display.setdefault(key, raw)
+        for m in _BRIEF_CJK_RE.finditer(snippet):
+            token = m.group(0)
+            if token in _BRIEF_STOP_ZH:
+                continue
+            counter[token] += 1
+            display.setdefault(token, token)
+        for rank, (key, _c) in enumerate(counter.most_common(limit), start=1):
+            out_id.append(d)
+            out_rank.append(rank)
+            out_kw.append(display[key])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "kw_rank": pa.array(out_rank, type=pa.int64()),
+            "keyword": pa.array(out_kw, type=pa.string()),
+        }
+    )
+
+
+def brief_keywords(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(
+        brief_keywords_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
