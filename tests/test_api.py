@@ -24,3 +24,27 @@ def test_index_in_memory_roundtrip(ray_session):
         root = idx._root
         assert root is not None and Path(root).exists()
     assert root is not None and not Path(root).exists()  # cleaned up on exit
+
+
+def test_clear_index_refuses_non_index_dirs(tmp_path):
+    from vexor_ray.api import clear_index
+
+    victim = tmp_path / "precious"
+    victim.mkdir()
+    (victim / "data.txt").write_text("not an index")
+    assert clear_index(victim) is False
+    assert (victim / "data.txt").exists()  # untouched
+    assert clear_index(tmp_path / "missing") is False
+
+
+def test_clear_index_removes_real_index(ray_session, tmp_path):
+    from vexor_ray.api import clear_index, index_in_memory
+
+    idx = index_in_memory([("u1", "hello world"), ("u2", "other text")])
+    try:
+        d = idx.searcher.index_dir
+        assert d.exists()
+        assert clear_index(d) is True
+        assert not d.exists()
+    finally:
+        idx.close()

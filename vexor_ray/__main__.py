@@ -78,7 +78,17 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--query", required=True)
     f.add_argument("-k", type=int, default=10)
 
+    cl = sub.add_parser("clear", help="delete a persisted index directory")
+    cl.add_argument("--index", required=True)
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "clear":
+        from vexor_ray.api import clear_index
+
+        removed = clear_index(args.index)
+        print(json.dumps({"removed": removed, "index": args.index}))
+        return 0 if removed else 1
 
     if args.cmd == "ingest":
         _init_ray(args.num_cpus)

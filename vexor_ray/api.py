@@ -104,3 +104,25 @@ def index_in_memory(
     except Exception:
         shutil.rmtree(root, ignore_errors=True)
         raise
+
+
+def clear_index(index_dir: str | Path) -> bool:
+    """Delete a persisted index directory — the analogue of the reference's
+    ``clear_index`` (``vexor/api.py:693-718`` → ``_clear_index_with_settings``
+    deleting the directory's cached index rows).
+
+    Safety: refuses (returns False, deletes nothing) unless the directory
+    actually looks like a vexor_ray index — a committed ``manifest.json``
+    or an in-progress ``_manifest/`` checkpoint directory — so a mistyped
+    path can never take out an unrelated tree.  Returns True if an index
+    was removed.
+    """
+    d = Path(index_dir)
+    if not d.is_dir():
+        return False
+    from .index.manifest import MANIFEST_NAME
+
+    if not (d / MANIFEST_NAME).exists() and not (d / "_manifest").is_dir():
+        return False
+    shutil.rmtree(d)
+    return True
