@@ -81,6 +81,14 @@ class DecodeImage:
         feat = np.resize(feat, self.feat_dim)
         return arr.shape[1], arr.shape[0], feat
 
+    def _decode_gif(self, payload: bytes):
+        from .gif import decode_gif
+
+        arr = decode_gif(payload).astype(np.float64)
+        feat = arr.mean(axis=(0, 1)).ravel() / 255.0  # per-channel means
+        feat = np.resize(feat, self.feat_dim)
+        return arr.shape[1], arr.shape[0], feat
+
     def _decode_fake(self, payload: bytes):
         # all values are md5-derived (DuckDB md5_number_lower parity) so the
         # stub is value-checkable by the SQL oracle, not just shape-checked;
@@ -98,6 +106,7 @@ class DecodeImage:
         return width, height, feat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .gif import is_gif
         from .jpeg import is_jpeg
         from .png import is_png
 
@@ -110,6 +119,8 @@ class DecodeImage:
                 w, h, f = self._decode_png(p)
             elif p and is_jpeg(p):
                 w, h, f = self._decode_jpeg(p)
+            elif p and is_gif(p):
+                w, h, f = self._decode_gif(p)
             else:
                 w, h, f = self._decode_fake(p)
             widths.append(w)
