@@ -698,6 +698,12 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir, capacity=2048)
 
 
+def _q_training_export(sf_dir: str):
+    from vexor_ray.pipelines.relational import training_export
+
+    return training_export(sf_dir, capacity=2048)
+
+
 def _q_embedding_dup_clusters(sf_dir: str):
     import ray.data
 
@@ -770,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed_idf": _q_hash_embed_idf,
         "lm_quality": _q_lm_quality,
         "brief_keywords": _q_brief_keywords,
+        "training_export": _q_training_export,
     }
 
 
@@ -1387,6 +1394,17 @@ SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
        ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
 FROM documents GROUP BY source ORDER BY source""",
         "brief_keywords": _brief_keywords_sql(),
+        "training_export": f"""
+WITH keep AS ({_clean_corpus_sql()}),
+t AS (SELECT d.doc_id, len({_TOKS}) AS n_tokens
+      FROM documents d JOIN keep USING (doc_id)),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - n_tokens AS start
+      FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start // 2048 AS BIGINT) AS bin_id
+FROM c ORDER BY doc_id""",
         "lm_quality": f"""
 WITH occ AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM occ GROUP BY doc_id, tok),

@@ -645,3 +645,33 @@ def test_brief_keywords_cjk_after_words_on_ties(ray_session):
     )
     out = brief_keywords(docs).to_pandas().sort_values("kw_rank")
     assert out["keyword"].tolist() == ["alpha", "beta", "汉字词"]
+
+
+def test_training_export_packs_only_survivors(ray_session, tmp_path):
+    from vexor_ray.functions.dedup import clean_corpus
+    from vexor_ray.pipelines.relational import training_export
+    import ray.data
+
+    # survivors need >= 25 tokens + low repetition to pass quality_filter
+    def good(i):
+        return " ".join(f"tok{i}w{j} filler{j}" for j in range(20))
+
+    texts = [good(0), good(1), "short junk", good(2)]
+    pd.DataFrame({"doc_id": range(4), "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = (
+        training_export(str(tmp_path), capacity=50)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    keep = set(
+        clean_corpus(
+            ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+        ).to_pandas()["doc_id"]
+    )
+    assert set(out["doc_id"]) == keep  # doc 2 (junk) is gone
+    assert 2 not in set(out["doc_id"])
+    # bins = exclusive prefix sums over SURVIVORS in doc_id order
+    starts = out["n_tokens"].cumsum() - out["n_tokens"]
+    assert out["bin_id"].tolist() == (starts // 50).tolist()

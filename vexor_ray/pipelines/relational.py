@@ -643,19 +643,44 @@ def pack_sequences(
     inside each co-located range and adds its offset.  Both passes move
     only (doc_id, n_tokens) int pairs.
     """
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.groups import coarse_grouped, int_pid
     from ..functions.textstats import token_count_batch
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     toks = docs.map_batches(
         token_count_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # two passes below; never re-tokenize
+    )
+    return pack_token_table(toks, capacity=capacity, n_ranges=n_ranges)
 
-    n_docs = toks.count()
-    range_size = max(1, -(-n_docs // n_ranges))  # ceil; doc_ids are dense
+
+def pack_token_table(
+    toks: ray.data.Dataset, *, capacity: int, n_ranges: int = 64
+) -> ray.data.Dataset:
+    """Global ordered prefix-sum packing over a (doc_id, n_tokens) table.
+
+    doc_ids need not be dense (gaps from upstream filtering are fine):
+    ranges partition the id SPACE, so a range is just a contiguous id
+    interval whose rows co-locate; bins come only from global prefix sums.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import coarse_grouped, int_pid
+
+    toks = toks.materialize()  # two passes below; never recompute upstream
+    if toks.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "bin_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    max_id = int(toks.max("doc_id"))
+    range_size = max(1, -(-(max_id + 1) // n_ranges))  # ceil over the id space
 
     def add_range(batch: pa.Table) -> pa.Table:
         rid = batch.column("doc_id").to_numpy() // range_size
@@ -723,3 +748,65 @@ def cap_per_source(sf_dir: str, cap: int = 10) -> ray.data.Dataset:
         return df.loc[rnk < cap, ["doc_id", "source"]].astype({"doc_id": "int64"})
 
     return coarse_grouped(ds, lambda b: str_pid(b, "source", 64), pick)
+
+
+def training_export(sf_dir: str, capacity: int = 2048) -> ray.data.Dataset:
+    """Flagship training-data composition: clean → semi-join → pack.
+
+    ``clean_corpus`` (quality filter ∧ exact-dup keep-first ∧ near-dup
+    canonical) produces the surviving doc_id keep-list; a distributed
+    tagged-union semi-join restricts the (doc_id, n_tokens) table to
+    survivors (narrow int rows, one coarse hash shuffle — no broadcast of
+    the corpus-sized keep-list); the survivors pack into fixed
+    token-budget bins in doc_id order via the global-prefix-sum packer.
+    Output: (doc_id, n_tokens, bin_id) — the shard assignment a training
+    run would write.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.dedup import clean_corpus
+    from ..functions.groups import coarse_grouped, int_pid
+    from ..functions.textstats import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    keep = clean_corpus(docs)
+
+    toks = docs.map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def tag_tok(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": batch.column("n_tokens").cast(pa.int64()),
+                "side": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int8)
+                ),
+            }
+        )
+
+    def tag_keep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64)
+                ),
+                "side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    tagged = toks.map_batches(
+        tag_tok, batch_format="pyarrow", zero_copy_batch=True
+    ).union(keep.map_batches(tag_keep, batch_format="pyarrow", zero_copy_batch=True))
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        keep_ids = df.loc[df["side"] == 1, "doc_id"].unique()
+        left = df[df["side"] == 0]
+        out = left.loc[left["doc_id"].isin(keep_ids), ["doc_id", "n_tokens"]]
+        return out.astype({"doc_id": "int64", "n_tokens": "int64"})
+
+    survivors = coarse_grouped(tagged, lambda b: int_pid(b, ["doc_id"], 64), semi)
+    return pack_token_table(survivors, capacity=capacity)
