@@ -91,3 +91,25 @@ def test_gif_lzw_bitstream_matches_hand_derivation():
     # hand-packed codes: clear(4,w3) 1(w3) 1(w3) 0(w3) 0(w4) eoi(5,w4)
     assert list(lzw) == [76, 0, 5]
     assert np.array_equal(decode_gif(data), img)
+
+
+def test_resize_images_handles_gif(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.multimodal import resize_images
+    from vexor_ray.functions.png import decode_png, is_png
+
+    img = _random_palette_image(40, 80, 5, seed=13)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1], type=pa.int64()),
+                "payload": pa.array([encode_gif(img)], type=pa.binary()),
+            }
+        )
+    )
+    out = resize_images(ds, max_side=20, batch_size=4, concurrency=1).to_pandas()
+    assert out.loc[0, "width"] == 20 and out.loc[0, "height"] == 10
+    payload = out.loc[0, "payload"]
+    assert is_png(payload)  # lossless PNG out
+    assert decode_png(payload).shape == (10, 20, 3)

@@ -309,8 +309,9 @@ def _bilinear_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 class ResizeImage:
     """Actor-pool stage: (id, payload) → (id, payload, width, height).
 
-    Decodes PNG (``functions/png.py``) or baseline JPEG
-    (``functions/jpeg.py``) payloads, bilinear-resizes to fit inside
+    Decodes PNG (``functions/png.py``), baseline JPEG
+    (``functions/jpeg.py``) or GIF (``functions/gif.py``) payloads,
+    bilinear-resizes to fit inside
     ``max_side`` × ``max_side`` (aspect preserved, never upscales), and
     re-encodes as PNG (lossless output — re-encoding to JPEG would stack
     generation loss).  Non-image payloads pass through untouched with
@@ -323,6 +324,7 @@ class ResizeImage:
         self.strict = strict
 
     def _resize_one(self, p: bytes):
+        from .gif import decode_gif, is_gif
         from .jpeg import decode_jpeg, is_jpeg
         from .png import decode_png, encode_png, is_png
 
@@ -330,6 +332,8 @@ class ResizeImage:
             arr = decode_png(p)
         elif p and is_jpeg(p):
             arr = decode_jpeg(p)
+        elif p and is_gif(p):
+            arr = decode_gif(p)
         else:
             if self.strict:
                 raise ValueError("not a decodable image payload")
