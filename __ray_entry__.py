@@ -698,6 +698,12 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir, capacity=2048)
 
 
+def _q_events_json_agg(sf_dir: str):
+    from vexor_ray.pipelines.relational import events_json_agg
+
+    return events_json_agg(sf_dir)
+
+
 def _q_training_export(sf_dir: str):
     from vexor_ray.pipelines.relational import training_export
 
@@ -777,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality": _q_lm_quality,
         "brief_keywords": _q_brief_keywords,
         "training_export": _q_training_export,
+        "events_json_agg": _q_events_json_agg,
     }
 
 
@@ -1394,6 +1401,12 @@ SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
        ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
 FROM documents GROUP BY source ORDER BY source""",
         "brief_keywords": _brief_keywords_sql(),
+        "events_json_agg": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
         "training_export": f"""
 WITH keep AS ({_clean_corpus_sql()}),
 t AS (SELECT d.doc_id, len({_TOKS}) AS n_tokens

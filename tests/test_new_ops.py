@@ -675,3 +675,17 @@ def test_training_export_packs_only_survivors(ray_session, tmp_path):
     # bins = exclusive prefix sums over SURVIVORS in doc_id order
     starts = out["n_tokens"].cumsum() - out["n_tokens"]
     assert out["bin_id"].tolist() == (starts // 50).tolist()
+
+
+def test_events_json_agg_parses_and_combines(ray_session, tmp_path):
+    from vexor_ray.pipelines.relational import events_json_agg
+
+    pd.DataFrame(
+        {
+            "event_type": ["a", "a", "b"],
+            "props": ['{"k": 3}', '{"k": 7}', '{"k": 1}'],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = events_json_agg(str(tmp_path)).to_pandas().set_index("event_type")
+    assert out.loc["a", "sum_k"] == 10 and out.loc["a", "max_k"] == 7
+    assert out.loc["a", "n"] == 2 and out.loc["b", "n"] == 1

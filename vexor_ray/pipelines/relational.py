@@ -810,3 +810,54 @@ def training_export(sf_dir: str, capacity: int = 2048) -> ray.data.Dataset:
 
     survivors = coarse_grouped(tagged, lambda b: int_pid(b, ["doc_id"], 64), semi)
     return pack_token_table(survivors, capacity=capacity)
+
+
+def events_json_agg(sf_dir: str) -> pa.Table:
+    """JSON-payload extraction + aggregate: parse ``props`` (a JSON string
+    column), pull the numeric ``k`` field, aggregate per event_type.
+
+    The semi-structured-column shape (SURVEY §2.8 F8 applied to DATA, not
+    just config): parse map-side with the stdlib C json parser per batch,
+    combine partials per batch (pure Arrow), finish with a tiny groupby —
+    at 100 TB the per-row parse swaps for a simdjson-class kernel, the
+    shuffle shape is unchanged (one row per (batch, event_type)).
+    """
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = pa.array(
+            [
+                _json.loads(p)["k"] if p else None
+                for p in batch.column("props").to_pylist()
+            ],
+            type=pa.int64(),
+        )
+        t = pa.table({"event_type": batch.column("event_type"), "k": ks})
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [("k", "sum"), ("k", "max"), ("k", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "sum_k": g["k_sum"],
+                "max_k": g["k_max"],
+                "n": pc.cast(g["k_count"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        partials.groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["max_k"] = out["max_k"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("event_type"), preserve_index=False)
