@@ -321,11 +321,21 @@ def run_scaling(repeats: int = 3) -> dict:
                 check=True,
             ).stdout
             results[ncpu].append(json.loads(out.strip().splitlines()[-1]))
-    t8s = sorted(r["value"] for r in results[8])
-    t32s = sorted(r["value"] for r in results[32])
+    t8_seq = [r["value"] for r in results[8]]
+    t32_seq = [r["value"] for r in results[32]]
+    t8s, t32s = sorted(t8_seq), sorted(t32_seq)
     t8 = statistics.median(t8s)
     t32 = statistics.median(t32s)
     eff = (t8 / t32) / (32 / 8)
+    # self-audit for this host's phase drift (see BASELINE.md): each (8, 32)
+    # pair ran back-to-back, so pairwise ratios share a measurement window;
+    # a window whose repeat spread exceeds ~30% should be DISCARDED, not
+    # averaged — the flag makes an invalid run announce itself
+    pair_eff = [
+        round((a / b) / (32 / 8), 3) for a, b in zip(t8_seq, t32_seq)
+    ]
+    spread_8 = round((max(t8s) - min(t8s)) / t8, 3)
+    spread_32 = round((max(t32s) - min(t32s)) / t32, 3)
     return {
         "sec_8": t8,
         "sec_32": t32,
@@ -334,8 +344,12 @@ def run_scaling(repeats: int = 3) -> dict:
         "docs_per_sec_8": round(results[8][0]["pages"] / t8, 1),
         "docs_per_sec_32": round(results[32][0]["pages"] / t32, 1),
         "scaling_efficiency": round(eff, 3),
+        "pair_efficiencies": pair_eff,
+        "spread_8": spread_8,
+        "spread_32": spread_32,
+        "window_valid": bool(spread_8 <= 0.3 and spread_32 <= 0.3),
         "pages": results[32][0]["pages"],
-        "note": "logical-parallelism scaling (single sandbox node), N=8 vs 4N=32 CPUs, median of repeats",
+        "note": "logical-parallelism scaling (single sandbox node), N=8 vs 4N=32 CPUs, median of repeats; discard windows with window_valid=false",
     }
 
 
