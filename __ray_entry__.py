@@ -503,7 +503,7 @@ def _q_embedding_dup_pairs(sf_dir: str):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return embedding_dup_pairs(emb, threshold=0.4, n_planes=4)
+    return embedding_dup_pairs(emb, threshold=0.4, n_planes=8, n_bands=4)
 
 
 def _q_hash_sample(sf_dir: str):
@@ -718,7 +718,7 @@ def _q_embedding_dup_clusters(sf_dir: str):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return embedding_dup_clusters(emb, threshold=0.4, n_planes=4)
+    return embedding_dup_clusters(emb, threshold=0.4, n_planes=8, n_bands=4)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1113,27 +1113,55 @@ ORDER BY doc_id"""
 
 
 # SRP-bucket embedding near-dup pairs (shared by the pair and cluster oracles)
-_EMB_PAIRS_SQL = """
-WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+def _emb_pairs_sql(
+    n_planes: int = 8,
+    n_bands: int = 4,
+    cap: int = 4096,
+    threshold: float = 0.4,
+    dim: int = 64,
+) -> str:
+    """SQL twin of ``vexor_ray.functions.ann.embedding_dup_pairs`` (seed 5).
+
+    Multi-band SRP: plane j belongs to band ``j // n_planes`` at bit
+    ``j % n_planes``; ``sub`` reproduces the engine's over-cap bucket
+    hash-split (``md5_u64(str(vec_id)) % ceil(n/cap)``) so the candidate
+    set matches by construction at every bucket size.
+    """
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(1, {dim})) AS d),
 pl AS (SELECT j.j, dims.d,
               CAST(md5_number_lower('srp|5|' || j.j || '|' || (dims.d - 1)) % 2001 AS BIGINT) - 1000 AS w
-       FROM (SELECT unnest(generate_series(0, 3)) AS j) j CROSS JOIN dims),
+       FROM (SELECT unnest(generate_series(0, {n_planes * n_bands - 1})) AS j) j CROSS JOIN dims),
 ev AS (SELECT vec_id, dims.d,
               CAST(floor(CAST(embedding[dims.d] AS DOUBLE) * 1048576) AS BIGINT) AS e
        FROM embeddings CROSS JOIN dims),
 dots AS (SELECT ev.vec_id, pl.j, SUM(ev.e * pl.w) AS dot
          FROM ev JOIN pl ON pl.d = ev.d GROUP BY ev.vec_id, pl.j),
-buck AS (SELECT vec_id,
-                SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
-         FROM dots GROUP BY vec_id),
-pairs AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+buck AS (SELECT vec_id, j // {n_planes} AS band,
+                SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << (j % {n_planes}) ELSE 0 END) AS bucket
+         FROM dots GROUP BY vec_id, j // {n_planes}),
+bsz AS (SELECT band, bucket, COUNT(*) AS n FROM buck
+        GROUP BY band, bucket HAVING COUNT(*) >= 2),
+sub AS (SELECT b.vec_id, b.band, b.bucket,
+               CASE WHEN s.n <= {cap} THEN 0
+                    ELSE CAST(md5_number_lower(CAST(b.vec_id AS VARCHAR))
+                              % CAST(ceil(s.n / {cap}.0) AS BIGINT) AS BIGINT)
+               END AS sb
+        FROM buck b JOIN bsz s ON s.band = b.band AND s.bucket = b.bucket),
+cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         FROM sub x
+         JOIN sub y ON y.band = x.band AND y.bucket = x.bucket
+                   AND y.sb = x.sb AND x.vec_id < y.vec_id),
+pairs AS (SELECT c.vec_a, c.vec_b,
                  ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                               CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
-          FROM buck x
-          JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-          JOIN embeddings ea ON ea.vec_id = x.vec_id
-          JOIN embeddings eb ON eb.vec_id = y.vec_id)
-SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.vec_a
+          JOIN embeddings eb ON eb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold} ORDER BY vec_a, vec_b"""
+
+
+_EMB_PAIRS_SQL = _emb_pairs_sql()
 
 
 def oracle_sql() -> dict[str, str]:

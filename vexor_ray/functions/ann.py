@@ -81,25 +81,81 @@ def brute_force_topk(
             }
         )
 
+    def merge_topk(batch: pa.Table) -> pa.Table:
+        """Per-query top-k within a batch of partials, widened to every row
+        tying the k-th (already-rounded) score — the same tie discipline as
+        the map side, so any merge tree over partials is exact."""
+        qi = batch.column("query_idx").to_numpy()
+        ids = batch.column("vec_id").to_numpy()
+        sims = batch.column("cosine").to_numpy()
+        order = np.lexsort((ids, -sims, qi))
+        qi, ids, sims = qi[order], ids[order], sims[order]
+        keep = np.zeros(qi.size, dtype=bool)
+        starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+        ends = np.r_[starts[1:], qi.size]
+        for s, e in zip(starts, ends):
+            if e - s <= k:
+                keep[s:e] = True
+            else:
+                kth = sims[s + k - 1]
+                keep[s : s + k] = True
+                j = s + k
+                while j < e and sims[j] == kth:
+                    keep[j] = True
+                    j += 1
+        return pa.table(
+            {
+                "query_idx": pa.array(qi[keep], type=pa.int32()),
+                "vec_id": pa.array(ids[keep], type=pa.int64()),
+                "cosine": pa.array(sims[keep], type=pa.float64()),
+            }
+        )
+
+    # partial top-k per block → one Ray reduce round over coalesced partials
+    # (bounds driver rows by reduce_parts × nq × ~k instead of #blocks × …)
     partials = embeddings.map_batches(
         score_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    rows = {"query_idx": [], "rank": [], "vec_id": [], "cosine": []}
-    for qi, grp in partials.groupby("query_idx"):
-        grp = grp.sort_values(
-            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
-            rows["query_idx"].append(int(qi))
-            rows["rank"].append(rank)
-            rows["vec_id"].append(int(r["vec_id"]))
-            rows["cosine"].append(float(r["cosine"]))
+    )
+    reduce_parts = 8
+    reduced = partials.repartition(reduce_parts).map_batches(
+        merge_topk, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    tables = list(reduced.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tables:
+        tables = [
+            pa.table(
+                {
+                    "query_idx": pa.array([], type=pa.int32()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        ]
+    final = merge_topk(pa.concat_tables(tables))
+    qi = final.column("query_idx").to_numpy()
+    ids = final.column("vec_id").to_numpy()
+    sims = final.column("cosine").to_numpy()
+    # exact cut at k (no tie-widening in the final output) + rank column
+    out_q, out_r, out_id, out_s = [], [], [], []
+    starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]]) if qi.size else []
+    ends = np.r_[starts[1:], qi.size] if qi.size else []
+    for s, e in zip(starts, ends):
+        e = min(e, s + k)
+        n = e - s
+        out_q.append(qi[s:e])
+        out_r.append(np.arange(1, n + 1, dtype=np.int32))
+        out_id.append(ids[s:e])
+        out_s.append(sims[s:e])
+    cat = lambda xs, t: pa.array(
+        np.concatenate(xs) if xs else np.array([], dtype="int64"), type=t
+    )  # noqa: E731
     return pa.table(
         {
-            "query_idx": pa.array(rows["query_idx"], type=pa.int32()),
-            "rank": pa.array(rows["rank"], type=pa.int32()),
-            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
-            "cosine": pa.array(rows["cosine"], type=pa.float64()),
+            "query_idx": cat(out_q, pa.int32()),
+            "rank": cat(out_r, pa.int32()),
+            "vec_id": cat(out_id, pa.int64()),
+            "cosine": cat(out_s, pa.float64()),
         }
     )
 
@@ -273,7 +329,7 @@ def ivf_topk(
     probe = np.argsort(np.round(-qsims, 9), axis=1, kind="stable")[:, :nprobe]
     probed_union = np.unique(probe)
     c_ref = ray.put(centroids)
-    wanted = ray.put(frozenset(int(c) for c in probed_union))
+    wanted = ray.put(probed_union.astype(np.int64))
 
     def filter_cells(batch: pa.Table) -> pa.Table:
         cents = ray.get(c_ref)
@@ -282,9 +338,7 @@ def ivf_topk(
         if mat.size == 0:
             return batch
         cells = ivf_assign_cells(mat, cents)
-        keep = np.fromiter((int(c) in want for c in cells), dtype=bool,
-                           count=cells.size)
-        return batch.filter(pa.array(keep))
+        return batch.filter(pa.array(np.isin(cells, want)))
 
     cands = embeddings.map_batches(
         filter_cells, batch_format="pyarrow", zero_copy_batch=True
@@ -293,73 +347,309 @@ def ivf_topk(
                             id_col=id_col, vec_col=vec_col)
 
 
-def embedding_dup_pairs(
-    embeddings: ray.data.Dataset,
-    *,
-    threshold: float = 0.4,
-    n_planes: int = 4,
-    seed: int = 5,
-    bucket_cap: int = 4096,
-    concurrency: int | tuple | None = None,
-) -> ray.data.Dataset:
-    """Embedding-cosine near-dup pairs via SRP bucket blocking.
+class SrpBandBucketer:
+    """Actor-pool stage: one ``(key, vec_id)`` row per (vector, band).
 
-    Each vector lands in exactly one bucket, so a candidate pair is tested
-    at most once (no dedup shuffle); within a bucket the pairwise cosine is
-    one matmul.  Approximate by construction (cross-bucket pairs are
-    missed — standard LSH recall trade-off, raise ``n_planes`` bands for
-    recall), but fully deterministic: integer md5 planes → the SQL oracle
-    reproduces the exact pair set.  Buckets beyond ``bucket_cap`` are
-    dropped and logged (degenerate-bucket guard).
+    Band ``b`` uses planes ``j = b*n_planes .. (b+1)*n_planes - 1`` of the
+    same md5-derived integer plane family (``srp_planes``); within a band
+    the bit position is ``j % n_planes``.  ``key`` packs (band, bucket)
+    EXACTLY — ``key = (band << n_planes) | bucket`` — so downstream
+    grouping needs no string keys, no driver-assigned bucket ids, and no
+    hash-collision caveats.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 16, n_bands: int = 8,
+                 seed: int = 5):
+        self.n_planes = n_planes
+        self.n_bands = n_bands
+        self.planes = srp_planes(dim, n_planes * n_bands, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                }
+            )
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        q = np.floor(mat * 1048576.0).astype(np.int64)  # *2^20 exact scaling
+        bits = (q @ self.planes > 0).astype(np.int64)  # (n, n_planes*n_bands)
+        shifts = np.arange(self.n_planes, dtype=np.int64)
+        out_key, out_id = [], []
+        for b in range(self.n_bands):
+            band = bits[:, b * self.n_planes : (b + 1) * self.n_planes]
+            bucket = (band << shifts).sum(axis=1)
+            out_key.append((np.int64(b) << np.int64(self.n_planes)) | bucket)
+            out_id.append(ids)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(out_key), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+            }
+        )
+
+
+def _bucket_pairs_df(keys: np.ndarray, ids: np.ndarray, cap: int):
+    """Within-bucket (vec_a < vec_b) candidate pairs for every bucket in one
+    coarse partition, bounded by ``cap``.
+
+    A bucket of ``n > cap`` members is NEVER dropped: its members are
+    deterministically hash-split into ``m = ceil(n / cap)`` sub-buckets
+    (``md5_u64(str(vec_id)) % m`` — the exact expression the SQL twin
+    recomputes) and pairs are generated within each sub-bucket.  Per-bucket
+    cost stays O(cap·n) instead of O(n²); within-bucket recall degrades
+    gracefully to ~1/m (members keep their other bands) rather than to
+    zero — no silent coverage loss at any corpus size.
     """
     import logging
 
     import pandas as pd
 
+    from .dedup import _bucket_spans, md5_u64
+
     logger = logging.getLogger(__name__)
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+        }
+    )
+    if keys.size == 0:
+        return empty
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    out_a, out_b = [], []
+
+    def emit(seg: np.ndarray) -> None:
+        ia, ib = np.triu_indices(seg.size, k=1)
+        out_a.append(seg[ia])
+        out_b.append(seg[ib])
+
+    for s, e in zip(*_bucket_spans(keys)):
+        n = int(e - s)  # python int: md5_u64 % np.int64 would promote the
+        # uint64-range hash to float64 and corrupt the sub assignment
+        if n < 2:
+            continue
+        seg = ids[s:e]
+        if n <= cap:
+            emit(seg)
+            continue
+        m = -(-n // cap)
+        logger.warning(
+            "embedding_dup_pairs: splitting band bucket of %d vectors into "
+            "%d sub-buckets (cap %d); within-bucket recall ~1/%d, members "
+            "keep their other bands",
+            n,
+            m,
+            cap,
+            m,
+        )
+        sub = np.fromiter(
+            (md5_u64(str(int(i)).encode()) % m for i in seg),
+            dtype=np.int64,
+            count=n,
+        )
+        sub_order = np.lexsort((seg, sub))
+        sub_s, seg_s = sub[sub_order], seg[sub_order]
+        for ss, se in zip(*_bucket_spans(sub_s)):
+            if se - ss >= 2:
+                emit(seg_s[ss:se])
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: ray.data.Dataset,
+    *,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    seed: int = 5,
+    bucket_cap: int = 4096,
+    concurrency: int | tuple | None = None,
+    broadcast_cands_threshold: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs via multi-band SRP blocking.
+
+    Shape mirrors ``dedup.minhash_lsh_pairs`` — the scale-proven LSH
+    pipeline — not single-bucket blocking:
+
+    1. each vector lands in ``n_bands`` independent sign-random-projection
+       buckets of ``n_planes`` bits each (recall compounds across bands
+       like MinHash banding; a pair missed by one band collides in
+       another);
+    2. within-bucket candidate pairs are generated for MANY buckets per
+       group call inside ``n_parts`` coarse hash partitions of the exact
+       packed ``(band, bucket)`` integer key — per-group Python cost is
+       O(P), never O(bucket count), and there is NO bucket-keyed
+       ``map_groups`` anywhere;
+    3. a pair colliding in several bands is deduplicated by
+       ``dedup_int_pairs`` (coarse-partitioned distinct);
+    4. exact cosine verification: candidate embeddings ship once as a
+       compact float64-bytes broadcast while they fit
+       (``broadcast_cands_threshold``), else they stay a Dataset and
+       attach to each pair side via two coarse hash joins
+       (``dedup.attach_binary_column`` — the 100 TB path, force with
+       ``broadcast_cands_threshold=0``).
+
+    Buckets beyond ``bucket_cap`` are deterministically hash-split into
+    ``ceil(n/cap)`` sub-buckets (see ``_bucket_pairs_df``) — degenerate
+    buckets degrade recall gracefully instead of dropping coverage, and
+    per-bucket pair cost stays O(cap·n).  Fully deterministic: integer md5
+    planes + floor-quantized embeddings + md5 sub-split → the SQL oracle
+    reproduces the exact candidate set, cap behavior included.
+    """
+    import logging
+
+    import pandas as pd
+
+    from .groups import coarse_grouped, dedup_int_pairs, int_pid
+
+    logger = logging.getLogger(__name__)
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
     sample = embeddings.take(1)
     dim = len(sample[0]["embedding"])
     bucketed = _launch_stage(
         embeddings,
-        SrpBucketer,
-        {"dim": dim, "n_planes": n_planes, "seed": seed},
+        SrpBandBucketer,
+        {"dim": dim, "n_planes": n_planes, "n_bands": n_bands, "seed": seed},
         concurrency=concurrency,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "vec_a": pd.Series([], dtype="int64"),
-                "vec_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
+    def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """All within-bucket (vec_a < vec_b) pairs for every bucket in one
+        coarse partition — one numpy pass over key-sorted runs."""
+        return _bucket_pairs_df(
+            df["key"].to_numpy(), df["vec_id"].to_numpy(), bucket_cap
         )
-        if len(g) < 2:
-            return empty
-        if len(g) > bucket_cap:
-            logger.warning(
-                "embedding_dup_pairs: dropping bucket of %d vectors (> cap %d)",
-                len(g),
-                bucket_cap,
-            )
-            return empty
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        mat = _normalize(np.asarray(list(g["embedding"]), dtype=np.float64))
-        sims = np.round(mat @ mat.T, 6)
-        ia, ib = np.triu_indices(ids.size, k=1)
-        keep = sims[ia, ib] >= threshold
-        return pd.DataFrame(
+
+    pairs = coarse_grouped(
+        bucketed, lambda b: int_pid(b, ["key"], 64), part_pairs
+    )
+    pairs = dedup_int_pairs(pairs, ["vec_a", "vec_b"]).materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    # candidate ids: small driver-side set (bounded by #near-dup pairs)
+    cand_ids: set[int] = set()
+    for b in pairs.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        cand_ids.update(b["vec_a"].to_pylist())
+        cand_ids.update(b["vec_b"].to_pylist())
+    cand_ref = ray.put(frozenset(cand_ids))
+
+    def cand_vecs(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        ids = batch.column("vec_id").to_pylist()
+        embs = batch.column("embedding").to_pylist()
+        out_id, out_v = [], []
+        for d, v in zip(ids, embs):
+            if d in wanted:
+                out_id.append(d)
+                # raw float64 bytes: joins/broadcasts as one binary blob
+                out_v.append(np.asarray(v, dtype=np.float64).tobytes())
+        return pa.table(
             {
-                "vec_a": ids[ia[keep]].astype("int64"),
-                "vec_b": ids[ib[keep]].astype("int64"),
-                "cosine": sims[ia[keep], ib[keep]],
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "vec": pa.array(out_v, type=pa.binary()),
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    def _cos_bytes(ba: bytes, bb: bytes) -> float:
+        va = np.frombuffer(ba, dtype=np.float64)
+        vb = np.frombuffer(bb, dtype=np.float64)
+        na = np.linalg.norm(va) or 1.0
+        nb = np.linalg.norm(vb) or 1.0
+        return float(np.round(va @ vb / (na * nb), 6))
+
+    def _verify_table(ids_a, ids_b, vs_a, vs_b) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for a_, b_, va, vb in zip(ids_a, ids_b, vs_a, vs_b):
+            if va is None or vb is None:
+                continue
+            c = _cos_bytes(va, vb)
+            if c >= threshold:
+                out_a.append(a_)
+                out_b.append(b_)
+                out_c.append(c)
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, type=pa.int64()),
+                "vec_b": pa.array(out_b, type=pa.int64()),
+                "cosine": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    if len(cand_ids) <= broadcast_cands_threshold:
+        vec_map: dict[int, bytes] = {}
+        for b in embeddings.map_batches(
+            cand_vecs, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+            for d, v in zip(b["vec_id"].to_pylist(), b["vec"].to_pylist()):
+                vec_map[d] = v
+        vm_ref = ray.put(vec_map)
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            vm = ray.get(vm_ref)
+            ids_a = batch.column("vec_a").to_pylist()
+            ids_b = batch.column("vec_b").to_pylist()
+            return _verify_table(
+                ids_a, ids_b, [vm.get(a_) for a_ in ids_a], [vm.get(b_) for b_ in ids_b]
+            )
+
+        return pairs.map_batches(
+            verify_bcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # 100 TB path: candidate embeddings stay a Dataset; attach per side via
+    # coarse hash joins — nothing candidate-sized on the driver
+    from .dedup import attach_binary_column
+
+    payload = embeddings.map_batches(
+        cand_vecs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    joined = attach_binary_column(
+        attach_binary_column(
+            pairs,
+            payload,
+            "vec_a",
+            ["vec_a", "vec_b"],
+            out_col="v_a",
+            payload_key="vec_id",
+            payload_col="vec",
+        ),
+        payload,
+        "vec_b",
+        ["vec_a", "vec_b", "v_a"],
+        out_col="v_b",
+        payload_key="vec_id",
+        payload_col="vec",
+        binary_carry=("v_a",),
+    )
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        return _verify_table(
+            batch.column("vec_a").to_pylist(),
+            batch.column("vec_b").to_pylist(),
+            batch.column("v_a").to_pylist(),
+            batch.column("v_b").to_pylist(),
+        )
+
+    return joined.map_batches(
+        verify_joined, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def lsh_topk(
@@ -399,7 +689,8 @@ def embedding_dup_clusters(
     embeddings: "ray.data.Dataset",
     *,
     threshold: float = 0.4,
-    n_planes: int = 4,
+    n_planes: int = 16,
+    n_bands: int = 8,
     seed: int = 5,
 ) -> "ray.data.Dataset":
     """SemDeDup-style semantic dedup: near-dup cosine pairs → connected
@@ -415,7 +706,11 @@ def embedding_dup_clusters(
     from .dedup import duplicate_clusters
 
     pairs = embedding_dup_pairs(
-        embeddings, threshold=threshold, n_planes=n_planes, seed=seed
+        embeddings,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        seed=seed,
     )
 
     def rename_in(batch: pa.Table) -> pa.Table:

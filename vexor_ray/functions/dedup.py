@@ -198,6 +198,77 @@ def _multi_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def attach_binary_column(
+    pairs_ds: ray.data.Dataset,
+    payload_ds: ray.data.Dataset,
+    side: str,
+    carry: list[str],
+    *,
+    out_col: str,
+    payload_key: str = "doc_id",
+    payload_col: str = "shingles",
+    binary_carry: tuple[str, ...] = (),
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """Shuffle-join a binary payload column onto one int-key side of a pair
+    Dataset — the 100 TB verify path shared by MinHash-Jaccard and
+    embedding-cosine dedup.
+
+    ``payload_ds`` has rows ``(payload_key:int64, payload_col:binary)``;
+    each pair row gains ``out_col`` = the payload of its ``side`` key via a
+    tagged union + ONE coarse-partitioned hash join (``functions/groups.py``)
+    — nothing pair- or payload-sized ever lands on the driver.
+
+    ``carry``: pair columns to keep; ``binary_carry`` names the carries that
+    are binary (e.g. the first join's output on the second join) so the
+    union schemas line up.  Int columns are re-cast after the pandas merge
+    (nullable int64 → float64 is pandas' doing, not a value change).
+    """
+    from .groups import coarse_grouped, int_pid
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "key": batch.column(side),
+            "kind": pa.array(np.ones(n, dtype=np.int8)),
+            "payload": pa.nulls(n, type=pa.binary()),
+        }
+        for c in carry:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def payload_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "key": batch.column(payload_key),
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "payload": batch.column(payload_col),
+        }
+        for c in carry:
+            typ = pa.binary() if c in binary_carry else pa.int64()
+            cols[c] = pa.nulls(n, type=typ)
+        return pa.table(cols)
+
+    int_carry = [c for c in carry if c not in binary_carry]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"key": "int64"})
+        pay = df.loc[df["kind"] == 0, ["key", "payload"]]
+        pr = df.loc[df["kind"] == 1, ["key", *carry]]
+        m = pr.merge(pay, on="key", how="left")
+        out = m[[*carry, "payload"]].rename(columns={"payload": out_col})
+        return out.astype({c: "int64" for c in int_carry})
+
+    tagged = pairs_ds.map_batches(
+        pair_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        payload_ds.map_batches(
+            payload_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return coarse_grouped(tagged, lambda b: int_pid(b, ["key"], n_parts), merge)
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     *,
@@ -443,66 +514,15 @@ def minhash_lsh_pairs(
 
     # attach each side's shingles with a coarse-partitioned hash join
     # (functions/groups.py), then verify with C-kernel set intersections
-    from .groups import coarse_grouped, int_pid
-
-    def join_side(
-        pairs_ds: ray.data.Dataset, side: str, carry: list[str]
-    ) -> ray.data.Dataset:
-        """pairs_ds + shingles → pairs_ds with a ``sh_{a|b}`` column.
-
-        ``carry``: pair columns to keep; binary carries (``sh_a`` on the
-        second join) ride through as null on shingle rows so the union
-        schemas match.  Int columns are re-cast after the pandas merge
-        (nullable int64 → float64 is pandas' doing, not a value change).
-        """
-        out_col = f"sh_{side[-1]}"
-
-        def pair_rows(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            cols = {
-                "key": batch.column(side),
-                "kind": pa.array(np.ones(n, dtype=np.int8)),
-                "shingles": pa.nulls(n, type=pa.binary()),
-            }
-            for c in carry:
-                cols[c] = batch.column(c)
-            return pa.table(cols)
-
-        def shingle_rows(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            cols = {
-                "key": batch.column("doc_id"),
-                "kind": pa.array(np.zeros(n, dtype=np.int8)),
-                "shingles": batch.column("shingles"),
-            }
-            for c in carry:
-                typ = pa.binary() if c.startswith("sh_") else pa.int64()
-                cols[c] = pa.nulls(n, type=typ)
-            return pa.table(cols)
-
-        int_carry = [c for c in carry if not c.startswith("sh_")]
-
-        def merge(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.astype({"key": "int64"})
-            sh = df.loc[df["kind"] == 0, ["key", "shingles"]]
-            pr = df.loc[df["kind"] == 1, ["key", *carry]]
-            m = pr.merge(sh, on="key", how="left")
-            out = m[[*carry, "shingles"]].rename(columns={"shingles": out_col})
-            return out.astype({c: "int64" for c in int_carry})
-
-        tagged = pairs_ds.map_batches(
-            pair_rows, batch_format="pyarrow", zero_copy_batch=True
-        ).union(
-            shingles.map_batches(
-                shingle_rows, batch_format="pyarrow", zero_copy_batch=True
-            )
-        )
-        return coarse_grouped(tagged, lambda b: int_pid(b, ["key"], 64), merge)
-
-    joined = join_side(
-        join_side(pairs, "doc_a", ["doc_a", "doc_b"]),
+    joined = attach_binary_column(
+        attach_binary_column(
+            pairs, shingles, "doc_a", ["doc_a", "doc_b"], out_col="sh_a"
+        ),
+        shingles,
         "doc_b",
         ["doc_a", "doc_b", "sh_a"],
+        out_col="sh_b",
+        binary_carry=("sh_a",),
     )
 
     def verify(batch: pa.Table) -> pa.Table:
