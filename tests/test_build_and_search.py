@@ -144,6 +144,72 @@ def test_postings_cache_and_warmup_consistency(ray_session, tmp_path):
     assert warmed == first
 
 
+def test_sharded_scorer_bit_identity(built_index, oracle_1k):
+    """Salt-range-sharded exact scoring (the bounded-memory path for indexes
+    beyond max_dense_docs) is bit-identical to the dense path, and its peak
+    dense allocation is the shard span — independent of doc_count."""
+    out, _ = built_index
+    dense = Searcher(out)
+    sharded = Searcher(out, max_dense_docs=64)  # force many shards at 1k docs
+    assert sharded._sharded
+    queries = generate_queries(60, seed=7)
+    n_nonempty = 0
+    for q in queries:
+        a = dense.search(q["query"], q["k"], method="exact")
+        b = sharded.search(q["query"], q["k"], method="exact")
+        assert a == b, q  # docIDs AND float64 scores, bit-exact
+        n_nonempty += bool(a)
+    assert n_nonempty > 30
+    span_docs = sharded._shard_span_salts << sharded.salt_shift
+    assert 0 < sharded._peak_dense_docs <= span_docs
+    assert sharded._peak_dense_docs < dense.doc_count
+    # oracle spot check through the sharded path
+    expected = oracle_search(oracle_1k, "needledften", 10)
+    got = sharded.search("needledften", 10, method="exact")
+    assert [d for d, _ in got] == [d for d, _ in expected]
+
+
+def test_sharded_scorer_warm_cache_and_hybrid(built_index):
+    out, _ = built_index
+    dense = Searcher(out)
+    sharded = Searcher(out, max_dense_docs=64)
+    sharded._postings_cache_min = 1
+    n = sharded.warm_hot_terms(16)
+    assert n > 0 and len(sharded._postings_cache) == n
+    queries = generate_queries(20, seed=99)
+    for q in queries:
+        assert sharded.search(q["query"], q["k"], method="exact") == dense.search(
+            q["query"], q["k"], method="exact"
+        )
+    # hybrid fusion goes through _exact_scores too
+    dense_order = [d for d, _ in dense.search("needledften http", 20)]
+    assert sharded.search_hybrid(
+        "needledften http", dense_order, k=10
+    ) == dense.search_hybrid("needledften http", dense_order, k=10)
+
+
+def test_sharded_scorer_federation_overrides(built_index):
+    """Global-stats overrides (the federation path) agree across modes."""
+    import numpy as np
+
+    out, _ = built_index
+    dense = Searcher(out)
+    sharded = Searcher(out, max_dense_docs=64)
+    terms = dense.preprocess_query("the needledften http crawl")
+    chunks_d = dense.term_chunks(terms)
+    chunks_s = sharded.term_chunks(terms)
+    dfs = {t: sum(c["n_postings"] for c in chunks_d.get(t, [])) for t in terms}
+    kw = dict(
+        doc_count=dense.doc_count * 3,
+        avg_doc_len=dense.avg_doc_len * 1.5,
+        df_by_term=dfs,
+    )
+    ids_a, sc_a = dense._exact_scores(terms, chunks_d, **kw)
+    ids_b, sc_b = sharded._exact_scores(terms, chunks_s, **kw)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_array_equal(sc_a, sc_b)
+
+
 def test_gen_file_pruning_interval_select(tmp_path):
     """_gen_files_for_ths keeps every file whose [min,max] covers a term hash
     — exact for disjoint (sorted-backend) ranges, safe for overlapping

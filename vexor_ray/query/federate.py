@@ -28,10 +28,17 @@ from .searcher import Searcher
 class FederatedSearcher:
     """Query executor over several committed index directories."""
 
-    def __init__(self, index_dirs: list[str | Path]):
+    def __init__(
+        self,
+        index_dirs: list[str | Path],
+        *,
+        max_dense_docs: int | None = None,
+    ):
         if not index_dirs:
             raise ValueError("need at least one index directory")
-        self.searchers = [Searcher(d) for d in index_dirs]
+        self.searchers = [
+            Searcher(d, max_dense_docs=max_dense_docs) for d in index_dirs
+        ]
         cfg0 = self.searchers[0].manifest["config"]
         for s in self.searchers[1:]:
             cfg = s.manifest["config"]

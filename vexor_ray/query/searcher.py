@@ -80,11 +80,13 @@ def _chunks_from_table(tbl: pa.Table) -> list[tuple[str, dict]]:
     cols = {name: tbl.column(name).chunk(0) for name in tbl.column_names}
     terms = cols["term"].to_pylist()
     n_postings = cols["n_postings"].to_numpy()
+    salts = cols["salt"].to_numpy()
     for i in range(tbl.num_rows):
         out.append(
             (
                 terms[i],
                 {
+                    "salt": int(salts[i]),
                     "n_postings": int(n_postings[i]),
                     "block_size": None,
                     "doc_blob": memoryview(cols["doc_blob"][i].as_buffer()),
@@ -104,8 +106,9 @@ def _chunks_from_table(tbl: pa.Table) -> list[tuple[str, dict]]:
 class Searcher:
     """Query executor bound to one committed index directory."""
 
-    def __init__(self, index_dir: str | Path):
+    def __init__(self, index_dir: str | Path, *, max_dense_docs: int | None = None):
         self.index_dir = Path(index_dir)
+        self._max_dense_docs_arg = max_dense_docs
         self.manifest = load_manifest(self.index_dir)
         stats = self.manifest["stats"]
         self.doc_count: int = stats["doc_count"]
@@ -196,6 +199,24 @@ class Searcher:
         self._postings_cache_budget = 4_000_000  # ~100 MB ceiling
         self._postings_cache_used = 0
         self._postings_cache_min = 4096  # don't spend budget on cheap terms
+        # Exact-scorer memory bound: above max_dense_docs the exact path
+        # scores per SALT-RANGE SHARD (spans of _shard_span_salts consecutive
+        # salts, ≤ max_dense_docs docs each) so peak scoring memory is
+        # independent of doc_count — the per-shard docID indexes replace the
+        # single corpus-length _doc_id_index, LRU'd under an id budget.
+        from ..spec import DEFAULT_MAX_DENSE_DOCS
+
+        self.max_dense_docs = (
+            DEFAULT_MAX_DENSE_DOCS
+            if self._max_dense_docs_arg is None
+            else int(self._max_dense_docs_arg)
+        )
+        self._sharded = self.doc_count > self.max_dense_docs
+        self._shard_span_salts = max(1, self.max_dense_docs >> self.salt_shift)
+        self._shard_ids_cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._shard_ids_budget = max(2 * self.max_dense_docs, 1)
+        self._shard_ids_used = 0
+        self._peak_dense_docs = 0  # introspection: max dense vector length
 
     # -- segment access ----------------------------------------------------
     @staticmethod
@@ -257,7 +278,7 @@ class Searcher:
         identical) generation.  Decoded caches are dropped with the rest of
         the state — refresh is a rare event, warmth rebuilds on use.
         """
-        self.__init__(self.index_dir)
+        self.__init__(self.index_dir, max_dense_docs=self._max_dense_docs_arg)
 
     def term_chunks(self, terms: list[str]) -> dict[str, list[dict]]:
         """Fetch encoded posting chunks for each term, surviving an online
@@ -392,9 +413,10 @@ class Searcher:
         if not hot:
             return 0
         chunks_by_term = self.term_chunks(hot)
+        decode = self._term_postings_raw if self._sharded else self._term_postings
         for t in hot:
             if chunks_by_term.get(t):
-                self._term_postings(chunks_by_term[t], t)
+                decode(chunks_by_term[t], t)
         return len(hot)
 
     def preprocess_query(self, query: str) -> list[str]:
@@ -433,7 +455,7 @@ class Searcher:
             hit = self._postings_cache.get(term)
             if hit is not None:
                 self._postings_cache.move_to_end(term)
-                return hit
+                return hit[1]
         from ..index.codec import decode_chunk
 
         parts = [decode_chunk(c) for c in chunks]
@@ -446,18 +468,90 @@ class Searcher:
         k1, b = self.k1, self.b
         denom_base = k1 * ((1.0 - b) + (b * dl_f) / self.avg_doc_len)
         out = (idx, tf_f, denom_base, dl_f)
-        n = int(idx.size)
-        if term is not None and n >= self._postings_cache_min:
-            while (
-                self._postings_cache
-                and self._postings_cache_used + n > self._postings_cache_budget
-            ):
-                _, (old, *_rest) = self._postings_cache.popitem(last=False)
-                self._postings_cache_used -= int(old.size)
-            if self._postings_cache_used + n <= self._postings_cache_budget:
-                self._postings_cache[term] = out
-                self._postings_cache_used += n
+        self._postings_cache_put(term, int(idx.size), out)
         return out
+
+    def _postings_cache_put(self, term: str | None, n: int, payload) -> None:
+        """Insert a decoded-postings payload under the postings budget.
+
+        Values are stored as ``(n_postings, payload)`` so eviction accounting
+        is payload-shape-agnostic (the global path caches dense-coordinate
+        tuples, the sharded path per-chunk raw tuples — one searcher only
+        ever uses one shape, decided by ``_sharded`` at construction).
+        """
+        if term is None or n < self._postings_cache_min:
+            return
+        while (
+            self._postings_cache
+            and self._postings_cache_used + n > self._postings_cache_budget
+        ):
+            _, (old_n, _old) = self._postings_cache.popitem(last=False)
+            self._postings_cache_used -= old_n
+        if self._postings_cache_used + n <= self._postings_cache_budget:
+            self._postings_cache[term] = (n, payload)
+            self._postings_cache_used += n
+
+    def _term_postings_raw(self, chunks: list[dict], term: str | None = None):
+        """Per-chunk decoded postings WITHOUT a global dense mapping:
+        ``[(salt, doc_ids_u64, tf_f64, denom_base_f64, dl_f64)]``.
+
+        The sharded exact path groups these by salt-range shard and maps
+        docIDs into shard-local coordinates per query, so no corpus-length
+        index is ever materialized.  Cached under the same postings budget.
+        """
+        if term is not None:
+            hit = self._postings_cache.get(term)
+            if hit is not None:
+                self._postings_cache.move_to_end(term)
+                return hit[1]
+        from ..index.codec import decode_chunk
+
+        k1, b = self.k1, self.b
+        parts = []
+        n = 0
+        for c in chunks:
+            doc_ids, tfs, dls = decode_chunk(c)
+            tf_f = tfs.astype(np.float64)
+            dl_f = dls.astype(np.float64)
+            denom_base = k1 * ((1.0 - b) + (b * dl_f) / self.avg_doc_len)
+            parts.append((int(c.get("salt", 0)), doc_ids, tf_f, denom_base, dl_f))
+            n += int(doc_ids.size)
+        self._postings_cache_put(term, n, parts)
+        return parts
+
+    def _shard_doc_ids(self, shard_id: int) -> np.ndarray:
+        """Sorted docIDs of one salt-range shard (LRU'd under an id budget).
+
+        A shard covers docIDs ``[shard_id * span, (shard_id+1) * span)`` with
+        ``span = _shard_span_salts << salt_shift`` — exactly the docs whose
+        salt falls in the shard's consecutive-salt range, so every posting of
+        a chunk with salt s lands in shard ``s // _shard_span_salts``.  The
+        read is row-group-pruned by the docID range predicate.
+        """
+        hit = self._shard_ids_cache.get(shard_id)
+        if hit is not None:
+            self._shard_ids_cache.move_to_end(shard_id)
+            return hit
+        span = self._shard_span_salts << self.salt_shift
+        lo = shard_id * span
+        hi = lo + span
+        flt = (pc.field("doc_id") >= pa.scalar(lo, pa.uint64())) & (
+            pc.field("doc_id") < pa.scalar(min(hi, (1 << 64) - 1), pa.uint64())
+        )
+        tbl = self._docs_ds.to_table(columns=["doc_id"], filter=flt)
+        ids = tbl.column("doc_id").to_numpy().astype(np.uint64)
+        ids.sort()
+        n = int(ids.size)
+        while (
+            self._shard_ids_cache
+            and self._shard_ids_used + n > self._shard_ids_budget
+        ):
+            _, old = self._shard_ids_cache.popitem(last=False)
+            self._shard_ids_used -= int(old.size)
+        if self._shard_ids_used + n <= self._shard_ids_budget:
+            self._shard_ids_cache[shard_id] = ids
+            self._shard_ids_used += n
+        return ids
 
     def _exact_scores(
         self,
@@ -475,11 +569,20 @@ class Searcher:
         df), keeping per-doc float association order — and therefore exact
         score parity with a single union index — intact.
         """
+        if self._sharded:
+            return self._exact_scores_sharded(
+                terms,
+                chunks_by_term,
+                doc_count=doc_count,
+                avg_doc_len=avg_doc_len,
+                df_by_term=df_by_term,
+            )
         k1, b = self.k1, self.b
         avgdl = self.avg_doc_len if avg_doc_len is None else avg_doc_len
         n_docs = self.doc_count if doc_count is None else doc_count
         override_avg = avg_doc_len is not None and avg_doc_len != self.avg_doc_len
         all_ids = self._doc_id_index()
+        self._peak_dense_docs = max(self._peak_dense_docs, int(all_ids.size))
         # Per-term bincount accumulated into one dense scores vector.  Each
         # doc receives its term contributions in query-term order and skipped
         # terms add exact +0.0, so the float association order — and thus
@@ -516,6 +619,94 @@ class Searcher:
             return np.zeros(0, dtype=np.uint64), np.zeros(0)
         nz = np.flatnonzero(scores)
         return all_ids[nz], scores[nz]
+
+    def _exact_scores_sharded(
+        self,
+        terms: list[str],
+        chunks_by_term: dict[str, list[dict]],
+        *,
+        doc_count: int | None = None,
+        avg_doc_len: float | None = None,
+        df_by_term: dict[str, int] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Memory-bounded exact scoring: one salt-range shard at a time.
+
+        Bit-identical to the dense path by construction: a doc's score is the
+        sum of its per-term contributions in query-term order, each computed
+        by the same float64 expression; partitioning the DOC space changes
+        neither any per-posting value nor any per-doc accumulation order (all
+        contributions are > 0 — idf > 0 since its log argument exceeds 1 —
+        so skipped-term +0.0 adds are exact identities).  Output is
+        docID-ascending, same as the dense path, because shards are processed
+        in ascending docID-range order.  Peak memory per query is
+        O(max_dense_docs), independent of doc_count (verified by
+        ``tests/test_build_and_search.py::test_sharded_scorer_*``).
+        """
+        k1, b = self.k1, self.b
+        avgdl = self.avg_doc_len if avg_doc_len is None else avg_doc_len
+        n_docs = self.doc_count if doc_count is None else doc_count
+        override_avg = avg_doc_len is not None and avg_doc_len != self.avg_doc_len
+        span = self._shard_span_salts
+        idf_by_term: dict[str, float] = {}
+        decoded: dict[str, list] = {}
+        shard_ids: set[int] = set()
+        for term in terms:
+            chunks = chunks_by_term.get(term, [])
+            if not chunks:
+                continue
+            # df is GLOBAL (all shards), so idf is shard-independent
+            df = (
+                df_by_term[term]
+                if df_by_term is not None
+                else sum(c["n_postings"] for c in chunks)
+            )
+            idf_by_term[term] = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            parts = self._term_postings_raw(chunks, term)
+            decoded[term] = parts
+            shard_ids.update(p[0] // span for p in parts)
+        if not decoded:
+            return np.zeros(0, dtype=np.uint64), np.zeros(0)
+        out_ids: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        for sid in sorted(shard_ids):
+            local_ids = self._shard_doc_ids(sid)
+            if local_ids.size == 0:
+                continue
+            self._peak_dense_docs = max(self._peak_dense_docs, int(local_ids.size))
+            scores: np.ndarray | None = None
+            for term in terms:
+                parts = decoded.get(term)
+                if not parts:
+                    continue
+                sel = [p for p in parts if p[0] // span == sid]
+                if not sel:
+                    continue
+                if len(sel) > 1:
+                    doc_ids = np.concatenate([p[1] for p in sel])
+                    tf = np.concatenate([p[2] for p in sel])
+                    denom_base = np.concatenate([p[3] for p in sel])
+                    dl = np.concatenate([p[4] for p in sel])
+                else:
+                    _, doc_ids, tf, denom_base, dl = sel[0]
+                if override_avg:
+                    denom_base = k1 * ((1.0 - b) + (b * dl) / avgdl)
+                idx = np.searchsorted(local_ids, doc_ids)
+                denom = tf + denom_base
+                contrib = (idf_by_term[term] * tf) * (k1 + 1.0) / denom
+                part = np.bincount(idx, weights=contrib, minlength=local_ids.size)
+                if scores is None:
+                    scores = part
+                else:
+                    scores += part
+            if scores is None:
+                continue
+            nz = np.flatnonzero(scores)
+            if nz.size:
+                out_ids.append(local_ids[nz])
+                out_scores.append(scores[nz])
+        if not out_ids:
+            return np.zeros(0, dtype=np.uint64), np.zeros(0)
+        return np.concatenate(out_ids), np.concatenate(out_scores)
 
     @staticmethod
     def _top_k(doc_ids: np.ndarray, scores: np.ndarray, k: int):

@@ -57,4 +57,13 @@ DEFAULT_SALT_SHIFT: int = 20
 # term-hash buckets so a killed build resumes at wave granularity.
 DEFAULT_NUM_WAVES: int = 4
 
+# Exact-scorer memory ceiling: above this many docs in one index, the exact
+# path scores per SALT-RANGE SHARD (consecutive-salt spans of at most this
+# many docs) in shard-local dense coordinates instead of materializing one
+# doc_count-length docID index + score vector per query.  Keeps a single
+# searcher's peak scoring memory independent of corpus size (16M docs ≈
+# 128 MB ids + 128 MB scores per shard) while staying bit-identical — per-doc
+# contributions still accumulate term-by-term in query order.
+DEFAULT_MAX_DENSE_DOCS: int = 16_000_000
+
 INDEX_FORMAT_VERSION: int = 2
