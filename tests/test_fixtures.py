@@ -34,10 +34,13 @@ def test_needle_dfs():
 def test_edge_rows_present():
     t = fx.generate_pages(1000, seed=42)
     htmls = t.column("html").to_pylist()
-    # some pages must fail extraction (invalid UTF-8 mid-stream)
+    # some pages must fail the STRICT UTF-8 arm (invalid byte mid-stream)...
+    n_strict_fail = sum(1 for h in htmls if textnorm.decode_utf8(h) is None)
+    assert n_strict_fail > 0
+    # ...and the charset-fallback arm rescues every one of them (reference
+    # content_extract_service.py:726-749 behavior — legacy pages survive)
     extracted = [textnorm.extract_text(h) for h in htmls]
-    n_dropped = sum(1 for e in extracted if e is None)
-    assert n_dropped > 0
+    assert all(e is not None for e in extracted)
     # and some have \r\n normalized away
     assert any(b"\r\n" in h for h in htmls)
     assert not any("\r\n" in e for e in extracted if e is not None)

@@ -77,3 +77,56 @@ def test_ingest_build_search_end_to_end(ray_session, corpus_dir, tmp_path):
     # a term every doc shares ranks all five
     hits = s.search_hits([{"query_id": 1, "query": "common", "k": 10}]).to_pandas()
     assert len(hits) == 5
+
+
+def test_mixed_encoding_pages_survive_and_rank(ray_session, tmp_path):
+    """Non-UTF-8 pages are decoded by the charset-fallback arm (reference
+    content_extract_service.py:726-749) instead of dropped, and the engine
+    and the oracle agree byte-for-byte (both call textnorm.decode_text)."""
+    import codecs
+
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.query.searcher import Searcher
+    from vexor_ray.refimpl import build_oracle_index
+    from vexor_ray.refimpl import search as oracle_search
+    from vexor_ray.refimpl.textnorm import extract_text
+    from vexor_ray.sources import ingest_directory
+
+    root = tmp_path / "mixed"
+    root.mkdir()
+    bodies = {
+        "plain.txt": "plain utf8 needleplain shared words".encode(),
+        "legacy.txt": "caf\xe9 visit needlelegacy shared words tr\xe8s bien".encode(
+            "cp1252"
+        ),
+        "wide.txt": codecs.BOM_UTF16_LE
+        + "utf sixteen needlewide shared words page body".encode("utf-16-le"),
+        "sjis.txt": "日本語ページ needlesjis shared words 判定テスト".encode("shift-jis"),
+    }
+    for name, data in bodies.items():
+        (root / name).write_bytes(data)
+
+    pages = ingest_directory(root, tmp_path / "pages")
+    out = tmp_path / "idx"
+    build_index(
+        pages, out, BuildConfig(pre_extracted=True, doc_builder="text", num_waves=1)
+    )
+    s = Searcher(out)
+    hits = s.search_hits([{"query_id": 1, "query": "shared", "k": 10}]).to_pandas()
+    assert len(hits) == 4  # every page survived, including the legacy tail
+    for needle, url in [
+        ("needleplain", "plain.txt"),
+        ("needlelegacy", "legacy.txt"),
+        ("needlewide", "wide.txt"),
+        ("needlesjis", "sjis.txt"),
+    ]:
+        h = s.search_hits([{"query_id": 1, "query": needle, "k": 3}]).to_pandas()
+        assert h["url"].iloc[0] == url, needle
+
+    # rank identity vs the from-scratch oracle over the SAME decoded texts
+    names = sorted(bodies)
+    assert all(extract_text(bodies[n]) is not None for n in names)
+    oracle = build_oracle_index([(n, bodies[n]) for n in names], text_only=True)
+    exp = oracle_search(oracle, "shared words", 10)
+    got = s.search_hits([{"query_id": 1, "query": "shared words", "k": 10}]).to_pandas()
+    assert [names[d] for d, _ in exp] == got["url"].tolist()

@@ -97,8 +97,9 @@ def generate_pages(n_rows: int, seed: int = 42) -> pa.Table:
             ident_rows.discard(r)
             langs[r] = "en"
 
-    # needle injection: deterministic slots, skipping rows that would be
-    # dropped (bad utf8), are CJK bodies, or belong to the duplicate pair
+    # needle injection: deterministic slots, skipping rows whose decode goes
+    # through the charset-fallback arm (bad utf8 — detector may mangle
+    # non-ASCII neighborhoods), CJK bodies, and the duplicate pair
     def _eligible(i: int) -> bool:
         return (
             i < n_rows
@@ -169,7 +170,8 @@ def generate_pages(n_rows: int, seed: int = 42) -> pa.Table:
             f"<body>{paragraphs}</body></html>"
         ).encode("utf-8")
         if i in bad_utf8_rows:
-            # invalid byte mid-stream → decode error → page dropped
+            # invalid byte mid-stream → strict UTF-8 arm fails → page decodes
+            # through the charset-fallback arm (exercises the legacy path)
             html = html[: len(html) // 2] + b"\xff\xfe" + html[len(html) // 2 :]
         elif i in trunc_tail_rows:
             # valid prefix of a multi-byte char at the very end → tolerated
