@@ -706,10 +706,16 @@ def build_index(
             prev_cover: dict[str, str] = {}
             for r in gens:
                 prev_cover.update(r.lineage.get("group_fps", {}))
+            # APPEND-friendly: new shard groups (prev_cover ⊂ group_fp_now —
+            # the streaming-ingestion path, files named to sort after the
+            # existing corpus so lineage docIDs of old files are stable) are
+            # just dirty additions; only group REMOVAL / renames (a group in
+            # prev_cover missing now) force a clean rebuild, because docID
+            # ranges of surviving files would shift under them.
             incremental = (
                 bool(gens)
                 and all(r.lineage.get("cfg_fp") == cfg_fp for r in gens)
-                and set(prev_cover) == set(group_fp_now)
+                and set(prev_cover) <= set(group_fp_now)
                 and all(
                     Path(f).exists() for r in gens for f in r.output_files
                 )
@@ -718,7 +724,7 @@ def build_index(
                 dirty = sorted(
                     gid
                     for gid, fp in group_fp_now.items()
-                    if prev_cover[gid] != fp
+                    if prev_cover.get(gid) != fp
                 )
                 last_full = gens[-1].lineage.get("full") or (
                     gens[-1].lineage.get("gen", 0) == 0

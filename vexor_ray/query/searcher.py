@@ -217,6 +217,10 @@ class Searcher:
         self._shard_ids_budget = max(2 * self.max_dense_docs, 1)
         self._shard_ids_used = 0
         self._peak_dense_docs = 0  # introspection: max dense vector length
+        # explicit reset: refresh() re-runs __init__ on a live object, and a
+        # lazily-built corpus index surviving it would serve STALE docIDs
+        # after an append (streaming ingestion grows the corpus in place)
+        self._all_doc_ids = None
 
     # -- segment access ----------------------------------------------------
     @staticmethod
@@ -437,7 +441,7 @@ class Searcher:
         replaces the per-query ``np.unique`` over the concatenated posting
         lists (argsort over millions of rows — the old exact-path hot spot).
         """
-        if getattr(self, "_all_doc_ids", None) is None:
+        if self._all_doc_ids is None:
             tbl = self._docs_ds.to_table(columns=["doc_id"])
             ids = tbl.column("doc_id").to_numpy().astype(np.uint64)
             ids.sort()
