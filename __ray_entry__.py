@@ -721,6 +721,90 @@ def _q_embedding_dup_clusters(sf_dir: str):
     return embedding_dup_clusters(emb, threshold=0.4, n_planes=8, n_bands=4)
 
 
+def _q_code_chunks(sf_dir: str):
+    """CodeStrategy over deterministic Python sources derived from documents
+    (``stages/codechunk.py``): each doc becomes a module with one function,
+    one class and one method; the REAL ast-chunker + payload pipeline runs
+    distributed and the SQL twin reconstructs the exact labels."""
+    import pyarrow as pa
+    import ray.data
+
+    from vexor_ray.stages.codechunk import code_payloads
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "chunk_index": [], "kind": [], "label": []}
+        for did, text, n_chars in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("n_chars").to_pylist(),
+        ):
+            src = (
+                f'def fn_{did}():\n    """{text[:80]}"""\n'
+                f"    return {n_chars}\n\n"
+                f"class C_{did}:\n    def m(self):\n        pass\n"
+            )
+            for p in code_payloads(f"doc_{did}.py", src):
+                out["doc_id"].append(did)
+                out["chunk_index"].append(p["chunk_index"])
+                out["kind"].append(p["kind"])
+                out["label"].append(p["label"])
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "chunk_index": pa.array(out["chunk_index"], pa.int64()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "label": pa.array(out["label"], pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return ds.map_batches(run, batch_format="pyarrow").sort(
+        ["doc_id", "chunk_index"]
+    )
+
+
+def _q_outline_chunks(sf_dir: str):
+    """OutlineStrategy over deterministic Markdown derived from documents:
+    one H1 + two H2 sections per doc; the real heading parser + breadcrumb
+    stack runs distributed, SQL reconstructs sections bit-exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from vexor_ray.stages.codechunk import extract_outline_chunks
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "chunk_index": [], "breadcrumb": [], "chunk_text": []}
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            md = (
+                f"# doc{did}\n{text[:120]}\n## details\n{text[120:360]}\n"
+                f"## summary\n{text[360:600]}"
+            )
+            for ci, ch in enumerate(extract_outline_chunks(md)):
+                out["doc_id"].append(did)
+                out["chunk_index"].append(ci)
+                out["breadcrumb"].append(ch.breadcrumb)
+                out["chunk_text"].append(ch.text)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "chunk_index": pa.array(out["chunk_index"], pa.int64()),
+                "breadcrumb": pa.array(out["breadcrumb"], pa.string()),
+                "chunk_text": pa.array(out["chunk_text"], pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(run, batch_format="pyarrow").sort(
+        ["doc_id", "chunk_index"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_scores": _q_bm25_scores,
@@ -784,6 +868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brief_keywords": _q_brief_keywords,
         "training_export": _q_training_export,
         "events_json_agg": _q_events_json_agg,
+        "code_chunks": _q_code_chunks,
+        "outline_chunks": _q_outline_chunks,
     }
 
 
@@ -1623,4 +1709,50 @@ pc AS (SELECT p.token, js.j,
 SELECT pc.token, CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS est_count
 FROM pc LEFT JOIN cells ON cells.j = pc.j AND cells.cell = pc.cell
 GROUP BY pc.token ORDER BY pc.token""",
+        # labels of the ast-chunker payloads over the derived module
+        # def fn_X(): \"\"\"text[:80]\"\"\" / return n_chars / class C_X: / def m
+        "code_chunks": """
+WITH base AS (
+  SELECT doc_id, substring(text, 1, 80) AS t80, n_chars FROM documents
+)
+SELECT doc_id, chunk_index, kind, label FROM (
+  SELECT doc_id, CAST(0 AS BIGINT) AS chunk_index, 'function' AS kind,
+         'doc_' || doc_id || '.py :: def fn_' || doc_id || '(): :: def fn_'
+           || doc_id || '(): \"\"\"' || t80 || '\"\"\" return ' || n_chars AS label
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, 'class',
+         'doc_' || doc_id || '.py :: class C_' || doc_id
+           || ': :: class C_' || doc_id || ': Methods: m'
+  FROM base
+  UNION ALL
+  SELECT doc_id, 2, 'method',
+         'doc_' || doc_id || '.py :: C_' || doc_id
+           || '.m(self) :: def m(self): pass'
+  FROM base
+) ORDER BY doc_id, chunk_index""",
+        # outline sections of '# docX / t1 / ## details / t2 / ## summary / t3'
+        # (H1 section spans the subsections incl. their heading lines;
+        # cleanup = strip lines, drop blanks, join with single spaces)
+        "outline_chunks": """
+WITH base AS (
+  SELECT doc_id,
+         trim(substring(text, 1, 120))   AS t1,
+         trim(substring(text, 121, 240)) AS t2,
+         trim(substring(text, 361, 240)) AS t3
+  FROM documents
+)
+SELECT doc_id, chunk_index, breadcrumb, chunk_text FROM (
+  SELECT doc_id, CAST(0 AS BIGINT) AS chunk_index,
+         'doc' || doc_id AS breadcrumb,
+         concat_ws(' ', nullif(t1, ''), '## details', nullif(t2, ''),
+                   '## summary', nullif(t3, '')) AS chunk_text
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, 'doc' || doc_id || ' > details', coalesce(nullif(t2, ''), '')
+  FROM base
+  UNION ALL
+  SELECT doc_id, 2, 'doc' || doc_id || ' > summary', coalesce(nullif(t3, ''), '')
+  FROM base
+) ORDER BY doc_id, chunk_index""",
     }

@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--chunk-size", type=int, default=1000)
     c.add_argument("--overlap", type=int, default=100)
     c.add_argument("--pre-extracted", action="store_true")
+    c.add_argument(
+        "--mode",
+        default="full",
+        choices=["full", "code", "outline", "auto"],
+        help="full = sliding windows; code/outline = AST / Markdown-heading "
+        "chunks (pre-extracted input only); auto dispatches by suffix",
+    )
 
     ig = sub.add_parser(
         "ingest", help="extract a directory of raw files into a pages parquet"
@@ -171,15 +178,20 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "chunk":
         _init_ray(args.num_cpus)
-        from vexor_ray.stages.chunker import chunk_pages
+        if args.mode != "full":
+            from vexor_ray.stages.codechunk import chunk_mode_pages
 
-        files = chunk_pages(
-            args.input,
-            args.out,
-            chunk_size=args.chunk_size,
-            overlap=args.overlap,
-            pre_extracted=args.pre_extracted,
-        )
+            files = chunk_mode_pages(args.input, args.out, mode=args.mode)
+        else:
+            from vexor_ray.stages.chunker import chunk_pages
+
+            files = chunk_pages(
+                args.input,
+                args.out,
+                chunk_size=args.chunk_size,
+                overlap=args.overlap,
+                pre_extracted=args.pre_extracted,
+            )
         print(json.dumps({"files": len(files)}))
         import ray
 
