@@ -589,6 +589,77 @@ def test_substring_dup_stats_matches_bruteforce_random(ray_session):
         assert got.loc[d, "n_dup_windows"] == n_dup
 
 
+def test_rolling_hasher_matches_md5_decisions(ray_session):
+    """The 100 TB rolling-polynomial window kernel makes exactly the same
+    duplicated-span / contamination DECISIONS as the SQL-pinned md5 path
+    (hash values differ; equal spans collide identically either way)."""
+    import random
+
+    import ray.data
+
+    from vexor_ray.functions.dedup import decontaminate, substring_dup_stats
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for _ in range(80)
+    ]
+    texts[10] = texts[3]  # guaranteed cross-doc duplication
+    docs = ray.data.from_arrow(pa.table({"doc_id": list(range(80)), "text": texts}))
+    a = (
+        substring_dup_stats(docs, window=5, hasher="md5")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        substring_dup_stats(docs, window=5, hasher="rolling")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a["n_dup_windows"] > 0).any()
+
+    eval_docs = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1], "text": [texts[3], "unique eval only text " * 3]})
+    )
+    hits_md5 = sorted(
+        decontaminate(docs, eval_docs, window=5, hasher="md5")
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    hits_roll = sorted(
+        decontaminate(docs, eval_docs, window=5, hasher="rolling")
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert hits_md5 == hits_roll and 3 in hits_md5 and 10 in hits_md5
+
+
+def test_rolling_window_kernel_unit():
+    """Window hashes: position-sensitive, boundary-masked, batch == per-doc."""
+    import numpy as np
+
+    from vexor_ray.functions.dedup import _batch_window_hashes_rolling
+
+    h1, d1 = _batch_window_hashes_rolling(["a b c d", "c d a b"], 3)
+    # 2 windows per doc, none straddling the boundary
+    assert d1.tolist() == [0, 0, 1, 1]
+    # same tokens, different order → different hashes (position-sensitive)
+    assert h1[0] != h1[2]
+    # identical window text → identical hash across docs
+    h2, _ = _batch_window_hashes_rolling(["x y z", "q r x y z"], 3)
+    assert h2[0] == h2[-1]
+    # concatenated-batch result equals one-doc-at-a-time results
+    texts = ["a b c d e", "", "b c", "c d e a b c"]
+    hb, db = _batch_window_hashes_rolling(texts, 3)
+    singles = [_batch_window_hashes_rolling([t], 3)[0] for t in texts]
+    np.testing.assert_array_equal(hb, np.concatenate(singles))
+    assert db.tolist() == [0, 0, 0, 3, 3, 3, 3]
+
+
 def test_pack_sequences_matches_numpy_random(ray_session, tmp_path):
     import random
 

@@ -1056,11 +1056,82 @@ def _token_window_hashes(text: str, window: int) -> list[int]:
     ]
 
 
+# FNV-64 prime: odd → invertible mod 2^64, well-mixed under wraparound
+_ROLL_BASE = np.uint64(0x100000001B3)
+
+
+def _batch_window_hashes_rolling(
+    texts: list[str], window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized polynomial window hashes for a whole batch of texts.
+
+    The 100 TB swap for the per-window-md5 map stage: per-token uint64
+    siphashes (vectorized, dictionary-encoded — ``hashing.hash_terms_arrow``)
+    combined into ``H(i) = Σ_j h(tok[i+j]) · B^(W-1-j) (mod 2^64)`` with W
+    numpy multiply-adds over the CONCATENATED token stream, then windows
+    that straddle a document boundary are masked out.  Same duplicated-span
+    decisions as the md5 path (equal spans ⇒ equal hashes; collisions are
+    2^-64), but no per-window string join / digest — the map stage drops
+    from O(tokens·W) Python/md5 work to vectorized C.
+
+    Returns ``(hashes, doc_index)`` — window hash + index of the source text
+    in ``texts``.  Not SQL-reproducible; oracle runs keep ``hasher="md5"``.
+    """
+    from ..hashing import hash_terms_arrow
+
+    tok_lists = [TOKEN_RE.findall((t or "").lower()) for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    total = int(lens.sum())
+    if total < window:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    flat: list[str] = []
+    for tl in tok_lists:
+        flat.extend(tl)
+    th = hash_terms_arrow(pa.array(flat, type=pa.string()))
+    n_win = total - window + 1
+    acc = np.zeros(n_win, dtype=np.uint64)
+    # B^k mod 2^64 precomputed in Python ints (numpy scalar uint64 multiply
+    # warns on intended wraparound; array ufuncs don't)
+    pows = [1]
+    for _ in range(window - 1):
+        pows.append((pows[-1] * int(_ROLL_BASE)) & ((1 << 64) - 1))
+    for j in range(window):  # j = offset within the window
+        acc += th[j : j + n_win] * np.uint64(pows[window - 1 - j])
+    # keep only windows fully inside one document
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)[:n_win]
+    n_valid = np.maximum(lens - window + 1, 0)
+    mask = np.zeros(n_win, dtype=bool)
+    for s, nv in zip(starts, n_valid):
+        if nv > 0:
+            mask[s : s + nv] = True
+    return acc[mask], doc_idx[mask]
+
+
+def _explode_window_hashes(
+    batch: pa.Table, window: int, hasher: str
+) -> tuple[list[int] | np.ndarray, list[int] | np.ndarray]:
+    """(window_hash, doc_id) streams for one batch under either hasher."""
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    if hasher == "rolling":
+        whs, di = _batch_window_hashes_rolling(texts, window)
+        return whs, ids[di]
+    out_wh: list[int] = []
+    out_id: list[int] = []
+    for d, t in zip(ids.tolist(), texts):
+        whs = _token_window_hashes(t, window)
+        out_wh.extend(whs)
+        out_id.extend([d] * len(whs))
+    return out_wh, out_id
+
+
 def decontaminate(
     docs: ray.data.Dataset,
     eval_docs: ray.data.Dataset,
     *,
     window: int = 8,
+    hasher: str = "md5",
 ) -> ray.data.Dataset:
     """Benchmark decontamination: corpus docs sharing any ``window``-token
     span with an eval/benchmark set → contaminated doc_id list.
@@ -1069,13 +1140,24 @@ def decontaminate(
     the eval side is tiny by definition, so its window-hash set is computed
     once and BROADCAST (``ray.put`` of a sorted uint64 array, not a pickled
     Python set); the corpus side is one shuffle-free linear scan with a
-    vectorized ``searchsorted`` membership probe per doc.  Same md5 window
-    hashing as ``substring_dup_stats`` → exactly reproducible in SQL.
+    vectorized ``searchsorted`` membership probe per doc.  ``hasher="md5"``
+    (default) is the SQL-reproducible twin of ``substring_dup_stats``;
+    ``hasher="rolling"`` is the 100 TB map kernel
+    (``_batch_window_hashes_rolling``) — identical contamination decisions,
+    no per-window md5.
     """
+    if hasher not in ("md5", "rolling"):
+        raise ValueError(f"unknown hasher {hasher!r}")
     eval_hashes: set[int] = set()
     for b in eval_docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for t in b.column("text").to_pylist():
-            eval_hashes.update(_token_window_hashes(t, window))
+        if hasher == "rolling":
+            whs, _ = _batch_window_hashes_rolling(
+                b.column("text").to_pylist(), window
+            )
+            eval_hashes.update(whs.tolist())
+        else:
+            for t in b.column("text").to_pylist():
+                eval_hashes.update(_token_window_hashes(t, window))
     probe = np.sort(np.fromiter(eval_hashes, dtype=np.uint64, count=len(eval_hashes)))
     probe_ref = ray.put(probe)
 
@@ -1083,15 +1165,14 @@ def decontaminate(
         probe_arr = ray.get(probe_ref)
         hit: list[int] = []
         if probe_arr.size:
-            texts = batch.column("text").to_pylist()
-            ids = batch.column("doc_id").to_pylist()
-            for d, t in zip(ids, texts):
-                whs = np.asarray(_token_window_hashes(t, window), dtype=np.uint64)
-                if whs.size:
-                    pos = np.searchsorted(probe_arr, whs)
-                    pos[pos == probe_arr.size] = 0
-                    if bool((probe_arr[pos] == whs).any()):
-                        hit.append(d)
+            whs, ids = _explode_window_hashes(batch, window, hasher)
+            whs = np.asarray(whs, dtype=np.uint64)
+            ids = np.asarray(ids, dtype=np.int64)
+            if whs.size:
+                pos = np.searchsorted(probe_arr, whs)
+                pos[pos == probe_arr.size] = 0
+                contaminated = ids[probe_arr[pos] == whs]
+                hit = np.unique(contaminated).tolist()
         return pa.table({"doc_id": pa.array(hit, type=pa.int64())})
 
     return docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
@@ -1102,6 +1183,7 @@ def substring_dup_stats(
     *,
     window: int = 8,
     n_parts: int = 64,
+    hasher: str = "md5",
 ) -> ray.data.Dataset:
     """Exact substring-level duplication stats (Lee et al. 2021 shape).
 
@@ -1123,28 +1205,25 @@ def substring_dup_stats(
        of one span share a partition by construction);
     3. one coarse hash shuffle of (doc_id, dup) pairs → per-doc counts.
 
-    At 100 TB the md5-per-span map cost would swap for a rolling 64-bit
-    polynomial (one pass per doc) at the price of the SQL-checkable twin;
-    the shuffle shape is unchanged.  Reference analogue: vexor has only
+    ``hasher="rolling"`` swaps the md5-per-span map cost for the vectorized
+    polynomial kernel (``_batch_window_hashes_rolling``) — the 100 TB path,
+    identical dup decisions, no SQL twin; ``hasher="md5"`` (default) keeps
+    the exactly-SQL-checkable map the driver oracle pins.  The shuffle
+    shape is unchanged either way.  Reference analogue: vexor has only
     whole-text dedup (`vexor/search.py:194-206`); this is the training-data
     extension the task brief asks for.
     """
+    if hasher not in ("md5", "rolling"):
+        raise ValueError(f"unknown hasher {hasher!r}")
     from .groups import coarse_grouped, int_pid
     from .textstats import _round6_half_up
 
     def explode_windows(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        out_wh: list[int] = []
-        out_id: list[int] = []
-        for d, t in zip(ids, texts):
-            whs = _token_window_hashes(t, window)
-            out_wh.extend(whs)
-            out_id.extend([d] * len(whs))
+        out_wh, out_id = _explode_window_hashes(batch, window, hasher)
         return pa.table(
             {
-                "wh": pa.array(out_wh, type=pa.uint64()),
-                "doc_id": pa.array(out_id, type=pa.int64()),
+                "wh": pa.array(np.asarray(out_wh, dtype=np.uint64)),
+                "doc_id": pa.array(np.asarray(out_id, dtype=np.int64)),
             }
         )
 
