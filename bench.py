@@ -223,6 +223,13 @@ def bench_operators() -> dict:
     substring_dup_stats(docs, window=8).count()
     out["substring_dup"] = round(time.perf_counter() - t0, 3)
 
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t0 = time.perf_counter()
+    substring_dup_stats(docs, window=8, hasher="rolling").count()
+    out["substring_dup_rolling"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     pack_sequences(SF_DIR).count()
     out["pack_sequences"] = round(time.perf_counter() - t0, 3)
@@ -245,6 +252,37 @@ def bench_operators() -> dict:
     t0 = time.perf_counter()
     decontaminate(docs, eval_docs, window=8).count()
     out["decontaminate"] = round(time.perf_counter() - t0, 3)
+
+    from vexor_ray.stages.codechunk import chunk_mode_pages
+
+    code_pages = Path("/tmp/vx_bench_code_pages")
+    if not code_pages.exists():
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        srcs, urls = [], []
+        for did, text in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            urls.append(f"doc_{did}.py")
+            srcs.append(
+                f'def fn_{did}():\n    """{(text or "")[:400]}"""\n'
+                f"    return {did}\n\nclass C_{did}:\n    def m(self):\n"
+                f"        pass\n"
+            )
+        code_pages.mkdir(parents=True, exist_ok=True)
+        _pq.write_table(
+            pa.table({"url": urls, "text": srcs}),
+            code_pages / "part-0.parquet",
+        )
+    out_chunks = Path("/tmp/vx_bench_code_chunks")
+    shutil.rmtree(out_chunks, ignore_errors=True)
+    t0 = time.perf_counter()
+    chunk_mode_pages(code_pages, out_chunks, mode="code")
+    out["code_chunks"] = round(time.perf_counter() - t0, 3)
     return out
 
 

@@ -90,6 +90,10 @@ class BuildConfig:
     extract_batch_size: int = 256
     tokenize_batch_size: int = 1024
     tokenize_concurrency: int = 4
+    # max concurrent encode tasks per node: the encoder saturates memory
+    # bandwidth around 8 tasks; beyond that extra tasks only contend
+    # (see _encode_task_cpus).  0 disables the cap (1 CPU per task).
+    encode_max_concurrent: int = 8
     fail_after_partitions: int | None = None  # fault injection for resume tests
 
     def public_dict(self) -> dict:
@@ -425,6 +429,26 @@ def _effective_pool_size(requested: int) -> int:
     except Exception:
         cpus = requested + 1
     return max(1, min(requested, cpus - 1))
+
+
+def _encode_task_cpus(max_concurrent: int) -> float:
+    """num_cpus for encode tasks so at most ``max_concurrent`` run per node.
+
+    The run encoder is allocation-heavy vectorized C; past ~8 concurrent
+    tasks per node the stage is memory-bandwidth / page-fault bound and MORE
+    tasks make it SLOWER (measured on this host's cheap-fault mode, 400k
+    pages / 27M postings / 64 blocks at a 32-CPU session: 32 concurrent
+    9.9-22.4 s, 16 → 5.0-6.6 s, 8 → 2.6-3.7 s).  Reserving
+    session_cpus/max_concurrent CPUs per task caps concurrency at the sweet
+    spot while leaving the scheduler free to run other stages alongside.
+    """
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", max_concurrent))
+    except Exception:
+        cpus = max_concurrent
+    return max(1.0, cpus / max(1, max_concurrent))
 
 
 def _input_files(source: str | Path | list) -> list[str]:
@@ -835,6 +859,11 @@ def build_index(
                 batch_format="pyarrow",
                 batch_size=None,
                 zero_copy_batch=True,
+                num_cpus=(
+                    _encode_task_cpus(cfg.encode_max_concurrent)
+                    if cfg.encode_max_concurrent
+                    else 1.0
+                ),
             )
             seg_files = _atomic_dir_write(
                 ds, out / "segments" / pid, row_group_size=2048
