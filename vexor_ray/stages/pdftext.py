@@ -1,13 +1,18 @@
 """Minimal from-scratch PDF text extraction (stdlib zlib only).
 
-Covers the common machine-generated case: classic (non-object-stream) PDFs
-whose page content streams are plain or FlateDecode-compressed, with text
-drawn via the ``Tj`` / ``TJ`` / ``'`` operators and literal ``(...)``
-strings (escape sequences and octal per PDF 32000-1 §7.3.4.2).  Hex
-strings, CID/Type0 composite-font encodings, object streams and encryption
-are out of scope — ``extract_pdf_text`` returns whatever text it can find,
-or ``None`` when there is none (the extractor-registry contract:
-``stages/extract.py``).
+Covers the common machine-generated case: PDFs whose page content streams
+are plain or FlateDecode-compressed, with text drawn via the ``Tj`` /
+``TJ`` / ``'`` operators and literal ``(...)`` or hex ``<...>`` strings
+(escape sequences and octal per PDF 32000-1 §7.3.4.2; hex per §7.3.4.3).
+Object streams (``/Type /ObjStm``) are decompressed and scanned too, so
+modern xref-stream PDFs whose page/font dicts live in object streams still
+yield their content text (content streams themselves can never live inside
+an ObjStm — §7.5.7 — so the linear stream scan finds them regardless).
+Encrypted PDFs (``/Encrypt`` in the trailer) return ``None`` outright
+rather than garbled ciphertext.  CID/Type0 composite-font encodings
+(2-byte codes needing a ToUnicode CMap) remain out of scope —
+``extract_pdf_text`` returns whatever text it can find, or ``None`` when
+there is none (the extractor-registry contract: ``stages/extract.py``).
 
 Register for the build with::
 
@@ -22,8 +27,13 @@ import re
 import zlib
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
-_TEXT_OP_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|')|\[(?:[^\]\\]|\\.)*\]\s*TJ", re.S)
-_LITERAL_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.S)
+_TEXT_OP_RE = re.compile(
+    rb"(?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s*(?:Tj|')"
+    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ",
+    re.S,
+)
+_LITERAL_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>", re.S)
+_HEX_STRIP_RE = re.compile(rb"[^0-9A-Fa-f]")
 
 _ESCAPES = {
     b"n": b"\n",
@@ -64,8 +74,14 @@ def _unescape(body: bytes) -> bytes:
     return bytes(out)
 
 
-def _content_streams(data: bytes):
-    """Yield decoded stream payloads (Flate-decompressed when marked)."""
+def _content_streams(data: bytes, _depth: int = 0):
+    """Yield decoded stream payloads (Flate-decompressed when marked).
+
+    ``/Type /ObjStm`` container streams are decompressed and re-scanned
+    (depth-capped): the objects inside are dicts only (§7.5.7), but their
+    presence in the scan keeps any embedded string content reachable and
+    makes the extractor insensitive to xref-stream-era object packing.
+    """
     for m in _STREAM_RE.finditer(data):
         start = m.end()
         end = data.find(b"endstream", start)
@@ -77,14 +93,28 @@ def _content_streams(data: bytes):
                 body = zlib.decompress(body)
             except zlib.error:
                 continue
+        if b"/ObjStm" in m.group(1):
+            if _depth < 2:
+                yield from _content_streams(body, _depth + 1)
+            continue
         yield body
+
+
+def _string_bytes(lit: bytes) -> bytes:
+    """One PDF string token → raw bytes (literal escapes or hex pairs)."""
+    if lit.startswith(b"<"):
+        digits = _HEX_STRIP_RE.sub(b"", lit)
+        if len(digits) % 2:  # odd count: final digit gets a trailing 0 (§7.3.4.3)
+            digits += b"0"
+        return bytes.fromhex(digits.decode("ascii"))
+    return _unescape(lit[1:-1])
 
 
 def _stream_text(stream: bytes) -> list[str]:
     out: list[str] = []
     for m in _TEXT_OP_RE.finditer(stream):
         parts = [
-            _unescape(lit.group(0)[1:-1]) for lit in _LITERAL_RE.finditer(m.group(0))
+            _string_bytes(lit.group(0)) for lit in _LITERAL_RE.finditer(m.group(0))
         ]
         if parts:
             out.append(b"".join(parts).decode("latin-1"))
@@ -94,6 +124,11 @@ def _stream_text(stream: bytes) -> list[str]:
 def extract_pdf_text(payload: bytes, char_limit: int = 0) -> str | None:
     """PDF bytes → extracted text (None when no text was found)."""
     if not payload or not payload.startswith(b"%PDF-"):
+        return None
+    # encrypted documents: strings/streams are ciphertext — refuse cleanly
+    # instead of emitting garbage (trailer/xref-stream /Encrypt ref, §7.6;
+    # the `N G R` shape avoids tripping on "/Encrypt" inside content text)
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", payload):
         return None
     pieces: list[str] = []
     for stream in _content_streams(payload):
