@@ -805,6 +805,74 @@ def _q_outline_chunks(sf_dir: str):
     )
 
 
+def _q_streaming_ingest(sf_dir: str):
+    """Streaming ingestion over the documents table: three micro-batches
+    (``doc_id % 3``) with synthetic event time ``doc_id`` seconds; after
+    each commit the refreshed index is queried for its doc count.  The SQL
+    twin reconstructs rows-per-batch, the running watermark, and the
+    cumulative indexed doc count (rows whose normalized text is non-empty)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from vexor_ray.index.build import BuildConfig
+    from vexor_ray.streaming import StreamingIngestor
+
+    tbl = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in tbl])
+    root = tempfile.mkdtemp(prefix="vx_stream_q_")
+    try:
+        ing = StreamingIngestor(
+            root,
+            BuildConfig(
+                pre_extracted=True, doc_builder="text", num_waves=1,
+                shard_group_size=4,
+            ),
+        )
+        import numpy as np
+
+        out = {"seq": [], "rows_in": [], "watermark_us": [], "doc_count": []}
+        ids_np = tbl.column("doc_id").to_numpy()
+        for k in range(3):
+            batch = tbl.filter(pa.array(ids_np % 3 == k))
+            batch = batch.append_column(
+                "warc_ts",
+                pc.cast(
+                    pc.multiply(batch.column("doc_id"), 1_000_000),
+                    pa.timestamp("us"),
+                ),
+            )
+            batch = batch.append_column(
+                "url",
+                pa.array(
+                    [f"doc/{d:06d}" for d in batch.column("doc_id").to_pylist()],
+                    pa.string(),
+                ),
+            )
+            batch = batch.select(["url", "text", "warc_ts"])
+            r = ing.ingest_batch(batch)
+            s = ing.searcher()
+            out["seq"].append(k)
+            out["rows_in"].append(r["rows_in"])
+            out["watermark_us"].append(r["watermark_us"])
+            out["doc_count"].append(s.doc_count)
+        return pa.table(
+            {
+                "seq": pa.array(out["seq"], pa.int64()),
+                "rows_in": pa.array(out["rows_in"], pa.int64()),
+                "watermark_us": pa.array(out["watermark_us"], pa.int64()),
+                "doc_count": pa.array(out["doc_count"], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_scores": _q_bm25_scores,
@@ -870,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_agg": _q_events_json_agg,
         "code_chunks": _q_code_chunks,
         "outline_chunks": _q_outline_chunks,
+        "streaming_ingest": _q_streaming_ingest,
     }
 
 
@@ -1755,4 +1824,23 @@ SELECT doc_id, chunk_index, breadcrumb, chunk_text FROM (
   SELECT doc_id, 2, 'doc' || doc_id || ' > summary', coalesce(nullif(t3, ''), '')
   FROM base
 ) ORDER BY doc_id, chunk_index""",
+        # streaming ingest: batch k = doc_id % 3, event time doc_id seconds;
+        # watermark = running max event time, doc_count = cumulative docs
+        # whose normalized (CRLF->LF, strip) text is non-empty
+        "streaming_ingest": """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS seq,
+         CASE WHEN trim(replace(text, chr(13) || chr(10), chr(10))) <> ''
+              THEN 1 ELSE 0 END AS indexed
+  FROM documents
+),
+per AS (
+  SELECT seq, COUNT(*) AS n, MAX(doc_id) * 1000000 AS batch_max_us,
+         SUM(indexed) AS n_indexed
+  FROM d GROUP BY seq
+)
+SELECT seq, CAST(n AS BIGINT) AS rows_in,
+       CAST(MAX(batch_max_us) OVER (ORDER BY seq) AS BIGINT) AS watermark_us,
+       CAST(SUM(n_indexed) OVER (ORDER BY seq) AS BIGINT) AS doc_count
+FROM per ORDER BY seq""",
     }
