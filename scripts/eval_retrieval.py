@@ -110,9 +110,9 @@ def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
     def dense_orders(idf):
         emb_ds = ds.map_batches(
             hash_embed_batch,
-            fn_kwargs={"dim": 512, "mode": "word", "n": 2, "idf": idf},
+            fn_kwargs={"dim": 4096, "mode": "word_mix", "n": 2, "idf": idf},
             batch_format="pyarrow", zero_copy_batch=True)
-        qemb = hash_embed(qtexts, dim=512, n=2, mode="word", idf=idf)
+        qemb = hash_embed(qtexts, dim=4096, n=2, mode="word_mix", idf=idf)
         dense_top = brute_force_topk(emb_ds, qemb.astype(np.float64), k=50,
                                      id_col="doc_id")
         by_q: dict[int, list[int]] = {}
@@ -124,7 +124,7 @@ def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
         return by_q, cos_q
 
     dense_by_q, dcos_by_q = dense_orders(None)
-    bdf, n_docs = bucket_doc_freq(ds, dim=512, mode="word", n=2)
+    bdf, n_docs = bucket_doc_freq(ds, dim=4096, mode="word_mix", n=2)
     idf_by_q, _ = dense_orders(idf_weights(bdf, n_docs))
 
     arms: dict[str, list[list[int]]] = {

@@ -38,7 +38,14 @@ IDF_QUANT = 1024  # idf weights are multiples of 1/IDF_QUANT (dyadic → exact)
 
 
 def _grams(text: str, n: int, mode: str) -> set[str]:
-    """Distinct n-grams of ``text`` under ``mode`` ('char' | 'word')."""
+    """Distinct n-grams of ``text`` under ``mode``
+    ('char' | 'word' | 'word_mix').
+
+    ``word_mix`` emits unigrams ∪ 2..n-grams: short queries then share
+    features with documents at every granularity (a 2-word query under pure
+    bigrams has ONE feature; under word_mix it has three), which is where
+    most of the dense arm's eval headroom was.
+    """
     from ..spec import TOKEN_RE
 
     t = (text or "").lower()
@@ -47,6 +54,14 @@ def _grams(text: str, n: int, mode: str) -> set[str]:
         grams = {" ".join(toks[j : j + n]) for j in range(max(len(toks) - n + 1, 0))}
         if not grams and toks:
             grams = {" ".join(toks)}
+        return grams
+    if mode == "word_mix":
+        toks = TOKEN_RE.findall(t)
+        grams = set(toks)
+        for k in range(2, n + 1):
+            grams.update(
+                " ".join(toks[j : j + k]) for j in range(max(len(toks) - k + 1, 0))
+            )
         return grams
     if len(t) < n:
         return {t} if t else set()
