@@ -180,5 +180,26 @@ def decode_block(chunk: dict, block: int) -> tuple[np.ndarray, np.ndarray, np.nd
     return doc_ids, tfs, dls
 
 
+def decode_tail(
+    chunk: dict, from_block: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode blocks ``from_block..end`` in ONE varint pass per blob.
+
+    Valid because each block's first delta chains from the previous block's
+    last docID (``encode_runs`` delta-codes the whole run before slicing
+    into blocks), so a cumsum over the concatenated tail deltas plus
+    ``block_last[from_block-1]`` reproduces the absolute docIDs exactly.
+    This is the WAND drain's bulk path: per-block decode of a long tail is
+    thousands of small ``varint_decode`` calls; this is a handful.
+    """
+    do, to, lo = chunk["doc_off"], chunk["tf_off"], chunk["dl_off"]
+    deltas = varint_decode(memoryview(chunk["doc_blob"])[do[from_block] :])
+    base = chunk["block_last"][from_block - 1] if from_block > 0 else _U64(0)
+    doc_ids = np.cumsum(deltas, dtype=_U64) + base
+    tfs = varint_decode(memoryview(chunk["tf_blob"])[to[from_block] :])
+    dls = varint_decode(memoryview(chunk["dl_blob"])[lo[from_block] :])
+    return doc_ids, tfs, dls
+
+
 def n_blocks(chunk: dict) -> int:
     return len(chunk["block_last"])

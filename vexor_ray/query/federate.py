@@ -135,6 +135,9 @@ class FederatedSearcher:
                     k1=s.k1,
                     b=s.b,
                     df_by_term=dfs,
+                    # drain recomputes denominators from dl under the UNION
+                    # avgdl, so the per-index cached decode stays valid here
+                    decoded_provider=s._wand_tail_provider,
                 )
             merged.extend((-sc, idx, d) for d, sc in local)
         merged.sort()

@@ -71,7 +71,9 @@ def rrf_fuse_orders(
     return fused
 
 
-def _chunks_from_table(tbl: pa.Table) -> list[tuple[str, dict]]:
+def _chunks_from_table(
+    tbl: pa.Table, block_size: int | None = None
+) -> list[tuple[str, dict]]:
     """Chunk dicts from a segment-row table, zero-copy for blobs and lists."""
     tbl = tbl.combine_chunks()
     out: list[tuple[str, dict]] = []
@@ -88,7 +90,7 @@ def _chunks_from_table(tbl: pa.Table) -> list[tuple[str, dict]]:
                 {
                     "salt": int(salts[i]),
                     "n_postings": int(n_postings[i]),
-                    "block_size": None,
+                    "block_size": block_size,
                     "doc_blob": memoryview(cols["doc_blob"][i].as_buffer()),
                     "tf_blob": memoryview(cols["tf_blob"][i].as_buffer()),
                     "dl_blob": memoryview(cols["dl_blob"][i].as_buffer()),
@@ -118,6 +120,10 @@ class Searcher:
         self.b: float = cfg["b"]
         self.num_waves: int = cfg["num_waves"]
         self.salt_shift: int = cfg.get("salt_shift", 20)
+        # uniform posting-block length (encode_runs slices runs into
+        # fixed-size blocks) — lets the WAND drain map (block, pos) to a
+        # global offset into a cached full-chunk decode
+        self._block_size: int | None = cfg.get("block_size")
         # per-wave generation list (incremental builds append generations;
         # a chunk from gen g is superseded when its salt's file index was
         # re-indexed by a LATER generation — salt ranges nest inside file
@@ -346,7 +352,7 @@ class Searcher:
             tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
             scale = gen["ub_scale"]
             found = []
-            for term, chunk in _chunks_from_table(tbl):
+            for term, chunk in _chunks_from_table(tbl, self._block_size):
                 if scale != 1.0:
                     chunk["block_ub"] = chunk["block_ub"] * np.float32(scale)
                 found.append((term, chunk))
@@ -501,12 +507,17 @@ class Searcher:
 
         The sharded exact path groups these by salt-range shard and maps
         docIDs into shard-local coordinates per query, so no corpus-length
-        index is ever materialized.  Cached under the same postings budget.
+        index is ever materialized; the WAND drain reuses the same cache to
+        avoid re-decoding dense terms every query.  Cached under the same
+        postings budget, in a ``("raw", term)`` key namespace so a
+        non-sharded searcher's dense-coordinate entries (plain ``term``
+        keys) never collide with raw entries.
         """
-        if term is not None:
-            hit = self._postings_cache.get(term)
+        key = None if term is None else ("raw", term)
+        if key is not None:
+            hit = self._postings_cache.get(key)
             if hit is not None:
-                self._postings_cache.move_to_end(term)
+                self._postings_cache.move_to_end(key)
                 return hit[1]
         from ..index.codec import decode_chunk
 
@@ -520,7 +531,7 @@ class Searcher:
             denom_base = k1 * ((1.0 - b) + (b * dl_f) / self.avg_doc_len)
             parts.append((int(c.get("salt", 0)), doc_ids, tf_f, denom_base, dl_f))
             n += int(doc_ids.size)
-        self._postings_cache_put(term, n, parts)
+        self._postings_cache_put(key, n, parts)
         return parts
 
     def _shard_doc_ids(self, shard_id: int) -> np.ndarray:
@@ -790,8 +801,21 @@ class Searcher:
                 k=k,
                 k1=self.k1,
                 b=self.b,
+                decoded_provider=self._wand_tail_provider,
             )
         raise ValueError(f"unknown method {method!r}")
+
+    def _wand_tail_provider(self, chunks: list[dict], term: str):
+        """Cached raw decode for the WAND drain — DENSE terms only.
+
+        Small terms return None (the drain's decode_tail on a short chunk is
+        cheaper than a full decode that the cache floor would never keep);
+        dense terms decode once into the ``("raw", term)`` cache so repeated
+        stop-word-class queries drain with pure vector math.
+        """
+        if sum(c["n_postings"] for c in chunks) < self._postings_cache_min:
+            return None
+        return self._term_postings_raw(chunks, term)
 
     # -- hybrid (RRF fusion with a dense ranking) --------------------------
     def search_hybrid(

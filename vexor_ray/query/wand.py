@@ -38,6 +38,7 @@ _INF = 2**64  # > any docID
 class _Cursor:
     __slots__ = (
         "term_idx",
+        "chunk_idx",
         "chunk",
         "idf",
         "max_score",
@@ -50,8 +51,9 @@ class _Cursor:
         "n_blocks",
     )
 
-    def __init__(self, term_idx: int, chunk: dict, idf: float):
+    def __init__(self, term_idx: int, chunk: dict, idf: float, chunk_idx: int = 0):
         self.term_idx = term_idx
+        self.chunk_idx = chunk_idx  # position in the term's chunk list
         self.chunk = chunk
         self.idf = idf
         self.n_blocks = len(chunk["block_last"])
@@ -119,8 +121,13 @@ class _Cursor:
 # (stop-word-class) and per-posting Python cannot win — finish it with one
 # vectorized exact-style pass over the remaining postings (rank-safe, see
 # _drain_remaining)
-_DRAIN_CHECK = 512
-_DRAIN_MIN_SKIP = 0.05
+_DRAIN_CHECK = 256
+# Drain unless pruning skips MOST pivots: the vectorized drain costs about
+# one exact-scorer pass over the remaining postings (ms), while the cursor
+# walk pays Python per posting — at skip rates below ~½ the walk can't win.
+# Truly selective queries either finish before the first check or keep
+# skip-rates well above the bar (the case WAND exists for).
+_DRAIN_MIN_SKIP = 0.5
 
 
 def _drain_remaining(
@@ -132,6 +139,7 @@ def _drain_remaining(
     k1: float,
     b: float,
     avg_doc_len: float,
+    tail_lookup=None,
 ) -> None:
     """Score every remaining (unconsumed) posting vectorized, update heap.
 
@@ -150,18 +158,25 @@ def _drain_remaining(
     for c in cursors:
         if c.cur_doc >= _INF:
             continue
-        docs = [c.docs[c.pos :]]
-        tfs = [c.tfs[c.pos :]]
-        dls = [c.dls[c.pos :]]
-        for blk in range(c.block + 1, c.n_blocks):
-            d, t, l = codec.decode_block(c.chunk, blk)
-            docs.append(d)
-            tfs.append(t)
-            dls.append(l)
-        d = np.concatenate(docs)
-        per_term[c.term_idx].append(
-            (c.idf, d, np.concatenate(tfs), np.concatenate(dls))
-        )
+        tail = tail_lookup(c) if tail_lookup is not None else None
+        if tail is not None:
+            # cached full-chunk decode (searcher postings cache): slice the
+            # unconsumed suffix — repeats of dense queries skip decode
+            d, t, l = tail
+        else:
+            docs = [c.docs[c.pos :]]
+            tfs = [c.tfs[c.pos :]]
+            dls = [c.dls[c.pos :]]
+            if c.block + 1 < c.n_blocks:
+                # bulk tail decode: one varint pass instead of one per block
+                td, tt, tl = codec.decode_tail(c.chunk, c.block + 1)
+                docs.append(td)
+                tfs.append(tt)
+                dls.append(tl)
+            d = np.concatenate(docs)
+            t = np.concatenate(tfs)
+            l = np.concatenate(dls)
+        per_term[c.term_idx].append((c.idf, d, t, l))
         all_docs.append(d)
         c.cur_doc = _INF  # consumed
     if not all_docs:
@@ -204,11 +219,16 @@ def block_max_wand(
     k1: float,
     b: float,
     df_by_term: dict[str, int] | None = None,
+    decoded_provider=None,
 ) -> list[tuple[int, float]]:
     """Top-k ``[(doc_id, score)]`` — rank-identical to the exact scorer.
 
     ``df_by_term`` overrides per-term document frequency with global values
-    (federated querying across disjoint indexes).
+    (federated querying across disjoint indexes).  ``decoded_provider``
+    (optional): ``fn(chunks, term) -> [(salt, docs, tf_f64, denom_base,
+    dl_f64)]`` per chunk — the searcher's cached raw decode; when present
+    the adaptive drain slices cached arrays instead of re-decoding blobs,
+    so repeated dense queries cost vector math only.
     """
     if k <= 0 or doc_count <= 0 or avg_doc_len <= 0:
         return []
@@ -223,11 +243,26 @@ def block_max_wand(
         if df == 0:
             continue
         idf = math.log((doc_count - df + 0.5) / (df + 0.5) + 1.0)
-        for chunk in chunks:
+        for ci, chunk in enumerate(chunks):
             if chunk["n_postings"]:
-                cursors.append(_Cursor(ti, chunk, idf))
+                cursors.append(_Cursor(ti, chunk, idf, chunk_idx=ci))
     if not cursors:
         return []
+
+    def _tail_lookup(c: _Cursor):
+        """Unconsumed suffix of c's chunk from the provider cache, or None."""
+        if decoded_provider is None:
+            return None
+        bs = c.chunk.get("block_size")
+        if not bs:
+            return None  # unknown block length → can't map (block, pos)
+        term = terms[c.term_idx]
+        parts = decoded_provider(chunks_by_term.get(term, []), term)
+        if parts is None or c.chunk_idx >= len(parts):
+            return None
+        _salt, docs, tf_f, _denom_base, dl_f = parts[c.chunk_idx]
+        gpos = c.block * bs + c.pos
+        return docs[gpos:], tf_f[gpos:], dl_f[gpos:]
 
     n_terms = len(terms)
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
@@ -235,11 +270,19 @@ def block_max_wand(
     def threshold() -> float:
         return heap[0][0] if len(heap) == k else -math.inf
 
+    # iteration budget: the vectorized drain costs ~one pass over the
+    # remaining postings, so once the Python walk has spent iterations on
+    # the order of total_postings/8 it cannot recoup — even at a passable
+    # pivot-prune rate (a prune only pays when it jumps MANY postings)
+    total_postings = sum(c.chunk["n_postings"] for c in cursors)
+    iter_budget = max(2048, total_postings // 8)
     n_iters = 0
     n_pruned = 0
     while True:
         n_iters += 1
-        if n_iters % _DRAIN_CHECK == 0 and n_pruned < _DRAIN_MIN_SKIP * n_iters:
+        if n_iters % _DRAIN_CHECK == 0 and (
+            n_pruned < _DRAIN_MIN_SKIP * n_iters or n_iters > iter_budget
+        ):
             # pruning is not paying: finish vectorized (rank-safe)
             _drain_remaining(
                 cursors,
@@ -249,6 +292,7 @@ def block_max_wand(
                 k1=k1,
                 b=b,
                 avg_doc_len=avg_doc_len,
+                tail_lookup=_tail_lookup,
             )
             break
         live = [c for c in cursors if c.cur_doc < _INF]
