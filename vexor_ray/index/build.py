@@ -69,7 +69,10 @@ class BuildConfig:
     token_pattern: str = TOKEN_PATTERN
     tokenizer: str = "regex"  # regex | bert_union (stages/berttok.py)
     embed_dim: int = 0  # > 0 → store a dense hash-embedding column per doc
-    embed_mode: str = "word"
+    # word_mix (unigrams ∪ bigrams) is the measured-best featurizer: eval
+    # MRR@10 0.93 vs 0.29 for pure word bigrams at the same dim budget
+    # (BASELINE.md sweep); pair with embed_dim >= 2048 for retrieval use
+    embed_mode: str = "word_mix"
     block_size: int = POSTING_BLOCK_SIZE
     salt_shift: int = DEFAULT_SALT_SHIFT
     num_waves: int = DEFAULT_NUM_WAVES
