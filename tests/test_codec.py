@@ -58,6 +58,13 @@ def test_chunk_roundtrip_and_blocks():
     assert pos == 1000
     # skip pointers
     assert chunk["block_last"][-1] == doc_ids[-1]
+    # bulk tail decode from every block boundary == the full-decode suffix
+    for fb in range(codec.n_blocks(chunk)):
+        start = fb * 128
+        td, tt, tl = codec.decode_tail(chunk, fb)
+        assert np.array_equal(td, doc_ids[start:])
+        assert np.array_equal(tt, tfs[start:])
+        assert np.array_equal(tl, dls[start:])
 
 
 def test_block_ub_is_upper_bound():
