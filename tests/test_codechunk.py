@@ -215,6 +215,60 @@ def test_code_payload_windows_and_suffixes():
     assert fn_pays[0]["symbol"] == "big"
 
 
+def test_js_chunker_never_crashes_or_loses_lines():
+    """Property: on arbitrary (even broken) input the scanner never raises
+    and every non-blank source line falls inside some chunk's line span —
+    text can be mis-KINDED by the grammar subset, never dropped."""
+    import random
+
+    from vexor_ray.stages.codechunk import extract_js_chunks
+
+    rng = random.Random(17)
+    fragments = [
+        "function f{}(a) {", "}", "const x = (a) => a + 1;", "class {} Y {",
+        "// comment with function g() {", '"string with } and { inside"',
+        "`template ${ nested } with {`", "if (a) { b(); }", "export default",
+        "/* unterminated block", "let s = 'quote \\' escaped';", "((({{{",
+        "}}})))", "async function", "=> {", "\t\treturn 1;", "",
+    ]
+    for trial in range(200):
+        n = rng.randint(0, 25)
+        src = "\n".join(rng.choice(fragments) for _ in range(n))
+        chunks = extract_js_chunks(src)  # must not raise
+        lines = src.splitlines()
+        covered = set()
+        for c in chunks:
+            covered.update(range(c.start_line, c.end_line + 1))
+        for ln, text in enumerate(lines, start=1):
+            if text.strip():
+                assert ln in covered, (trial, ln, text, src)
+
+
+def test_python_chunker_never_loses_lines():
+    import random
+    import string
+
+    from vexor_ray.stages.codechunk import extract_python_chunks
+
+    rng = random.Random(23)
+    frags = [
+        "import os", "X = 1", "def f():", "    return X", "class C:",
+        "    pass", "# comment", "", "    def m(self):", "@deco",
+        "if True:", "    X += 1",
+    ]
+    for trial in range(200):
+        src = "\n".join(rng.choice(frags) for _ in range(rng.randint(0, 20)))
+        chunks = extract_python_chunks(src)  # must not raise
+        if not chunks:
+            continue  # syntax error → payload layer falls back to windows
+        covered = set()
+        for c in chunks:
+            covered.update(range(c.start_line, c.end_line + 1))
+        for ln, text in enumerate(src.splitlines(), start=1):
+            if text.strip():
+                assert ln in covered, (trial, ln, text, src)
+
+
 def test_mode_chunk_corpus_build_and_search(ray_session, tmp_path):
     """chunk_mode_pages → build → search: a method is findable by name and
     the top hit is its chunk, not the whole file (the CodeStrategy point)."""
