@@ -303,3 +303,29 @@ def test_mode_chunk_corpus_build_and_search(ray_session, tmp_path):
     assert hits["url"].iloc[0].startswith("docs/guide.md#chunk")
     hits = s.search_hits([{"query_id": 1, "query": "compute", "k": 3}]).to_pandas()
     assert hits["url"].iloc[0].startswith("src/calc.js#chunk")
+
+
+def test_mask_js_escaped_newline_keeps_line_count():
+    """A backslash line-continuation inside a string/template must not
+    swallow the newline: masked line count always equals source line count,
+    or every later line's brace-depth/regex alignment shifts."""
+    from vexor_ray.stages.codechunk import _mask_js
+
+    cases = [
+        "const s = 'one \\\ntwo';\nfunction f() {\n  return 1;\n}\n",
+        'let t = `a \\\nb \\\nc`;\nclass X {\n}\n',
+        'var u = "trail\\\\\\\n";\n{ }\n',
+        "'\\",  # escape at EOF — must not crash or over-run
+    ]
+    for src in cases:
+        masked = _mask_js(src)
+        assert len(masked) == src.count("\n") + 1, src
+
+    # and the depth alignment downstream: a function AFTER the continuation
+    # still gets its own chunk span covering its body
+    from vexor_ray.stages.codechunk import extract_js_chunks
+
+    src = "const s = 'one \\\ntwo';\nfunction f() {\n  return 1;\n}\n"
+    chunks = extract_js_chunks(src)
+    fn = [c for c in chunks if c.kind == "function"]
+    assert fn and fn[0].start_line == 3 and fn[0].end_line == 5

@@ -572,7 +572,10 @@ def embedding_dup_pairs(
         vb = np.frombuffer(bb, dtype=np.float64)
         na = np.linalg.norm(va) or 1.0
         nb = np.linalg.norm(vb) or 1.0
-        return float(np.round(va @ vb / (na * nb), 6))
+        # dot of the NORMALIZED vectors (not dot/(na*nb)): same float
+        # association as the oracle's normalized matmul, so a cosine landing
+        # exactly on a 1e-6 rounding boundary rounds identically
+        return float(np.round((va / na) @ (vb / nb), 6))
 
     def _verify_table(ids_a, ids_b, vs_a, vs_b) -> pa.Table:
         out_a, out_b, out_c = [], [], []

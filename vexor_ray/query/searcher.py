@@ -486,8 +486,12 @@ class Searcher:
 
         Values are stored as ``(n_postings, payload)`` so eviction accounting
         is payload-shape-agnostic (the global path caches dense-coordinate
-        tuples, the sharded path per-chunk raw tuples — one searcher only
-        ever uses one shape, decided by ``_sharded`` at construction).
+        tuples under plain ``term`` keys, the sharded path per-chunk raw
+        tuples under ``("raw", term)``).  One searcher only ever caches one
+        shape, decided by ``_sharded`` at construction: the non-sharded WAND
+        drain derives raw views from the dense entry
+        (``_wand_tail_provider``) instead of decoding a second copy, so a
+        hot term never occupies the budget twice.
         """
         if term is None or n < self._postings_cache_min:
             return
@@ -809,13 +813,29 @@ class Searcher:
         """Cached raw decode for the WAND drain — DENSE terms only.
 
         Small terms return None (the drain's decode_tail on a short chunk is
-        cheaper than a full decode that the cache floor would never keep);
-        dense terms decode once into the ``("raw", term)`` cache so repeated
-        stop-word-class queries drain with pure vector math.
+        cheaper than a full decode that the cache floor would never keep).
+        A sharded searcher decodes once into the ``("raw", term)`` cache; a
+        non-sharded searcher reuses (or populates) the SAME dense-coordinate
+        cache entry the exact path uses — per-chunk raw views are derived
+        from it by a gather + slicing — so one term never occupies the
+        postings budget twice under two key namespaces.
         """
         if sum(c["n_postings"] for c in chunks) < self._postings_cache_min:
             return None
-        return self._term_postings_raw(chunks, term)
+        if self._sharded:
+            return self._term_postings_raw(chunks, term)
+        idx, tf_f, denom_base, dl_f = self._term_postings(chunks, term)
+        doc_ids = self._doc_id_index()[idx]  # exact inverse of searchsorted
+        parts, off = [], 0
+        for c in chunks:  # dense concat preserved chunk order
+            n = int(c["n_postings"])
+            sl = slice(off, off + n)
+            parts.append(
+                (int(c.get("salt", 0)), doc_ids[sl], tf_f[sl],
+                 denom_base[sl], dl_f[sl])
+            )
+            off += n
+        return parts
 
     # -- hybrid (RRF fusion with a dense ranking) --------------------------
     def search_hybrid(

@@ -350,7 +350,11 @@ def _mask_js(source: str) -> list[str]:
         else:  # inside a string/template
             if c == "\\":
                 out[-1].append(" ")
-                i += 1
+                # an escaped newline (line continuation) must still start a
+                # new masked line or masked/source line counts diverge and
+                # every later line's brace depth shifts
+                if i + 1 < n and source[i + 1] != "\n":
+                    i += 1
             elif c == mode:
                 mode = ""
                 out[-1].append(" ")

@@ -6,9 +6,10 @@ is the arrival-driven analogue a continuously-crawled corpus needs, built
 entirely on machinery that already exists:
 
 - every micro-batch becomes one pages parquet shard named to sort AFTER all
-  committed shards (``batch-{seq:06d}.parquet``), so lineage docIDs of
-  already-indexed pages never move (``stages/docids.doc_id_base`` is
-  file-position-based);
+  committed shards (``batch-{seq:012d}.parquet`` — the pad is wide enough
+  that lexical order never regresses at any reachable sequence number), so
+  lineage docIDs of already-indexed pages never move
+  (``stages/docids.doc_id_base`` is file-position-based);
 - :func:`vexor_ray.index.build.build_index` then appends delta GENERATIONS
   covering only the new/extended shard groups (row-level incrementality,
   S7) — queries on a refreshed ``Searcher`` see exactly the committed
@@ -60,7 +61,7 @@ class StreamingIngestor:
 
     Layout::
 
-        root/pages/batch-000000.parquet   committed + orphan page shards
+        root/pages/batch-000000000000.parquet   committed + orphan shards
         root/index/...                    the live index (atomic manifest)
         root/stream_state.json            committed seqs + watermark
     """
@@ -154,7 +155,7 @@ class StreamingIngestor:
         if batch.num_rows > 0:
             # one shard per batch, atomically renamed in; the name sorts
             # after every committed shard so existing docIDs are stable
-            written = self.pages_dir / f"batch-{seq:06d}.parquet"
+            written = self.pages_dir / f"batch-{seq:012d}.parquet"
             tmp = written.with_suffix(".parquet.tmp")
             pq.write_table(batch, tmp)
             os.replace(tmp, written)
