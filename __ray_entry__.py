@@ -874,6 +874,11 @@ def _q_streaming_ingest(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering matters: the driver value-hashes only the FIRST 50 entries.
+    # Rotated in round 4 so the 14 entries registered after the cap in
+    # round 3 (source_stats … streaming_ingest, judge-verified green then)
+    # are driver-hashed at least once; 14 relational rows green since
+    # rounds 1-2 (agg_lineitem-class) moved to the tail in exchange.
     return {
         "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
@@ -899,29 +904,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed": _q_hash_embed,
         "federated_bm25": _q_federated_bm25,
         "doc_term_tf_bert": _q_doc_term_tf_bert,
-        "agg_lineitem": _q_agg_lineitem,
-        "sort_topk_orders": _q_sort_topk,
-        "filter_highvalue": _q_filter_highvalue,
-        "join_orders_customers": _q_join,
-        "distinct_suppliers": _q_distinct,
-        "events_window_agg": _q_events_window,
-        "events_hopping_agg": _q_events_hopping,
-        "asof_join": _q_asof_join,
-        "hash_sample": _q_hash_sample,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "repetition": _q_repetition,
         "quality_filter": _q_quality_filter,
         "dup_clusters": _q_dup_clusters,
         "clean_corpus": _q_clean_corpus,
         "events_session_agg": _q_session_agg,
-        "top_docs_per_lang": _q_top_docs_per_lang,
-        "price_quantiles": _q_price_quantiles,
         "bigram_counts": _q_bigram_counts,
         "pii_scrub": _q_scrub,
         "hll_distinct": _q_hll_distinct,
-        "range_join": _q_range_join,
-        "group_quantiles": _q_group_quantiles,
-        "user_moving_avg": _q_user_moving_avg,
         "cms_counts": _q_cms_counts,
         "substring_dup": _q_substring_dup,
         "stratified_sample": _q_stratified_sample,
@@ -939,6 +930,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_chunks": _q_code_chunks,
         "outline_chunks": _q_outline_chunks,
         "streaming_ingest": _q_streaming_ingest,
+        # ---- tail: beyond the driver's 50-query cap (driver-hashed green
+        # in CORRECTNESS_r01-r03; still covered by scripts/check_oracles.py
+        # and the pytest suite) ----
+        "agg_lineitem": _q_agg_lineitem,
+        "sort_topk_orders": _q_sort_topk,
+        "filter_highvalue": _q_filter_highvalue,
+        "join_orders_customers": _q_join,
+        "distinct_suppliers": _q_distinct,
+        "events_window_agg": _q_events_window,
+        "events_hopping_agg": _q_events_hopping,
+        "asof_join": _q_asof_join,
+        "hash_sample": _q_hash_sample,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "price_quantiles": _q_price_quantiles,
+        "range_join": _q_range_join,
+        "group_quantiles": _q_group_quantiles,
+        "user_moving_avg": _q_user_moving_avg,
     }
 
 
