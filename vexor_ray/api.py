@@ -120,9 +120,13 @@ def clear_index(index_dir: str | Path) -> bool:
     d = Path(index_dir)
     if not d.is_dir():
         return False
-    from .index.manifest import MANIFEST_NAME
+    from .index.manifest import MANIFEST_NAME, POINTER_NAME
 
-    if not (d / MANIFEST_NAME).exists() and not (d / "_manifest").is_dir():
+    if (
+        not (d / MANIFEST_NAME).exists()
+        and not (d / POINTER_NAME).exists()
+        and not (d / "_manifest").is_dir()
+    ):
         return False
     shutil.rmtree(d)
     return True

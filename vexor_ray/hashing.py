@@ -54,10 +54,24 @@ def term_wave(terms: np.ndarray, num_waves: int) -> np.ndarray:
     return hash_terms(terms) % np.uint64(num_waves)
 
 
-def file_fingerprint(paths: list[str | Path]) -> str:
-    """Cheap input fingerprint: sha1 over (name, size, mtime_ns) per file."""
+def file_fingerprint(paths: list[str | Path], filesystem=None) -> str:
+    """Cheap input fingerprint: sha1 over (name, size, mtime_ns) per file.
+
+    With ``filesystem`` (any ``pyarrow.fs.FileSystem``) the stat goes
+    through that fs — object-store inputs fingerprint the same way.  The
+    local path keeps ``os.stat`` so fingerprints of existing local indexes
+    are unchanged.
+    """
     h = hashlib.sha1()
-    for p in sorted(str(p) for p in paths):
+    ordered = sorted(str(p) for p in paths)
+    if filesystem is not None and getattr(filesystem, "type_name", "") != "local":
+        for p, info in zip(ordered, filesystem.get_file_info(ordered)):
+            mt = info.mtime_ns if info.mtime_ns is not None else 0
+            h.update(
+                json.dumps([p.rsplit("/", 1)[-1], int(info.size or 0), int(mt)]).encode()
+            )
+        return h.hexdigest()
+    for p in ordered:
         st = Path(p).stat()
         h.update(json.dumps([Path(p).name, st.st_size, st.st_mtime_ns]).encode())
     return h.hexdigest()

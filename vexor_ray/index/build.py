@@ -18,8 +18,10 @@ Scale design:
 - stage 2's shuffle is split into ``num_waves`` independent term-hash waves,
   each committed separately → a killed build resumes at wave granularity and
   the peak shuffle footprint is 1/W of the postings;
-- every stage writes to a temp dir and atomically renames, then commits a
-  partition record (lineage + metrics) — see ``manifest.py``;
+- every stage writes into a fresh attempt directory and commits a partition
+  record (lineage + metrics) whose file list IS the visibility boundary —
+  no directory rename, so the same protocol runs on object stores
+  (``manifest.py`` / ``storage.py``; all IO goes through ``pyarrow.fs``);
 - tokenization runs exactly once per doc; corpus stats (doc_count,
   avg_doc_len) are exact global aggregates read from the docs checkpoint's
   columnar metadata, not a second pass over text.
@@ -29,8 +31,6 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
-import os
-import shutil
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -56,6 +56,7 @@ from ..stages.extract import make_extract_fn
 from ..stages.tokenize import TokenizeDocs
 from . import codec
 from .manifest import BuildManifest, PartitionRecord
+from .storage import Store, attempt_dir, attempt_pid, gc_stale_attempts
 
 
 @dataclass
@@ -343,9 +344,12 @@ def encode_runs(
 
 
 def compact_index(
-    source: str | Path | list,
-    out_dir: str | Path,
+    source: str | Path | list | Store,
+    out_dir: str | Path | Store,
     cfg: "BuildConfig | None" = None,
+    *,
+    filesystem=None,
+    source_filesystem=None,
 ) -> dict:
     """Merge all delta generations back into a single FULL generation per
     wave, crash-safely.
@@ -367,20 +371,22 @@ def compact_index(
     referenced and get overwritten by the atomic dir writer if their name
     is ever reused).
     """
-    out = Path(out_dir)
+    store = Store.resolve(out_dir, filesystem)
     if cfg is None:
         # recover the index's own build config from the committed manifest —
         # compacting with defaults could silently re-tokenize under
         # different settings
         from .manifest import load_manifest
 
-        recorded = dict(load_manifest(out)["config"])
+        recorded = dict(load_manifest(store)["config"])
         recorded.pop("term_hasher", None)
         cfg = BuildConfig(**recorded)
-    result = build_index(source, out_dir, cfg, compact=True)
+    result = build_index(
+        source, store, cfg, compact=True, source_filesystem=source_filesystem
+    )
 
     # GC superseded generations — only AFTER the new manifest committed
-    manifest = BuildManifest(out)
+    manifest = BuildManifest(store)
     by_wave: dict[int, list] = {}
     for rec in manifest.load_partitions().values():
         if rec.stage == "segments":
@@ -396,9 +402,8 @@ def compact_index(
             # record first (so a half-done GC never resurrects the gen),
             # then the now-unreferenced files
             manifest.delete_partition(r.key())
-            d = out / "segments" / r.partition_id
-            if d.exists():
-                shutil.rmtree(d)
+            for d in _record_dirs(r):
+                store.delete_dir_abs(d)
             removed = True
     if removed:
         # refresh the manifest's informational partition list (waves /
@@ -406,7 +411,7 @@ def compact_index(
         # superseded generations)
         from .manifest import load_manifest
 
-        man = load_manifest(out)
+        man = load_manifest(store)
         result = manifest.finalize(
             config=man["config"],
             stats=man["stats"],
@@ -454,45 +459,74 @@ def _encode_task_cpus(max_concurrent: int) -> float:
     return max(1.0, cpus / max(1, max_concurrent))
 
 
-def _input_files(source: str | Path | list) -> list[str]:
-    if isinstance(source, (str, Path)):
-        p = Path(source)
+def _resolve_source(
+    source: str | Path | list | Store, source_filesystem=None
+) -> tuple[list[str], "object | None"]:
+    """Input parquet file list + the filesystem they live on (None = local)."""
+    if isinstance(source, list):
+        return sorted(str(f) for f in source), source_filesystem
+    if source_filesystem is None and "://" not in str(source) and not isinstance(
+        source, Store
+    ):
+        p = Path(source)  # plain local path: cheap, no Store round-trip
         if p.is_dir():
-            return sorted(str(f) for f in p.glob("*.parquet"))
-        return [str(p)]
-    return sorted(str(f) for f in source)
+            return sorted(str(f) for f in p.glob("*.parquet")), None
+        return [str(p)], None
+    st = Store.resolve(source, source_filesystem)
+    import pyarrow.fs as pafs
+
+    info = st.fs.get_file_info(st.base)
+    if info.type == pafs.FileType.Directory:
+        return st.list_files(suffix=".parquet"), st.fs
+    return [st.base], st.fs
 
 
-def _atomic_dir_write(
-    ds: ray.data.Dataset, final_dir: Path, row_group_size: int | None = None
-) -> list[str]:
-    tmp = final_dir.with_name(final_dir.name + ".tmp")
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    if final_dir.exists():
-        shutil.rmtree(final_dir)
+def _open_pq(path: str, fs=None) -> pq.ParquetFile:
+    return pq.ParquetFile(path if fs is None else fs.open_input_file(path))
+
+
+def _attempt_dir_write(
+    store: Store,
+    ds: ray.data.Dataset,
+    parent: str,
+    pid: str,
+    row_group_size: int | None = None,
+) -> tuple[list[str], str]:
+    """Write a dataset into a fresh ``<pid>--<nonce>/`` attempt directory.
+
+    Returns (parquet file paths, attempt dir name).  Visibility comes from
+    committing those paths in the partition record — never from a rename —
+    so the identical protocol works on object stores; stale attempts are
+    garbage-collected by ``gc_stale_attempts`` after the commit.
+    """
+    dirname = attempt_dir(pid)
+    full = store.path(parent, dirname)
+    # an empty dataset writes no files at all — the empty dir still marks
+    # the attempt so "built, zero postings" is distinguishable on disk
+    store.mkdirs(parent, dirname)
     kwargs = {}
     if row_group_size is not None:
         # small row groups → fine-grained row-group pruning on the query
         # path (a term lookup reads ~row_group_size rows, not a 100k block)
         kwargs["row_group_size"] = row_group_size
-    ds.write_parquet(str(tmp), **kwargs)
-    # an empty dataset writes no files at all — still commit an empty dir so
-    # the segment is visible and resume/queries see "built, zero postings"
-    tmp.mkdir(parents=True, exist_ok=True)
-    os.replace(tmp, final_dir)
-    return sorted(str(f) for f in final_dir.glob("*.parquet"))
+    ds.write_parquet(full, filesystem=store.fs, **kwargs)
+    return store.list_files(parent, dirname, suffix=".parquet"), dirname
 
 
-def _parquet_rows(files: list[str]) -> int:
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+def _record_dirs(rec: PartitionRecord) -> set[str]:
+    """Attempt directories referenced by a committed record's file list."""
+    return {f.rsplit("/", 1)[0] for f in rec.output_files}
 
 
-def _th_bounds(files: list[str]) -> list[list[int]]:
+def _parquet_rows(files: list[str], fs=None) -> int:
+    return sum(_open_pq(f, fs).metadata.num_rows for f in files)
+
+
+def _th_bounds(files: list[str], fs=None) -> list[list[int]]:
     """Per-file [th_min, th_max] from parquet row-group statistics."""
     out: list[list[int]] = []
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        md = _open_pq(f, fs).metadata
         col = next(
             i for i in range(md.num_columns) if md.schema.column(i).name == "th"
         )
@@ -528,21 +562,29 @@ def _normalize_pre_extracted(batch: pa.Table) -> pa.Table:
     return out.set_column(col, "text", pa.array(normed, type=pa.large_string()))
 
 
-def _column_sum(files: list[str], column: str) -> int:
+def _column_sum(files: list[str], column: str, fs=None) -> int:
     total = 0
     for f in files:
-        total += pc.sum(pq.read_table(f, columns=[column]).column(column)).as_py() or 0
+        tbl = pq.read_table(f, columns=[column], filesystem=fs)
+        total += pc.sum(tbl.column(column)).as_py() or 0
     return total
 
 
 def build_index(
-    source: str | Path | list,
-    out_dir: str | Path,
+    source: str | Path | list | Store,
+    out_dir: str | Path | Store,
     cfg: BuildConfig | None = None,
     *,
     compact: bool = False,
+    filesystem=None,
+    source_filesystem=None,
 ) -> dict:
     """Build (or resume) an index at ``out_dir`` from pages parquet shards.
+
+    ``out_dir`` / ``source`` may each be a local path, a ``Store``, or a URI
+    (with ``filesystem`` / ``source_filesystem`` overriding the fs) — every
+    byte of index IO goes through ``pyarrow.fs``, so the same build runs
+    against an object store (no rename anywhere in the commit protocol).
 
     Returns the final manifest dict.  Safe to re-run: completed partitions
     are skipped via the checkpoint manifest.  With ``compact=True`` every
@@ -553,10 +595,10 @@ def build_index(
     commit.
     """
     cfg = cfg or BuildConfig()
-    out = Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
-    manifest = BuildManifest(out, fail_after_partitions=cfg.fail_after_partitions)
-    files = _input_files(source)
+    store = Store.resolve(out_dir, filesystem)
+    store.mkdirs()
+    manifest = BuildManifest(store, fail_after_partitions=cfg.fail_after_partitions)
+    files, src_fs = _resolve_source(source, source_filesystem)
     if not files:
         raise ValueError(f"no parquet input files under {source}")
 
@@ -577,13 +619,18 @@ def build_index(
     group_file_indices: dict[str, list[int]] = {}
     for gi, group in enumerate(groups):
         pid = f"group-{gi:05d}"
-        fp = hashlib.sha1((file_fingerprint(group) + tok_fp).encode()).hexdigest()
+        fp = hashlib.sha1(
+            (file_fingerprint(group, src_fs) + tok_fp).encode()
+        ).hexdigest()
         group_fp_now[pid] = fp
         group_file_indices[pid] = list(
             range(gi * cfg.shard_group_size, gi * cfg.shard_group_size + len(group))
         )
-        gdir = out / "docs_tok" / pid
         if manifest.is_done("docs_tok", pid, fp):
+            # sweep attempt dirs a crashed run left before its commit
+            rec = manifest.load_partitions()[f"docs_tok--{pid}"]
+            keep = {d.rsplit("/", 1)[-1] for d in _record_dirs(rec)}
+            gc_stale_attempts(store, "docs_tok", pid, keep)
             continue
         t0 = time.perf_counter()
         read_cols = ["url", "text"] if cfg.pre_extracted else ["url", "html"]
@@ -593,6 +640,7 @@ def build_index(
             file_indices=list(
                 range(gi * cfg.shard_group_size, gi * cfg.shard_group_size + len(group))
             ),
+            filesystem=src_fs,
         )
         if not cfg.pre_extracted:
             ds = ds.map_batches(
@@ -632,8 +680,8 @@ def build_index(
             concurrency=_effective_pool_size(cfg.tokenize_concurrency),
             zero_copy_batch=True,
         )
-        out_files = _atomic_dir_write(ds, gdir)
-        rows_out = _parquet_rows(out_files)
+        out_files, dirname = _attempt_dir_write(store, ds, "docs_tok", pid)
+        rows_out = _parquet_rows(out_files, store.fs)
         manifest.commit_partition(
             PartitionRecord(
                 stage="docs_tok",
@@ -641,14 +689,15 @@ def build_index(
                 input_fingerprint=fp,
                 output_files=out_files,
                 metrics={
-                    "rows_in": _parquet_rows(group),
+                    "rows_in": _parquet_rows(group, src_fs),
                     "rows_out": rows_out,
-                    "tokens": _column_sum(out_files, "doc_len"),
+                    "tokens": _column_sum(out_files, "doc_len", store.fs),
                     "wall_s": round(time.perf_counter() - t0, 3),
                 },
                 lineage={"input_files": group, "config": cfg.public_dict()},
             )
         )
+        gc_stale_attempts(store, "docs_tok", pid, {dirname})
 
     # ---- stage 2: corpus stats (docIDs already assigned from lineage) ------
     # the docs_tok checkpoint IS the docs table: (doc_id, url, doc_len,
@@ -663,17 +712,24 @@ def build_index(
         for pid in current_pids
         for f in parts[f"docs_tok--{pid}"].output_files
     )
-    keep_dirs = set(current_pids)
-    tok_root = out / "docs_tok"
-    if tok_root.exists():
-        for sub in tok_root.iterdir():
-            if sub.is_dir() and sub.name not in keep_dirs:
-                shutil.rmtree(sub)
-    docs_fp = hashlib.sha1((file_fingerprint(files) + tok_fp).encode()).hexdigest()
+    # drop attempt dirs belonging to groups outside the current input plan
+    # (referenced dirs of current groups were already swept per group above)
+    referenced = {
+        d.rsplit("/", 1)[-1]
+        for pid in current_pids
+        for d in _record_dirs(parts[f"docs_tok--{pid}"])
+    }
+    current_pid_set = set(current_pids)
+    for name in store.subdirs("docs_tok"):
+        if attempt_pid(name) not in current_pid_set and name not in referenced:
+            store.delete_dir("docs_tok", name)
+    docs_fp = hashlib.sha1(
+        (file_fingerprint(files, src_fs) + tok_fp).encode()
+    ).hexdigest()
     if not manifest.is_done("docs", "global", docs_fp):
         t0 = time.perf_counter()
-        doc_count = _parquet_rows(all_tok_files)
-        total_len = _column_sum(all_tok_files, "doc_len")
+        doc_count = _parquet_rows(all_tok_files, store.fs)
+        total_len = _column_sum(all_tok_files, "doc_len", store.fs)
         manifest.commit_partition(
             PartitionRecord(
                 stage="docs",
@@ -744,7 +800,7 @@ def build_index(
                 and all(r.lineage.get("cfg_fp") == cfg_fp for r in gens)
                 and set(prev_cover) <= set(group_fp_now)
                 and all(
-                    Path(f).exists() for r in gens for f in r.output_files
+                    store.exists_abs(f) for r in gens for f in r.output_files
                 )
             )
             if incremental:
@@ -768,9 +824,8 @@ def build_index(
                 # generations and rebuild this wave from all groups
                 for r in gens:
                     manifest.delete_partition(r.key())
-                    gdir = out / "segments" / r.partition_id
-                    if gdir.exists():
-                        shutil.rmtree(gdir)
+                    for d in _record_dirs(r):
+                        store.delete_dir_abs(d)
                 dirty = sorted(group_fp_now)
                 next_gen = 0
             pid = f"wave-{wave:04d}-gen-{next_gen:04d}"
@@ -827,6 +882,7 @@ def build_index(
                 dirty_files,
                 columns=["doc_id", "doc_len", tcol, fcol],
                 override_num_blocks=cfg.partitions_per_wave * 2,
+                filesystem=store.fs,
             )
             ds = ds.map_batches(
                 explode_postings,
@@ -868,8 +924,8 @@ def build_index(
                     else 1.0
                 ),
             )
-            seg_files = _atomic_dir_write(
-                ds, out / "segments" / pid, row_group_size=2048
+            seg_files, seg_dirname = _attempt_dir_write(
+                store, ds, "segments", pid, row_group_size=2048
             )
             manifest.commit_partition(
                 PartitionRecord(
@@ -878,14 +934,15 @@ def build_index(
                     input_fingerprint=wave_fp,
                     output_files=seg_files,
                     metrics={
-                        "chunk_rows": _parquet_rows(seg_files),
-                        "postings": _column_sum(seg_files, "n_postings"),
-                        "bytes": sum(Path(f).stat().st_size for f in seg_files),
+                        "chunk_rows": _parquet_rows(seg_files, store.fs),
+                        "postings": _column_sum(seg_files, "n_postings", store.fs),
+                        "bytes": sum(store.file_size_abs(f) for f in seg_files),
                         "wall_s": round(time.perf_counter() - t0, 3),
                     },
                     lineage=gen_lineage,
                 )
             )
+            gc_stale_attempts(store, "segments", pid, {seg_dirname})
     finally:
         ctx.shuffle_strategy = prev_strategy
         ctx.max_hash_shuffle_aggregators = prev_max_agg
@@ -909,7 +966,7 @@ def build_index(
                     # per-file th min/max from the parquet footers, recorded
                     # once at build commit so every query process can prune
                     # segment files per term without its own footer sweep
-                    "th_bounds": _th_bounds(rec.output_files),
+                    "th_bounds": _th_bounds(rec.output_files, store.fs),
                     "covers_files": rec.lineage.get("covers_files", []),
                     "avgdl": rec.lineage.get("avgdl", avg_doc_len),
                 }
@@ -933,7 +990,7 @@ def build_index(
         },
         extra={
             "input_files": files,
-            "input_fingerprint": file_fingerprint(files),
+            "input_fingerprint": file_fingerprint(files, src_fs),
             "docs_files": docs_files,
             "waves": {
                 str(w): [f for g in gens for f in g["files"]]

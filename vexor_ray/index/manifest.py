@@ -1,16 +1,24 @@
 """Checkpoint manifests: per-partition lineage + metrics, atomic commit, resume.
 
-Protocol (SURVEY.md §4):
+Protocol (SURVEY.md §4, re-hosted on cluster storage via ``storage.Store``):
 
 - during a build, every completed partition (stage-1 shard group, the docs
-  stage, each stage-3 wave) commits one JSON record under
-  ``<index_dir>/_manifest/`` via write-temp-then-atomic-rename;
+  stage, each stage-3 wave generation) commits one JSON record under
+  ``<index_dir>/_manifest/``.  Records are small whole-object PUTs (plus a
+  temp-and-rename belt where the substrate is a real local fs); a torn or
+  half-written record is indistinguishable from an absent one to readers;
 - a restarted build skips any partition whose committed record matches the
-  partition's current input fingerprint (anti-join of work units vs
-  manifest — no recomputation);
-- ``finalize`` aggregates all records plus global stats into
-  ``<index_dir>/manifest.json`` (atomic rename).  Query visibility is gated
-  on the final manifest: a killed build is invisible to readers.
+  partition's current input fingerprint AND whose recorded output files all
+  still exist (checked through the same filesystem) — anti-join of work
+  units vs manifest, no recomputation;
+- ``finalize`` aggregates all records plus global stats into a fresh
+  ``manifest-<nonce>.json`` and then commits by swapping the tiny
+  ``CURRENT`` pointer object to its name — the object-store-safe replacement
+  for an ``os.replace`` rename (single writer per index dir, so
+  last-writer-wins on the pointer is sound).  On local filesystems a legacy
+  ``manifest.json`` is also committed by real atomic rename, for older
+  readers.  Query visibility is gated on the committed pointer: a killed
+  build is invisible.
 
 Each record carries ``lineage`` (stage, partition id, input fingerprint and
 files, build-config hash) and ``metrics`` (rows in/out, tokens, postings,
@@ -21,15 +29,17 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import os
 import time
+import uuid
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
 from ..spec import INDEX_FORMAT_VERSION
+from .storage import Store
 
-MANIFEST_NAME = "manifest.json"
+MANIFEST_NAME = "manifest.json"  # legacy local-fs name (still written there)
+POINTER_NAME = "CURRENT"
 PARTIAL_DIR = "_manifest"
 
 
@@ -52,31 +62,31 @@ class PartitionRecord:
         return f"{self.stage}--{self.partition_id}"
 
 
-def _atomic_write_json(path: Path, payload: dict) -> None:
-    tmp = path.with_suffix(path.suffix + ".tmp")
-    tmp.write_text(json.dumps(payload, indent=1, sort_keys=True))
-    os.replace(tmp, path)
-
-
 class BuildManifest:
     """Partial-manifest store for one index build directory."""
 
-    def __init__(self, index_dir: str | Path, fail_after_partitions: int | None = None):
-        self.index_dir = Path(index_dir)
-        self.partial_dir = self.index_dir / PARTIAL_DIR
-        self.partial_dir.mkdir(parents=True, exist_ok=True)
+    def __init__(
+        self,
+        index_dir: str | Path | Store,
+        fail_after_partitions: int | None = None,
+        *,
+        filesystem=None,
+    ):
+        self.store = Store.resolve(index_dir, filesystem)
+        self.partial = self.store.sub(PARTIAL_DIR)
+        self.partial.mkdirs()
         self._fail_after = fail_after_partitions
         self._commits_this_run = 0
 
     # -- resume ------------------------------------------------------------
     def load_partitions(self) -> dict[str, PartitionRecord]:
         records: dict[str, PartitionRecord] = {}
-        for p in sorted(self.partial_dir.glob("*.json")):
+        for p in self.partial.list_files(suffix=".json"):
             try:
-                data = json.loads(p.read_text())
+                data = json.loads(self.partial.read_bytes_abs(p))
                 rec = PartitionRecord(**data)
-            except (json.JSONDecodeError, TypeError):
-                continue  # torn write (non-atomic copy) — treated as absent
+            except (json.JSONDecodeError, TypeError, UnicodeDecodeError):
+                continue  # torn write (non-atomic PUT) — treated as absent
             records[rec.key()] = rec
         return records
 
@@ -86,20 +96,18 @@ class BuildManifest:
             return False
         if rec.input_fingerprint != input_fingerprint:
             return False
-        return all(Path(f).exists() for f in rec.output_files)
+        return all(self.store.exists_abs(f) for f in rec.output_files)
 
     def delete_partition(self, key: str) -> None:
         """Drop a committed record (full-rebuild invalidation of stale
-        generations); atomic at the file level."""
-        p = self.partial_dir / f"{key}.json"
-        if p.exists():
-            p.unlink()
+        generations); atomic at the object level."""
+        self.partial.delete_file(f"{key}.json")
 
     # -- commit ------------------------------------------------------------
     def commit_partition(self, record: PartitionRecord) -> None:
         record.committed_at = time.time()
-        _atomic_write_json(
-            self.partial_dir / f"{record.key()}.json", dataclasses.asdict(record)
+        self.partial.write_json_atomic(
+            f"{record.key()}.json", dataclasses.asdict(record)
         )
         self._commits_this_run += 1
         if self._fail_after is not None and self._commits_this_run >= self._fail_after:
@@ -118,14 +126,39 @@ class BuildManifest:
             "partitions": partitions,
             **(extra or {}),
         }
-        _atomic_write_json(self.index_dir / MANIFEST_NAME, manifest)
+        # pointer-swap commit: full manifest object first, tiny pointer last
+        name = f"manifest-{uuid.uuid4().hex[:8]}.json"
+        self.store.write_json_atomic(name, manifest)
+        self.store.write_json_atomic(POINTER_NAME, {"manifest": name})
+        if self.store.atomic_rename:
+            # legacy local-fs name, committed by real rename — older readers
+            # (and anything probing for manifest.json) keep working
+            self.store.write_json_atomic(MANIFEST_NAME, manifest)
+        # GC superseded manifest objects (never the one just committed)
+        for f in self.store.list_files(suffix=".json"):
+            base = f.rsplit("/", 1)[-1]
+            if base.startswith("manifest-") and base != name:
+                self.store.delete_file(base)
         return manifest
 
 
-def load_manifest(index_dir: str | Path) -> dict:
-    path = Path(index_dir) / MANIFEST_NAME
-    if not path.exists():
-        raise FileNotFoundError(
-            f"no committed index manifest at {path} (build incomplete or not finalized)"
-        )
-    return json.loads(path.read_text())
+def load_manifest(index_dir: str | Path | Store, *, filesystem=None) -> dict:
+    """Read the committed manifest through the pointer (legacy fallback)."""
+    store = Store.resolve(index_dir, filesystem)
+    if store.exists(POINTER_NAME):
+        try:
+            name = store.read_json(POINTER_NAME)["manifest"]
+            return store.read_json(name)
+        except (json.JSONDecodeError, KeyError, FileNotFoundError, OSError):
+            pass  # torn pointer PUT or racing GC — try the legacy name
+    if store.exists(MANIFEST_NAME):
+        return store.read_json(MANIFEST_NAME)
+    raise FileNotFoundError(
+        f"no committed index manifest under {store.path()} "
+        "(build incomplete or not finalized)"
+    )
+
+
+def manifest_exists(index_dir: str | Path | Store, *, filesystem=None) -> bool:
+    store = Store.resolve(index_dir, filesystem)
+    return store.exists(POINTER_NAME) or store.exists(MANIFEST_NAME)

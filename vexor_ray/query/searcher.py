@@ -108,10 +108,24 @@ def _chunks_from_table(
 class Searcher:
     """Query executor bound to one committed index directory."""
 
-    def __init__(self, index_dir: str | Path, *, max_dense_docs: int | None = None):
-        self.index_dir = Path(index_dir)
+    def __init__(
+        self,
+        index_dir: "str | Path | object",
+        *,
+        max_dense_docs: int | None = None,
+        filesystem=None,
+    ):
+        from ..index.storage import Store
+
+        self._store = Store.resolve(index_dir, filesystem)
+        self._fs = self._store.fs
+        # keep index_dir a Path for local indexes (the common case and the
+        # historical public attribute); non-local callers get the Store
+        self.index_dir = (
+            Path(self._store.base) if self._store.atomic_rename else self._store
+        )
         self._max_dense_docs_arg = max_dense_docs
-        self.manifest = load_manifest(self.index_dir)
+        self.manifest = load_manifest(self._store)
         stats = self.manifest["stats"]
         self.doc_count: int = stats["doc_count"]
         self.avg_doc_len: float = stats["avg_doc_len"]
@@ -182,7 +196,7 @@ class Searcher:
                 )
             if out:
                 self._wave_gens[int(w)] = out
-        self._docs_ds = pads.dataset(self.manifest["docs_files"])
+        self._docs_ds = pads.dataset(self.manifest["docs_files"], filesystem=self._fs)
         # query tokenization must match the tokenizer the index was built
         # with (regex default, or the bert_union two-path plug-in)
         from ..stages.berttok import make_tokenizer
@@ -230,7 +244,7 @@ class Searcher:
 
     # -- segment access ----------------------------------------------------
     @staticmethod
-    def _gen_files_for_ths(gen: dict, ths: np.ndarray) -> list[str]:
+    def _gen_files_for_ths(gen: dict, ths: np.ndarray, fs=None) -> list[str]:
         """Select only the segment files whose th range can contain a query
         term hash.
 
@@ -247,7 +261,9 @@ class Searcher:
         if bounds is None:
             mins, maxs = [], []
             for f in gen["files"]:
-                md = pq.ParquetFile(f).metadata
+                md = pq.ParquetFile(
+                    f if fs is None else fs.open_input_file(f)
+                ).metadata
                 col = next(
                     i
                     for i in range(md.num_columns)
@@ -288,7 +304,7 @@ class Searcher:
         identical) generation.  Decoded caches are dropped with the rest of
         the state — refresh is a rare event, warmth rebuilds on use.
         """
-        self.__init__(self.index_dir, max_dense_docs=self._max_dense_docs_arg)
+        self.__init__(self._store, max_dense_docs=self._max_dense_docs_arg)
 
     def term_chunks(self, terms: list[str]) -> dict[str, list[dict]]:
         """Fetch encoded posting chunks for each term, surviving an online
@@ -329,10 +345,10 @@ class Searcher:
             by_wave[0] = list(terms)
         def read_gen(gen: dict, ths: np.ndarray, wave_terms: list[str], flt):
             """One (wave, generation) segment read → [(term, chunk)]."""
-            sel = self._gen_files_for_ths(gen, ths)
+            sel = self._gen_files_for_ths(gen, ths, self._fs)
             if not sel:
                 return []
-            tbl = pads.dataset(sel).to_table(filter=flt)
+            tbl = pads.dataset(sel, filesystem=self._fs).to_table(filter=flt)
             if tbl.num_rows == 0:
                 return []
             if gen["superseded"].size:
@@ -408,9 +424,9 @@ class Searcher:
         agg: Counter = Counter()
         for gens in self._wave_gens.values():
             for gen in gens:
-                tbl = pads.dataset(gen["files"]).to_table(
-                    columns=["term", "n_postings"]
-                )
+                tbl = pads.dataset(
+                    gen["files"], filesystem=self._fs
+                ).to_table(columns=["term", "n_postings"])
                 terms_np = tbl.column("term").to_pylist()
                 counts = tbl.column("n_postings").to_numpy()
                 for t, n in zip(terms_np, counts):

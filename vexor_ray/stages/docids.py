@@ -34,10 +34,18 @@ def doc_id_base(file_idx: int, row_start: int) -> int:
     return (file_idx << FILE_SHIFT) | row_start
 
 
+def _open_parquet(path: str, filesystem=None) -> pq.ParquetFile:
+    if filesystem is None:
+        return pq.ParquetFile(path)
+    return pq.ParquetFile(filesystem.open_input_file(path))
+
+
 def plan_fragments(
     files: list[str],
     file_indices: list[int] | None = None,
     rows_per_fragment: int = 8192,
+    *,
+    filesystem=None,
 ) -> list[dict]:
     """Plan rows at sub-row-group granularity, each with its doc_id base.
 
@@ -50,7 +58,7 @@ def plan_fragments(
     frags: list[dict] = []
     indices = file_indices if file_indices is not None else range(len(files))
     for fi, path in zip(indices, files):
-        meta = pq.ParquetFile(path).metadata
+        meta = _open_parquet(path, filesystem).metadata
         if meta.num_rows >= 1 << FILE_SHIFT:
             raise ValueError(f"{path}: too many rows for 32-bit row index")
         row_start = 0
@@ -79,13 +87,14 @@ class ReadFragmentWithIds:
     when a file has few, large row groups.
     """
 
-    def __init__(self, columns: list[str], slice_rows: int = 2048):
+    def __init__(self, columns: list[str], slice_rows: int = 2048, filesystem=None):
         self.columns = columns
         self.slice_rows = slice_rows
+        self.filesystem = filesystem  # pyarrow filesystems pickle into workers
 
     def __call__(self, batch: pa.Table):
         for frag in batch.to_pylist():
-            tbl = pq.ParquetFile(frag["path"]).read_row_group(
+            tbl = _open_parquet(frag["path"], self.filesystem).read_row_group(
                 frag["row_group"], columns=self.columns
             )
             tbl = tbl.slice(frag["rg_offset"], frag["num_rows"])
@@ -107,9 +116,10 @@ def read_with_doc_ids(
     columns: list[str],
     *,
     file_indices: list[int] | None = None,
+    filesystem=None,
 ) -> ray.data.Dataset:
     """Dataset of ``(doc_id, *columns)`` over sorted input files."""
-    frags = plan_fragments(files, file_indices)
+    frags = plan_fragments(files, file_indices, filesystem=filesystem)
     ds = ray.data.from_items(frags)
     # num_cpus slightly UNDER 1.0 blocks operator fusion (and still fits
     # alongside a 1-CPU actor on a 2-CPU session) with downstream
@@ -118,7 +128,7 @@ def read_with_doc_ids(
     # serializing the build.  Unfused, each fragment is its own read task
     # and the generator slices fan out to the downstream pool.
     return ds.map_batches(
-        ReadFragmentWithIds(columns),
+        ReadFragmentWithIds(columns, filesystem=filesystem),
         batch_size=1,
         batch_format="pyarrow",
         num_cpus=0.99,

@@ -42,8 +42,6 @@ its postings — independent of corpus size.
 
 from __future__ import annotations
 
-import json
-import os
 import time
 from pathlib import Path
 
@@ -52,6 +50,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .index.build import BuildConfig, build_index
+from .index.storage import Store
 
 _STATE_NAME = "stream_state.json"
 
@@ -68,19 +67,20 @@ class StreamingIngestor:
 
     def __init__(
         self,
-        root: str | Path,
+        root: str | Path | Store,
         cfg: BuildConfig | None = None,
         *,
         event_time_col: str = "warc_ts",
         late_policy: str = "accept",
         allowed_lateness_s: float = 0.0,
+        filesystem=None,
     ):
         if late_policy not in ("accept", "drop"):
             raise ValueError(f"unknown late_policy {late_policy!r}")
-        self.root = Path(root)
-        self.pages_dir = self.root / "pages"
-        self.index_dir = self.root / "index"
-        self.pages_dir.mkdir(parents=True, exist_ok=True)
+        self.store = Store.resolve(root, filesystem)
+        self.pages = self.store.sub("pages")
+        self.index = self.store.sub("index")
+        self.pages.mkdirs()
         self.cfg = cfg or BuildConfig(
             pre_extracted=True, doc_builder="text", num_waves=1
         )
@@ -88,20 +88,25 @@ class StreamingIngestor:
         self.late_policy = late_policy
         self.allowed_lateness_us = int(allowed_lateness_s * 1_000_000)
 
-    # -- state ------------------------------------------------------------
-    def _state_path(self) -> Path:
-        return self.root / _STATE_NAME
+    # historical attribute names (accepted anywhere a path is):
+    @property
+    def pages_dir(self) -> "Store | Path":
+        return Path(self.pages.base) if self.pages.atomic_rename else self.pages
 
+    @property
+    def index_dir(self) -> "Store | Path":
+        return Path(self.index.base) if self.index.atomic_rename else self.index
+
+    # -- state ------------------------------------------------------------
     def load_state(self) -> dict:
-        p = self._state_path()
-        if not p.exists():
+        if not self.store.exists(_STATE_NAME):
             return {"next_seq": 0, "committed": [], "watermark_us": None}
-        return json.loads(p.read_text())
+        return self.store.read_json(_STATE_NAME)
 
     def _commit_state(self, state: dict) -> None:
-        tmp = self._state_path().with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(state, indent=1))
-        os.replace(tmp, self._state_path())
+        # temp+rename on local; whole-object PUT elsewhere (atomic either
+        # way at this object size — see storage.Store.write_json_atomic)
+        self.store.write_json_atomic(_STATE_NAME, state)
 
     @property
     def watermark_us(self) -> int | None:
@@ -109,18 +114,22 @@ class StreamingIngestor:
         return self.load_state()["watermark_us"]
 
     # -- ingestion --------------------------------------------------------
-    def _orphans(self, state: dict) -> list[Path]:
+    def _orphans(self, state: dict) -> list[str]:
         committed = {c["file"] for c in state["committed"]}
         return sorted(
-            f for f in self.pages_dir.glob("batch-*.parquet")
-            if f.name not in committed
+            f
+            for f in self.pages.list_files(suffix=".parquet")
+            if f.rsplit("/", 1)[-1].startswith("batch-")
+            and f.rsplit("/", 1)[-1] not in committed
         )
 
-    def _max_event_us(self, path: Path) -> int | None:
+    def _max_event_us(self, path: str) -> int | None:
         if self.event_time_col is None:
             return None
         try:
-            tbl = pq.read_table(path, columns=[self.event_time_col])
+            tbl = pq.read_table(
+                path, columns=[self.event_time_col], filesystem=self.store.fs
+            )
         except Exception:
             return None
         col = tbl.column(self.event_time_col)
@@ -151,14 +160,14 @@ class StreamingIngestor:
                 batch = batch.filter(keep)
 
         seq = state["next_seq"]
-        written: Path | None = None
+        written: str | None = None
         if batch.num_rows > 0:
-            # one shard per batch, atomically renamed in; the name sorts
-            # after every committed shard so existing docIDs are stable
-            written = self.pages_dir / f"batch-{seq:012d}.parquet"
-            tmp = written.with_suffix(".parquet.tmp")
-            pq.write_table(batch, tmp)
-            os.replace(tmp, written)
+            # one shard per batch, atomically committed (rename on local,
+            # whole-object PUT on object stores); the name sorts after
+            # every committed shard so existing docIDs are stable
+            written = self.pages.write_table_atomic(
+                batch, f"batch-{seq:012d}.parquet"
+            )
 
         return self._build_and_commit(state, seq_used=seq if written else None,
                                       rows_in=n_in, rows_dropped=n_dropped)
@@ -178,7 +187,7 @@ class StreamingIngestor:
         orphans = self._orphans(state)  # includes the shard just written
         t0 = time.perf_counter()
         if orphans:
-            build_index(self.pages_dir, self.index_dir, self.cfg)
+            build_index(self.pages, self.index, self.cfg)
         wall = round(time.perf_counter() - t0, 3)
 
         watermark = state["watermark_us"]
@@ -186,11 +195,13 @@ class StreamingIngestor:
             ts = self._max_event_us(f)
             if ts is not None:
                 watermark = ts if watermark is None else max(watermark, ts)
+            name = f.rsplit("/", 1)[-1]
+            meta = pq.ParquetFile(self.store.fs.open_input_file(f)).metadata
             state["committed"].append(
                 {
-                    "seq": int(f.stem.split("-")[1]),
-                    "file": f.name,
-                    "rows": pq.ParquetFile(f).metadata.num_rows,
+                    "seq": int(name.removesuffix(".parquet").split("-")[1]),
+                    "file": name,
+                    "rows": meta.num_rows,
                 }
             )
         state["watermark_us"] = watermark
@@ -212,10 +223,10 @@ class StreamingIngestor:
     def searcher(self):
         from .query.searcher import Searcher
 
-        return Searcher(self.index_dir)
+        return Searcher(self.index)
 
     def compact(self) -> None:
         """Fold the accumulated delta generations into fresh full ones."""
         from .index.build import compact_index
 
-        compact_index(self.pages_dir, self.index_dir, self.cfg)
+        compact_index(self.pages, self.index, self.cfg)
