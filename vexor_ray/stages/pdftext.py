@@ -121,17 +121,65 @@ def _stream_text(stream: bytes) -> list[str]:
     return out
 
 
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _decrypted_streams(payload: bytes, crypto) -> "Iterator[bytes]":
+    """Stream payloads of an encrypted document, decrypted per object.
+
+    Streams are encrypted whole with the per-object key (§7.6.2); xref
+    streams are never encrypted (§7.5.8.2) and are skipped; ObjStm
+    containers decrypt at the container level — the objects inside carry
+    no second layer, so the plain scanner handles their contents.
+    """
+    for om in _OBJ_RE.finditer(payload):
+        num, gen = int(om.group(1)), int(om.group(2))
+        end_obj = payload.find(b"endobj", om.end())
+        body = payload[om.end() : end_obj if end_obj >= 0 else len(payload)]
+        for m in _STREAM_RE.finditer(body):
+            if b"/XRef" in m.group(1):
+                continue  # xref streams are not encrypted
+            start = m.end()
+            end = body.find(b"endstream", start)
+            if end < 0:
+                continue
+            raw = body[start:end].rstrip(b"\r\n")
+            raw = crypto.decrypt_stream(raw, num, gen)
+            if b"/FlateDecode" in m.group(1):
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error:
+                    continue
+            if b"/ObjStm" in m.group(1):
+                yield from _content_streams(raw, 1)
+                continue
+            yield raw
+
+
 def extract_pdf_text(payload: bytes, char_limit: int = 0) -> str | None:
-    """PDF bytes → extracted text (None when no text was found)."""
+    """PDF bytes → extracted text (None when no text was found).
+
+    Encrypted documents (standard security handler, empty user password —
+    RC4-40/128 and AES-128, ``stages/pdfcrypt.py``) are decrypted in
+    place; password-protected or unsupported encryption refuses cleanly
+    (returns None) instead of emitting ciphertext garbage.  The encryption
+    probe parses only the trailer / xref-stream dictionaries, so content
+    that merely *contains* the bytes ``/Encrypt N G R`` is not refused.
+    """
     if not payload or not payload.startswith(b"%PDF-"):
         return None
-    # encrypted documents: strings/streams are ciphertext — refuse cleanly
-    # instead of emitting garbage (trailer/xref-stream /Encrypt ref, §7.6;
-    # the `N G R` shape avoids tripping on "/Encrypt" inside content text)
-    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", payload):
+    from .pdfcrypt import REFUSED, examine
+
+    crypto = examine(payload)
+    if crypto is REFUSED:
         return None
+    streams = (
+        _content_streams(payload)
+        if crypto is None
+        else _decrypted_streams(payload, crypto)
+    )
     pieces: list[str] = []
-    for stream in _content_streams(payload):
+    for stream in streams:
         if b"Tj" not in stream and b"TJ" not in stream and b"'" not in stream:
             continue
         pieces.extend(_stream_text(stream))
@@ -145,6 +193,99 @@ def extract_pdf_text(payload: bytes, char_limit: int = 0) -> str | None:
     from ..refimpl.textnorm import normalize_text
 
     return normalize_text(text) or None
+
+
+def make_encrypted_pdf(
+    lines: list[str],
+    method: str = "rc4-128",
+    user_password: bytes = b"",
+    owner_password: bytes = b"owner",
+    compress: bool = True,
+) -> bytes:
+    """Properly encrypted one-page PDF (test fixture).
+
+    ``method``: ``rc4-40`` (V=1/R=2), ``rc4-128`` (V=2/R=3), or ``aes-128``
+    (V=4/R=4 ``/CFM /AESV2``).  A non-empty ``user_password`` produces a
+    document the extractor must REFUSE (empty-user-password check fails).
+    """
+    import hashlib
+
+    from .pdfcrypt import (
+        PdfCrypto,
+        compute_file_key,
+        compute_o_value,
+        compute_u_value,
+    )
+
+    v, r, bits = {
+        "rc4-40": (1, 2, 40),
+        "rc4-128": (2, 3, 128),
+        "aes-128": (4, 4, 128),
+    }[method]
+    n = bits // 8
+    p = -3904  # typical permissions mask
+    id0 = hashlib.md5(b"fixture-id|" + "|".join(lines).encode()).digest()
+    o = compute_o_value(owner_password, user_password, r, n)
+    file_key = compute_file_key(user_password, o, p, id0, r, n)
+    u = compute_u_value(file_key, id0, r)
+    crypto = PdfCrypto(file_key, aes_streams=(method == "aes-128"))
+
+    esc = [
+        line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        for line in lines
+    ]
+    content = b"BT /F1 12 Tf 72 720 Td " + b" T* ".join(
+        f"({e}) Tj".encode("latin-1") for e in esc
+    ) + b" ET"
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    iv = hashlib.md5(b"iv|" + id0).digest()
+    content = crypto.encrypt_stream(content, 4, 0, iv=iv)
+
+    enc_extra = b""
+    if v == 4:
+        enc_extra = (
+            b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+        )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"<< "
+        + filt
+        + b"/Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> /U <%s>%s >>"
+        % (v, r, bits, p, o.hex().encode(), u.hex().encode(), enc_extra),
+    ]
+    out = bytearray(b"%PDF-1.6\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size "
+        + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R /Encrypt 5 0 R /ID [<"
+        + id0.hex().encode()
+        + b"> <"
+        + id0.hex().encode()
+        + b">] >>\nstartxref\n"
+        + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
 
 
 def make_simple_pdf(lines: list[str], compress: bool = True) -> bytes:
