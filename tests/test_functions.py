@@ -482,3 +482,41 @@ def embedding_dup_pairs_import():
     from vexor_ray.functions.ann import embedding_dup_pairs
 
     return embedding_dup_pairs
+
+
+def test_embedding_matrix_zero_copy_paths():
+    """embedding_matrix must equal the to_pylist round-trip on every layout:
+    list, large_list, fixed_size_list, sliced, ragged (fallback), nulls
+    (fallback), chunked."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vexor_ray.functions.ann import embedding_matrix
+
+    rows = [[1.0, 2.0, 3.0], [4.5, 5.5, 6.5], [7.0, 8.0, 9.0], [0.1, 0.2, 0.3]]
+    want = np.asarray(rows, dtype=np.float64)
+
+    for typ in (
+        pa.list_(pa.float32()),
+        pa.list_(pa.float64()),
+        pa.large_list(pa.float32()),
+        pa.list_(pa.float32(), 3),  # fixed_size_list
+    ):
+        arr = pa.array(rows, type=typ)
+        got = embedding_matrix(arr)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # sliced view (non-zero offset) must honor the slice
+        np.testing.assert_allclose(embedding_matrix(arr.slice(1, 2)),
+                                   want[1:3], rtol=1e-6)
+
+    # chunked
+    ch = pa.chunked_array([pa.array(rows[:2], type=pa.list_(pa.float32())),
+                           pa.array(rows[2:], type=pa.list_(pa.float32()))])
+    np.testing.assert_allclose(embedding_matrix(ch), want, rtol=1e-6)
+
+    # ragged → same ValueError the historical to_pylist round-trip raised
+    import pytest
+
+    ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))
+    with pytest.raises(ValueError):
+        embedding_matrix(ragged)

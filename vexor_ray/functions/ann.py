@@ -27,6 +27,36 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def embedding_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from a ``list<float>`` / fixed-size-list
+    column WITHOUT the per-element Python round-trip of ``to_pylist()``:
+    one C++ flatten + one buffer reshape (uniform row lengths — the only
+    shape an embedding column can have).  Ragged/null rows fall back to the
+    slow path so behavior is unchanged on malformed input."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if col.null_count == 0:
+        if pa.types.is_fixed_size_list(col.type):
+            dim = col.type.list_size
+            flat = pc.list_flatten(col)
+        elif pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            lens = pc.list_value_length(col).to_numpy()
+            if not (lens == lens[0]).all():
+                return np.asarray(col.to_pylist(), dtype=np.float64)
+            dim = int(lens[0])
+            flat = pc.list_flatten(col)
+        else:
+            return np.asarray(col.to_pylist(), dtype=np.float64)
+        vals = flat.to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(vals, dtype=np.float64).reshape(n, dim)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
 def brute_force_topk(
     embeddings: ray.data.Dataset,
     queries: np.ndarray,
@@ -45,7 +75,7 @@ def brute_force_topk(
     def score_batch(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         ids = batch.column(id_col).to_numpy()
-        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        mat = embedding_matrix(batch.column(vec_col))
         if mat.size == 0:
             return pa.table(
                 {
@@ -193,7 +223,7 @@ class SrpBucketer:
         self.planes = srp_planes(dim, n_planes, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = embedding_matrix(batch.column("embedding"))
         if mat.size == 0:
             bucket = np.zeros(0, dtype=np.uint64)
         else:
@@ -262,7 +292,7 @@ def ivf_train(
 
         def partial_sums(batch: pa.Table) -> pa.Table:
             cents = ray.get(c_ref)
-            mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            mat = embedding_matrix(batch.column(vec_col))
             if mat.size == 0:
                 return pa.table(
                     {
@@ -334,7 +364,7 @@ def ivf_topk(
     def filter_cells(batch: pa.Table) -> pa.Table:
         cents = ray.get(c_ref)
         want = ray.get(wanted)
-        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        mat = embedding_matrix(batch.column(vec_col))
         if mat.size == 0:
             return batch
         cells = ivf_assign_cells(mat, cents)
@@ -373,7 +403,7 @@ class SrpBandBucketer:
                     "vec_id": pa.array([], type=pa.int64()),
                 }
             )
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = embedding_matrix(batch.column("embedding"))
         q = np.floor(mat * 1048576.0).astype(np.int64)  # *2^20 exact scaling
         bits = (q @ self.planes > 0).astype(np.int64)  # (n, n_planes*n_bands)
         shifts = np.arange(self.n_planes, dtype=np.int64)
@@ -543,29 +573,35 @@ def embedding_dup_pairs(
     if pairs.count() == 0:
         return ray.data.from_arrow(empty)
 
-    # candidate ids: small driver-side set (bounded by #near-dup pairs)
-    cand_ids: set[int] = set()
-    for b in pairs.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        cand_ids.update(b["vec_a"].to_pylist())
-        cand_ids.update(b["vec_b"].to_pylist())
-    cand_ref = ray.put(frozenset(cand_ids))
+    n_pairs = pairs.count()
 
-    def cand_vecs(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(cand_ref)
-        ids = batch.column("vec_id").to_pylist()
-        embs = batch.column("embedding").to_pylist()
-        out_id, out_v = [], []
-        for d, v in zip(ids, embs):
-            if d in wanted:
-                out_id.append(d)
-                # raw float64 bytes: joins/broadcasts as one binary blob
-                out_v.append(np.asarray(v, dtype=np.float64).tobytes())
+    def _vec_bytes_table(ids: np.ndarray, mat: np.ndarray) -> pa.Table:
+        # raw float64 bytes per row: joins/broadcasts as one binary blob
         return pa.table(
             {
-                "vec_id": pa.array(out_id, type=pa.int64()),
-                "vec": pa.array(out_v, type=pa.binary()),
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "vec": pa.array([row.tobytes() for row in mat], type=pa.binary()),
             }
         )
+
+    def cand_vecs(batch: pa.Table) -> pa.Table:
+        """Candidate rows only — used on the broadcast path, where the
+        sorted candidate-id ARRAY (8 B/id, ≤ 2·n_pairs) is itself small."""
+        wanted = ray.get(cand_ref)
+        ids = batch.column("vec_id").to_numpy()
+        mask = np.isin(ids, wanted)
+        if not mask.any():
+            return _vec_bytes_table(ids[:0], np.zeros((0, 0)))
+        return _vec_bytes_table(
+            ids[mask], embedding_matrix(batch.column("embedding"))[mask]
+        )
+
+    def all_vecs(batch: pa.Table) -> pa.Table:
+        """Every row as key+bytes — the unbounded-safe join-path payload:
+        nothing candidate-sized ever materializes on the driver (the coarse
+        hash joins attach only keys that appear on a pair side anyway)."""
+        ids = batch.column("vec_id").to_numpy()
+        return _vec_bytes_table(ids, embedding_matrix(batch.column("embedding")))
 
     def _cos_bytes(ba: bytes, bb: bytes) -> float:
         va = np.frombuffer(ba, dtype=np.float64)
@@ -595,7 +631,16 @@ def embedding_dup_pairs(
             }
         )
 
-    if len(cand_ids) <= broadcast_cands_threshold:
+    if 2 * n_pairs <= broadcast_cands_threshold:
+        # candidate ids collected driver-side ONLY on this guarded branch:
+        # one sorted int64 numpy array, ≤ 2·n_pairs ≤ threshold entries —
+        # a pathological similarity threshold can no longer inflate an
+        # unbounded Python set (it routes to the join path below instead)
+        id_parts: list[np.ndarray] = []
+        for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            id_parts.append(b["vec_a"].to_numpy())
+            id_parts.append(b["vec_b"].to_numpy())
+        cand_ref = ray.put(np.unique(np.concatenate(id_parts)))
         vec_map: dict[int, bytes] = {}
         for b in embeddings.map_batches(
             cand_vecs, batch_format="pyarrow", zero_copy_batch=True
@@ -616,12 +661,13 @@ def embedding_dup_pairs(
             verify_bcast, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    # 100 TB path: candidate embeddings stay a Dataset; attach per side via
-    # coarse hash joins — nothing candidate-sized on the driver
+    # 100 TB path: embeddings stay a Dataset (keyed float64 bytes); attach
+    # per pair side via coarse hash joins — NOTHING candidate-sized on the
+    # driver, not even the id set (the joins drop non-pair keys themselves)
     from .dedup import attach_binary_column
 
     payload = embeddings.map_batches(
-        cand_vecs, batch_format="pyarrow", zero_copy_batch=True
+        all_vecs, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     joined = attach_binary_column(
         attach_binary_column(
