@@ -74,6 +74,12 @@ class BuildConfig:
     # MRR@10 0.93 vs 0.29 for pure word bigrams at the same dim budget
     # (BASELINE.md sweep); pair with embed_dim >= 2048 for retrieval use
     embed_mode: str = "word_mix"
+    # network embedding provider spec (providers.make_provider) — when set,
+    # the dense column comes from the provider instead of the hash
+    # featurizer; one provider per tokenizer ACTOR (the reference's
+    # per-backend persistent client+thread-pool, vexor/providers/openai.py).
+    # JSON-safe and secret-free (api keys named by env var, never stored).
+    embed_provider: dict | None = None
     block_size: int = POSTING_BLOCK_SIZE
     salt_shift: int = DEFAULT_SALT_SHIFT
     num_waves: int = DEFAULT_NUM_WAVES
@@ -609,11 +615,14 @@ def build_index(
     ]
     # tokenize-relevant config is part of the group fingerprint: changing the
     # tokenizer / doc builder must re-tokenize even when inputs are unchanged
+    import json as _tokfp_json
+
     tok_fp = (
         f"|{cfg.token_pattern}|{cfg.text_only}|{cfg.doc_builder}|{cfg.tokenizer}"
         f"|{cfg.char_limit}|{cfg.pre_extracted}|W{cfg.num_waves}"
         f"|B{int(cfg.wave_bucketed_tok)}"
         f"|E{cfg.embed_dim}:{cfg.embed_mode}"
+        f"|P{_tokfp_json.dumps(cfg.embed_provider, sort_keys=True)}"
     )
     group_fp_now: dict[str, str] = {}
     group_file_indices: dict[str, list[int]] = {}
@@ -669,6 +678,7 @@ def build_index(
                 "num_waves": cfg.num_waves if cfg.wave_bucketed_tok else 0,
                 "embed_dim": cfg.embed_dim,
                 "embed_mode": cfg.embed_mode,
+                "embed_provider": cfg.embed_provider,
             },
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,

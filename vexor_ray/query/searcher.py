@@ -241,6 +241,7 @@ class Searcher:
         # lazily-built corpus index surviving it would serve STALE docIDs
         # after an append (streaming ingestion grows the corpus in place)
         self._all_doc_ids = None
+        self._dense_provider = None  # lazy (search_dense), reset on refresh
 
     # -- segment access ----------------------------------------------------
     @staticmethod
@@ -913,15 +914,24 @@ class Searcher:
                 "index has no stored embeddings (build with embed_dim > 0)"
             )
         cfg = self.manifest["config"]
-        from ..functions.embed import hash_embed
+        if cfg.get("embed_provider"):
+            # same provider the index was built with (constructed once per
+            # searcher; spec is secret-free — keys come from the env)
+            if getattr(self, "_dense_provider", None) is None:
+                from ..providers import make_provider
 
-        q = hash_embed(
-            [query_text],
-            dim=int(cfg.get("embed_dim") or 0),
-            n=2,
-            mode=cfg.get("embed_mode", "word"),
-            as_float32=False,
-        )[0]
+                self._dense_provider = make_provider(cfg["embed_provider"])
+            q = self._dense_provider.embed([query_text])[0].astype(np.float64)
+        else:
+            from ..functions.embed import hash_embed
+
+            q = hash_embed(
+                [query_text],
+                dim=int(cfg.get("embed_dim") or 0),
+                n=2,
+                mode=cfg.get("embed_mode", "word"),
+                as_float32=False,
+            )[0]
         qn = np.linalg.norm(q)
         if qn == 0:
             return []

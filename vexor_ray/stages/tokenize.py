@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
 
 from ..refimpl.textnorm import head_snippet, make_preview
@@ -44,6 +45,7 @@ class TokenizeDocs:
         num_waves: int = 0,
         embed_dim: int = 0,
         embed_mode: str = "word",
+        embed_provider: dict | None = None,
     ):
         from .berttok import make_tokenizer
 
@@ -57,6 +59,14 @@ class TokenizeDocs:
         # cache, vexor/cache.py — here the docs table IS that store)
         self._embed_dim = int(embed_dim)
         self._embed_mode = embed_mode
+        # network provider constructed ONCE PER ACTOR (persistent HTTP
+        # client + thread pool — the reference's per-backend executor,
+        # vexor/providers/openai.py:46-66); batches flow through __call__
+        self._provider = None
+        if embed_provider:
+            from ..providers import make_provider
+
+            self._provider = make_provider(embed_provider)
         # num_waves > 1 → wave-bucketed output: per-doc term lists are split
         # into ``terms_w{k}`` / ``tfs_w{k}`` by term-hash wave, so the
         # posting build's per-wave read PRUNES to 1/W of the term data via
@@ -143,7 +153,12 @@ class TokenizeDocs:
             cols["tfs"] = pa.array(tfs_col, type=pa.list_(pa.uint32()))
         else:
             cols.update(self._bucket_by_wave(terms_col, tfs_col, W))
-        if self._embed_dim:
+        if self._provider is not None:
+            emb = self._provider.embed(docs).astype(np.float32, copy=False)
+            cols["embedding"] = pa.array(
+                emb.tolist(), type=pa.list_(pa.float32())
+            )
+        elif self._embed_dim:
             from ..functions.embed import hash_embed
 
             emb = hash_embed(
