@@ -260,9 +260,13 @@ def encode_runs(
     n = batch.num_rows
     if n == 0:
         return _CHUNK_SCHEMA.empty_table()
-    terms = np.asarray(
-        batch.column("term").to_numpy(zero_copy_only=False), dtype=object
-    )
+    # the term column stays an ARROW array end to end: materializing ~1M
+    # Python str objects per call was the encoder's steady-state fault
+    # source (pymalloc returns emptied 256 KB arenas to the OS via munmap,
+    # so every call re-faulted ~50 MB of arena pages — measured 12.8k minor
+    # faults/call, removed by the Arrow-native compare/take below)
+    term_col = batch.column("term")
+    term_arr = term_col.chunk(0) if isinstance(term_col, pa.ChunkedArray) else term_col
     ths = batch.column("th").to_numpy()
     salts = batch.column("salt").to_numpy()
     doc_ids = batch.column("doc_id").to_numpy()
@@ -275,7 +279,9 @@ def encode_runs(
     change = (
         (ths[1:] != ths[:-1])
         | (salts[1:] != salts[:-1])
-        | (terms[1:] != terms[:-1])
+        | pc.not_equal(
+            term_arr.slice(1), term_arr.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
     )
     run_starts = np.concatenate([[0], np.flatnonzero(change) + 1]).astype(np.int64)
     n_runs = run_starts.size
@@ -332,7 +338,7 @@ def encode_runs(
     return pa.table(
         {
             "th": pa.array(ths[run_starts].astype(np.uint64), type=pa.uint64()),
-            "term": pa.array(terms[run_starts], type=pa.string()),
+            "term": term_arr.take(pa.array(run_starts, type=pa.int64())),
             "salt": pa.array(salts[run_starts].astype(np.uint64), type=pa.uint64()),
             "n_postings": pa.array(run_lengths.astype(np.uint64), type=pa.uint64()),
             "doc_blob": out_cols["doc_blob"],
