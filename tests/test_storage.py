@@ -167,6 +167,16 @@ def test_build_kill_resume_query_on_object_store(
         assert s_os.search(q, k=10, method="exact") == want
         assert s_os.search(q, k=10, method="wand") == want
 
+    # federation across heterogeneous stores: one object-store shard + one
+    # local shard in a single query (the sharded-100 TB shape) — the same
+    # corpus twice, so the needle doc surfaces once per shard
+    from vexor_ray.query.federate import FederatedSearcher
+
+    fed = FederatedSearcher([idx, ref_dir])
+    hits = fed.search("needledfone", k=4)  # (shard, doc_id, score)
+    assert len(hits) == 2
+    assert hits[0][1] == hits[1][1] and {hits[0][0], hits[1][0]} == {0, 1}
+
 
 def test_incremental_append_and_compact_on_object_store(
     ray_session, tmp_path, object_store

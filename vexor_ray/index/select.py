@@ -29,22 +29,32 @@ def compatible(manifest: dict, want: dict | None = None) -> bool:
 
 
 def select_index(
-    index_dirs: list[str | Path],
+    index_dirs: list,
     *,
     required_files: list[str] | None = None,
     want: dict | None = None,
-) -> Path | None:
+    filesystem=None,
+) -> "Path | object | None":
     """Best committed index covering ``required_files`` (or any, if None).
 
     Ranking: fewest extra input files beyond the requirement, then smallest
     doc_count (cheapest to query), then lexicographic dir (determinism).
+    ``index_dirs`` entries may be local paths or ``storage.Store`` objects
+    (``filesystem`` applies to plain-path entries).
     """
+    from .storage import Store
+
     need = {str(f) for f in (required_files or [])}
-    candidates: list[tuple[int, int, str, Path]] = []
-    for d in index_dirs:
-        d = Path(d)
+    candidates: list[tuple[int, int, str, object]] = []
+    for entry in index_dirs:
+        st = Store.resolve(entry, filesystem)
+        # return the caller's own notion of the winner: a Path for plain
+        # local entries (historical contract), the Store otherwise
+        d = entry if isinstance(entry, Store) else (
+            st if filesystem is not None else Path(st.base)
+        )
         try:
-            manifest = load_manifest(d)
+            manifest = load_manifest(st)
         except (FileNotFoundError, ValueError):
             continue
         if not compatible(manifest, want):

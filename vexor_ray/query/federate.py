@@ -33,11 +33,15 @@ class FederatedSearcher:
         index_dirs: list[str | Path],
         *,
         max_dense_docs: int | None = None,
+        filesystem=None,
     ):
         if not index_dirs:
             raise ValueError("need at least one index directory")
+        # entries may be local paths, Stores, or plain paths on an explicit
+        # shared filesystem — the 100 TB shape is N object-store shards
         self.searchers = [
-            Searcher(d, max_dense_docs=max_dense_docs) for d in index_dirs
+            Searcher(d, max_dense_docs=max_dense_docs, filesystem=filesystem)
+            for d in index_dirs
         ]
         cfg0 = self.searchers[0].manifest["config"]
         for s in self.searchers[1:]:
