@@ -309,33 +309,52 @@ def minhash_lsh_pairs(
         zero_copy_batch=True,
     )
 
+    # Band keys are the band's signature values packed into ``n_words``
+    # uint64 columns (zero-padded to an even uint32 count) — an INJECTIVE
+    # encoding, so bucket equality classes are exactly row equality, same
+    # as the SQL twin's string_agg key; but the engine side never
+    # materializes a Python object per row (the '-'-joined string key cost
+    # 16 Python strings per doc per pass).
+    n_words = (rows_per_band + 1) // 2
+    key_cols = [f"k{i}" for i in range(n_words)]
+    _pad = n_words * 2 - rows_per_band
+
+    def _empty_bands() -> pa.Table:
+        cols: dict = {"band": pa.array([], type=pa.int32())}
+        for c in key_cols:
+            cols[c] = pa.array([], type=pa.int64())
+        cols["doc_id"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+
     def explode_bands(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
-        if doc_ids.size == 0:
-            return pa.table(
-                {
-                    "band": pa.array([], type=pa.int32()),
-                    "key": pa.array([], type=pa.string()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                }
-            )
-        sig_arr = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint32)
-        out_band, out_key, out_doc = [], [], []
+        n = doc_ids.size
+        if n == 0:
+            return _empty_bands()
+        col = batch.column("sig")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # Arrow-native flatten: list offsets honored, uint32 values buffer
+        # reshaped — no to_pylist round-trip (NOTES.md pitfall 14)
+        sig_arr = col.flatten().to_numpy(zero_copy_only=False).reshape(n, num_perm)
+        out_band, out_doc = [], []
+        out_words: list[list[np.ndarray]] = [[] for _ in range(n_words)]
         for b in range(bands):
             rows = sig_arr[:, b * rows_per_band : (b + 1) * rows_per_band]
-            # band key = '-'-joined signature values: unambiguous equality,
-            # reproducible by SQL string_agg
-            keys = ["-".join(map(str, r)) for r in rows.tolist()]
-            out_band.append(np.full(doc_ids.size, b, dtype=np.int32))
-            out_key.extend(keys)
+            if _pad:
+                rows = np.concatenate(
+                    [rows, np.zeros((n, _pad), dtype=np.uint32)], axis=1
+                )
+            words = np.ascontiguousarray(rows).view(np.int64)  # (n, n_words)
+            out_band.append(np.full(n, b, dtype=np.int32))
+            for i in range(n_words):
+                out_words[i].append(words[:, i].copy())
             out_doc.append(doc_ids)
-        return pa.table(
-            {
-                "band": pa.array(np.concatenate(out_band), type=pa.int32()),
-                "key": pa.array(out_key, type=pa.string()),
-                "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
-            }
-        )
+        cols = {"band": pa.array(np.concatenate(out_band), type=pa.int32())}
+        for i, c in enumerate(key_cols):
+            cols[c] = pa.array(np.concatenate(out_words[i]), type=pa.int64())
+        cols["doc_id"] = pa.array(np.concatenate(out_doc), type=pa.int64())
+        return pa.table(cols)
 
     sigs = sigs.materialize()  # feeds two passes; 1 row/doc (64 x uint32)
     bands_ds = sigs.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
@@ -343,14 +362,16 @@ def minhash_lsh_pairs(
     # Pass 1 — bucket-size count in coarse hash partitions (bucket
     # cardinality ~ bands × docs, so neither a bucket-keyed map_groups nor
     # a native Aggregate may ever see the real key; see functions/groups.py)
-    from .groups import coarse_grouped, str_pid
+    from .groups import coarse_grouped, int_pid
+
+    group_cols = ["band", *key_cols]
 
     def count_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["band", "key"], as_index=False).size()
+        out = df.groupby(group_cols, as_index=False).size()
         return out.rename(columns={"size": "n"})
 
     counts = coarse_grouped(
-        bands_ds, lambda b: str_pid(b, "key", 64), count_buckets
+        bands_ds, lambda b: int_pid(b, group_cols, 64), count_buckets
     )
 
     def only_multi(batch: pa.Table) -> pa.Table:
@@ -365,12 +386,12 @@ def minhash_lsh_pairs(
     # collision-bucket key → integer bucket id: driver-bounded by the
     # candidate-pair count (every kept bucket yields >= 1 pair); over-cap
     # buckets are dropped here with their exact size logged
-    bid_by_band: dict[int, dict[str, int]] = {}
+    bt_cols: dict[str, list] = {c: [] for c in group_cols}
     n_buckets = 0
     for b in multi.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for band, key, n in zip(
-            b["band"].to_pylist(), b["key"].to_pylist(), b["n"].to_pylist()
-        ):
+        kvals = [b[c].to_pylist() for c in group_cols]
+        for row in zip(*kvals, b["n"].to_pylist()):
+            n = row[-1]
             if n > bucket_cap:
                 logger.warning(
                     "minhash-lsh: dropping band bucket of %d docs (> cap %d); "
@@ -380,10 +401,21 @@ def minhash_lsh_pairs(
                     bucket_cap,
                 )
                 continue
-            bid_by_band.setdefault(band, {})[key] = n_buckets
+            for c, v in zip(group_cols, row):
+                bt_cols[c].append(v)
             n_buckets += 1
     if n_buckets:
-        keys_ref = ray.put(bid_by_band)
+        bucket_table = pd.DataFrame(
+            {
+                "band": pd.Series(bt_cols["band"], dtype="int32"),
+                **{
+                    c: pd.Series(bt_cols[c], dtype="int64")
+                    for c in key_cols
+                },
+                "bid": pd.Series(range(n_buckets), dtype="int64"),
+            }
+        )
+        keys_ref = ray.put(bucket_table)
         # Pass 2 — semi-join band rows to collision buckets, coarse-partition
         # buckets by bid % P, and generate pairs for MANY buckets per group
         # call in pure numpy.  Per-group Python cost therefore scales with P
@@ -393,23 +425,22 @@ def minhash_lsh_pairs(
         n_parts = min(64, n_buckets)
 
         def tag_bucket(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(keys_ref)
-            bandc = batch.column("band").to_pylist()
-            keyc = batch.column("key").to_pylist()
-            docc = batch.column("doc_id").to_numpy()
-            bids = np.empty(len(bandc), dtype=np.int64)
-            keep = np.zeros(len(bandc), dtype=bool)
-            for i, (bd, kk) in enumerate(zip(bandc, keyc)):
-                bid = wanted.get(bd, {}).get(kk)
-                if bid is not None:
-                    keep[i] = True
-                    bids[i] = bid
-            bids = bids[keep]
+            # vectorized semi-join: one pandas hash merge per batch instead
+            # of a per-row Python dict probe
+            bt = ray.get(keys_ref)
+            df = pd.DataFrame(
+                {c: batch.column(c).to_numpy() for c in group_cols}
+            )
+            df["doc_id"] = batch.column("doc_id").to_numpy()
+            m = df.merge(bt, on=group_cols, how="inner")
+            bids = m["bid"].to_numpy()
             return pa.table(
                 {
                     "pid": pa.array(bids % n_parts, type=pa.int64()),
                     "bid": pa.array(bids, type=pa.int64()),
-                    "doc_id": pa.array(docc[keep], type=pa.int64()),
+                    "doc_id": pa.array(
+                        m["doc_id"].to_numpy(), type=pa.int64()
+                    ),
                 }
             )
 
