@@ -943,7 +943,9 @@ class Searcher:
             ids = rb.column("doc_id").to_numpy()
             if ids.size == 0:
                 continue
-            mat = np.asarray(rb.column("embedding").to_pylist(), dtype=np.float64)
+            from ..functions.ann import embedding_matrix
+
+            mat = embedding_matrix(rb.column("embedding"))
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             sims = np.round((mat / norms[:, None]) @ q, 6)
