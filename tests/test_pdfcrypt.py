@@ -16,10 +16,13 @@ from vexor_ray.stages.pdfcrypt import (
     _expand_key,
     aes_cbc_decrypt,
     aes_cbc_encrypt,
+    cbc_decrypt_nopad,
+    cbc_encrypt_nopad,
     compute_file_key,
     compute_o_value,
     compute_u_value,
     examine,
+    hash_2b,
     parse_value,
     rc4,
 )
@@ -46,6 +49,39 @@ def test_aes128_fips197_vector():
     assert ct == want
     back = _ecb(np.frombuffer(ct, np.uint8).reshape(1, 16), rk, False)[0]
     assert back.tobytes() == pt
+
+
+def test_aes256_fips197_vector():
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    want = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    rk = _expand_key(key)
+    assert rk.shape == (15, 16)
+    ct = _ecb(np.frombuffer(pt, np.uint8).reshape(1, 16), rk, True)[0].tobytes()
+    assert ct == want
+    back = _ecb(np.frombuffer(ct, np.uint8).reshape(1, 16), rk, False)[0]
+    assert back.tobytes() == pt
+
+
+def test_cbc_nopad_scalar_vs_vectorized():
+    """The scalar encrypt path (Algorithm 2.B's chained CBC) must invert
+    against the numpy decrypt path, for both AES-128 and AES-256."""
+    for klen in (16, 32):
+        key = bytes((7 * i + klen) & 0xFF for i in range(klen))
+        iv = bytes((3 * i + 1) & 0xFF for i in range(16))
+        data = bytes((11 * i) & 0xFF for i in range(16 * 9))
+        enc = cbc_encrypt_nopad(key, iv, data)
+        assert len(enc) == len(data)  # no padding, no IV prefix
+        assert cbc_decrypt_nopad(key, iv, enc) == data
+
+
+def test_hash_2b_shape_and_sensitivity():
+    h = hash_2b(b"", b"saltsalt")
+    assert len(h) == 32 and h == hash_2b(b"", b"saltsalt")
+    assert h != hash_2b(b"", b"SALTSALT")
+    assert h != hash_2b(b"x", b"saltsalt")
 
 
 def test_aes_cbc_roundtrip_and_padding():
@@ -110,7 +146,9 @@ def test_parse_value_subset():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("method", ["rc4-40", "rc4-128", "aes-128"])
+@pytest.mark.parametrize(
+    "method", ["rc4-40", "rc4-128", "aes-128", "aes-256", "aes-256-r5"]
+)
 @pytest.mark.parametrize("compress", [True, False])
 def test_encrypted_pdf_extracts_like_plain(method, compress):
     want = extract_pdf_text(make_simple_pdf(LINES, compress=compress))
@@ -120,8 +158,9 @@ def test_encrypted_pdf_extracts_like_plain(method, compress):
     assert got == want and want
 
 
-def test_password_protected_refuses_cleanly():
-    doc = make_encrypted_pdf(LINES, method="rc4-128", user_password=b"secret")
+@pytest.mark.parametrize("method", ["rc4-128", "aes-256"])
+def test_password_protected_refuses_cleanly(method):
+    doc = make_encrypted_pdf(LINES, method=method, user_password=b"secret")
     assert examine(doc) is REFUSED
     assert extract_pdf_text(doc) is None
 

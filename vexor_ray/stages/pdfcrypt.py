@@ -4,14 +4,17 @@ Implements the common real-world case the reference delegates to pypdf:
 documents encrypted with the *standard* security handler and an **empty
 user password** (most "encrypted" PDFs in a crawl — viewable by anyone,
 encrypted only to enforce permissions).  Covered: RC4 40-bit (V=1/R=2),
-RC4 128-bit (V=2/R=3), AES-128-CBC (V=4/R=4, ``/CFM /AESV2``), per
-PDF 32000-1 §7.6.  Password-protected documents (the empty-user-password
-check fails) and unsupported handlers (V=5/AES-256, crypt filters other
-than V2/AESV2/Identity) are refused cleanly — the extractor returns None
-exactly as it did before this module existed.
+RC4 128-bit (V=2/R=3), AES-128-CBC (V=4/R=4, ``/CFM /AESV2``) per
+ISO 32000-1 §7.6, and AES-256-CBC (V=5/R=6 ``/CFM /AESV3`` per ISO
+32000-2 §7.6.4, plus the deprecated Adobe R=5 extension).
+Password-protected documents (the empty-user-password check fails) and
+unsupported handlers (crypt filters other than V2/AESV2/AESV3/Identity)
+are refused cleanly — the extractor returns None exactly as it did
+before this module existed.
 
 Nothing here is proprietary: the algorithms are published in ISO 32000-1
-(Algorithms 1-5) and FIPS-197 (AES); RC4 is public domain.  AES runs
+(Algorithms 1-5), ISO 32000-2 (Algorithms 2.A/2.B) and FIPS-197 (AES);
+RC4 is public domain.  AES runs
 vectorized over all blocks of a stream with numpy table lookups — CBC
 *decryption* parallelizes per block (each plaintext block depends only on
 two ciphertext blocks), so decode throughput is a few table-gather passes,
@@ -77,18 +80,22 @@ _INV_SHIFT = np.array([4 * ((i // 4 - i % 4) % 4) + i % 4 for i in range(16)])
 
 
 def _expand_key(key: bytes) -> np.ndarray:
-    """AES-128 round keys as a (11, 16) uint8 array."""
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    """AES round keys as an (Nr+1, 16) uint8 array (AES-128 or AES-256)."""
+    nk = len(key) // 4  # 4 or 8 words
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [int(_SBOX[b]) for b in t]
             t[0] ^= rcon
             rcon = _gf_mul(rcon, 2)
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return np.array(w, dtype=np.uint8).reshape(11, 16)
+        elif nk == 8 and i % nk == 4:
+            t = [int(_SBOX[b]) for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return np.array(w, dtype=np.uint8).reshape(nr + 1, 16)
 
 
 def _mix_columns(s: np.ndarray, forward: bool) -> np.ndarray:
@@ -110,18 +117,19 @@ def _mix_columns(s: np.ndarray, forward: bool) -> np.ndarray:
 
 
 def _ecb(blocks: np.ndarray, rk: np.ndarray, forward: bool) -> np.ndarray:
+    nr = rk.shape[0] - 1
     s = blocks.copy()
     if forward:
         s ^= rk[0]
-        for rnd in range(1, 10):
+        for rnd in range(1, nr):
             s = _SBOX[s][:, _SHIFT]
             s = _mix_columns(s, True)
             s ^= rk[rnd]
         s = _SBOX[s][:, _SHIFT]
-        s ^= rk[10]
+        s ^= rk[nr]
     else:
-        s ^= rk[10]
-        for rnd in range(9, 0, -1):
+        s ^= rk[nr]
+        for rnd in range(nr - 1, 0, -1):
             s = _INV_SBOX[s[:, _INV_SHIFT]]
             s ^= rk[rnd]
             s = _mix_columns(s, False)
@@ -159,6 +167,70 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
         prev = _ecb(block[None, :], rk, forward=True)[0]
         out.append(prev.tobytes())
     return b"".join(out)
+
+
+# Scalar AES for the V5 "hardened hash" (ISO 32000-2 Algorithm 2.B): its
+# CBC *encryption* chains block to block, so the numpy batch path degrades
+# to thousands of 1-row array ops; a plain-list implementation is ~50×
+# faster at that shape.  Bulk stream decryption stays on the numpy path.
+_SBOX_L = [int(b) for b in _SBOX]
+_MUL2_L = [_gf_mul(2, i) for i in range(256)]
+_MUL3_L = [_gf_mul(3, i) for i in range(256)]
+_SHIFT_L = [int(i) for i in _SHIFT]
+
+
+def _enc_block_scalar(rk: list[list[int]], block: list[int]) -> list[int]:
+    nr = len(rk) - 1
+    s = [x ^ k for x, k in zip(block, rk[0])]
+    for rnd in range(1, nr):
+        s = [_SBOX_L[s[i]] for i in _SHIFT_L]
+        t: list[int] = []
+        for c in range(0, 16, 4):
+            a0, a1, a2, a3 = s[c : c + 4]
+            t += (
+                _MUL2_L[a0] ^ _MUL3_L[a1] ^ a2 ^ a3,
+                a0 ^ _MUL2_L[a1] ^ _MUL3_L[a2] ^ a3,
+                a0 ^ a1 ^ _MUL2_L[a2] ^ _MUL3_L[a3],
+                _MUL3_L[a0] ^ a1 ^ a2 ^ _MUL2_L[a3],
+            )
+        s = [x ^ k for x, k in zip(t, rk[rnd])]
+    s = [_SBOX_L[s[i]] for i in _SHIFT_L]
+    return [x ^ k for x, k in zip(s, rk[nr])]
+
+
+def cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt an exact multiple of 16 bytes — no padding, no IV
+    prefix (the 2.B / UE / OE layout).  AES-128 or AES-256 by key length."""
+    rk = [[int(x) for x in row] for row in _expand_key(key)]
+    prev = list(iv)
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        prev = _enc_block_scalar(rk, [a ^ b for a, b in zip(data[i : i + 16], prev)])
+        out += bytes(prev)
+    return bytes(out)
+
+
+def cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt an exact multiple of 16 bytes with an explicit IV — no
+    padding strip (vectorized; UE/OE are 32 bytes)."""
+    ct = np.frombuffer(data, np.uint8).reshape(-1, 16)
+    prev = np.vstack([np.frombuffer(iv, np.uint8)[None, :], ct[:-1]])
+    return (_ecb(ct, _expand_key(key), forward=False) ^ prev).tobytes()
+
+
+def hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 hardened password hash."""
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64  # 64 repeats -> always a block multiple
+        e = cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
@@ -419,6 +491,33 @@ def verify_user_password(
     return key if got_ok else None
 
 
+def verify_user_password_v5(user_pwd: bytes, enc: dict) -> bytes | None:
+    """32-byte file key if ``user_pwd`` opens a V5 document, else None.
+
+    R=6 per ISO 32000-2 §7.6.4.4.9 (Algorithm 2.A user-password arm with
+    the 2.B hardened hash); R=5 is the deprecated Adobe extension (plain
+    SHA-256 of password+salt).  ``U`` is hash(32)+validation-salt(8)+
+    key-salt(8); ``UE`` is the file key AES-256-CBC-encrypted (zero IV,
+    no padding) under the intermediate key."""
+    r = int(enc.get("R", 6))
+    u = enc.get("U", b"")
+    ue = enc.get("UE", b"")
+    if not (isinstance(u, bytes) and len(u) >= 48):
+        return None
+    if not (isinstance(ue, bytes) and len(ue) >= 32):
+        return None
+    pwd = user_pwd[:127]
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 5:
+        got = hashlib.sha256(pwd + vsalt).digest()
+    else:
+        got = hash_2b(pwd, vsalt)
+    if got != u[:32]:
+        return None
+    ik = hashlib.sha256(pwd + ksalt).digest() if r == 5 else hash_2b(pwd, ksalt)
+    return cbc_decrypt_nopad(ik, bytes(16), ue[:32])
+
+
 @dataclass
 class PdfCrypto:
     """Per-document decryption context (standard handler, key resolved)."""
@@ -426,9 +525,12 @@ class PdfCrypto:
     file_key: bytes
     aes_streams: bool = False
     aes_strings: bool = False
+    v5: bool = False  # V5/AES-256: the file key IS the object key
 
     def object_key(self, num: int, gen: int, aes: bool) -> bytes:
-        """Algorithm 1 — per-object key."""
+        """Algorithm 1 — per-object key (V≤4); V5 uses the file key as-is."""
+        if self.v5:
+            return self.file_key
         h = hashlib.md5()
         h.update(self.file_key)
         h.update(num.to_bytes(3, "little"))
@@ -458,7 +560,7 @@ def examine(payload: bytes):
     """Classify a PDF: None (unencrypted) | PdfCrypto | ``REFUSED``.
 
     ``REFUSED`` means encryption is present but not the supported shape
-    (password-protected, V5/AES-256, exotic crypt filters) — callers treat
+    (password-protected, exotic crypt filters) — callers treat
     it exactly like the historical clean refusal.
     """
     trailers = [t for t in _trailer_dicts(payload) if "Encrypt" in t]
@@ -475,25 +577,34 @@ def examine(payload: bytes):
         return REFUSED
     v = int(enc.get("V", 0))
     r = int(enc.get("R", 2))
-    if v not in (1, 2, 4) or r not in (2, 3, 4):
+    if (v, r) not in {(1, 2), (2, 3), (4, 4), (5, 5), (5, 6)}:
         return REFUSED
     aes_streams = aes_strings = False
-    if v == 4:
+    if v in (4, 5):
         cf = enc.get("CF", {})
         stmf = enc.get("StmF", "Identity")
         strf = enc.get("StrF", "Identity")
+        # AESV2 is only valid under V4, AESV3 only under V5 (§7.6.5)
+        cfms = {"V2": "rc4", "AESV2": "aes"} if v == 4 else {"AESV3": "aes"}
 
         def mode(name):
             if name == "Identity":
                 return "identity"
             cfm = cf.get(name, {}).get("CFM") if isinstance(cf, dict) else None
-            return {"V2": "rc4", "AESV2": "aes"}.get(cfm)
+            return cfms.get(cfm)
 
         sm, tm = mode(stmf), mode(strf)
         if sm is None or tm is None:
             return REFUSED
         aes_streams = sm == "aes"
         aes_strings = tm == "aes"
+    if v == 5:
+        key5 = verify_user_password_v5(b"", enc)
+        if key5 is None:
+            return REFUSED  # real password (or unsupported quirk)
+        return PdfCrypto(
+            key5, aes_streams=aes_streams, aes_strings=aes_strings, v5=True
+        )
     ids = trailer.get("ID") or next(
         (t.get("ID") for t in _trailer_dicts(payload) if t.get("ID")), None
     )

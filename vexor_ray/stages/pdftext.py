@@ -160,7 +160,7 @@ def extract_pdf_text(payload: bytes, char_limit: int = 0) -> str | None:
     """PDF bytes → extracted text (None when no text was found).
 
     Encrypted documents (standard security handler, empty user password —
-    RC4-40/128 and AES-128, ``stages/pdfcrypt.py``) are decrypted in
+    RC4-40/128, AES-128 and AES-256, ``stages/pdfcrypt.py``) are decrypted in
     place; password-protected or unsupported encryption refuses cleanly
     (returns None) instead of emitting ciphertext garbage.  The encryption
     probe parses only the trailer / xref-stream dictionaries, so content
@@ -204,31 +204,54 @@ def make_encrypted_pdf(
 ) -> bytes:
     """Properly encrypted one-page PDF (test fixture).
 
-    ``method``: ``rc4-40`` (V=1/R=2), ``rc4-128`` (V=2/R=3), or ``aes-128``
-    (V=4/R=4 ``/CFM /AESV2``).  A non-empty ``user_password`` produces a
-    document the extractor must REFUSE (empty-user-password check fails).
+    ``method``: ``rc4-40`` (V=1/R=2), ``rc4-128`` (V=2/R=3), ``aes-128``
+    (V=4/R=4 ``/CFM /AESV2``), ``aes-256`` (V=5/R=6 ``/CFM /AESV3``) or
+    ``aes-256-r5`` (the deprecated Adobe R=5 variant).  A non-empty
+    ``user_password`` produces a document the extractor must REFUSE
+    (empty-user-password check fails).
     """
     import hashlib
 
     from .pdfcrypt import (
         PdfCrypto,
+        cbc_encrypt_nopad,
         compute_file_key,
         compute_o_value,
         compute_u_value,
+        hash_2b,
     )
 
     v, r, bits = {
         "rc4-40": (1, 2, 40),
         "rc4-128": (2, 3, 128),
         "aes-128": (4, 4, 128),
+        "aes-256": (5, 6, 256),
+        "aes-256-r5": (5, 5, 256),
     }[method]
     n = bits // 8
     p = -3904  # typical permissions mask
     id0 = hashlib.md5(b"fixture-id|" + "|".join(lines).encode()).digest()
-    o = compute_o_value(owner_password, user_password, r, n)
-    file_key = compute_file_key(user_password, o, p, id0, r, n)
-    u = compute_u_value(file_key, id0, r)
-    crypto = PdfCrypto(file_key, aes_streams=(method == "aes-128"))
+    if v == 5:
+        # ISO 32000-2 user/owner entries: U/O = hash(32)+vsalt(8)+ksalt(8),
+        # UE/OE = file key CBC-encrypted (zero IV) under the intermediate key
+        def _h(pwd: bytes, salt: bytes, ud: bytes = b"") -> bytes:
+            if r == 5:
+                return hashlib.sha256(pwd[:127] + salt + ud).digest()
+            return hash_2b(pwd[:127], salt, ud)
+
+        file_key = hashlib.sha256(b"fixture-filekey|" + id0).digest()
+        salts = hashlib.sha256(b"fixture-salts|" + id0).digest()
+        uvs, uks, ovs, oks = (salts[i : i + 8] for i in range(0, 32, 8))
+        u = _h(user_password, uvs) + uvs + uks
+        ue = cbc_encrypt_nopad(_h(user_password, uks), bytes(16), file_key)
+        o = _h(owner_password, ovs, u) + ovs + oks
+        oe = cbc_encrypt_nopad(_h(owner_password, oks, u), bytes(16), file_key)
+        crypto = PdfCrypto(file_key, aes_streams=True, aes_strings=True, v5=True)
+    else:
+        o = compute_o_value(owner_password, user_password, r, n)
+        file_key = compute_file_key(user_password, o, p, id0, r, n)
+        u = compute_u_value(file_key, id0, r)
+        crypto = PdfCrypto(file_key, aes_streams=(method == "aes-128"))
 
     esc = [
         line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -249,6 +272,12 @@ def make_encrypted_pdf(
         enc_extra = (
             b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>"
             b" /StmF /StdCF /StrF /StdCF"
+        )
+    elif v == 5:
+        enc_extra = (
+            b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>"
+            b" /StmF /StdCF /StrF /StdCF /OE <%s> /UE <%s>"
+            % (oe.hex().encode(), ue.hex().encode())
         )
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
