@@ -873,6 +873,39 @@ def _q_streaming_ingest(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_export_resumable(sf_dir: str):
+    """Resumable partitioned export sink (``vexor_ray/sinks.py``): export
+    the documents table (column-pruned read) with a computed column through
+    the shard-commit protocol, then read back the committed shards.  The
+    kill/resume/no-rename-fs contracts are covered by tests/test_sinks.py;
+    this query value-checks the data path end to end."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from vexor_ray.sinks import export_parquet_resumable, read_exported
+
+    out = tempfile.mkdtemp(prefix="vexor-export-")
+    try:
+
+        def add_col(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "n_chars_2x", pc.multiply(tbl.column("n_chars"), 2)
+            )
+
+        export_parquet_resumable(
+            [f"{sf_dir}/documents.parquet"],
+            out,
+            add_col,
+            columns=["doc_id", "lang", "n_chars"],
+            rows_per_shard=4096,
+        )
+        return read_exported(out).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering matters: the driver value-hashes only the FIRST 50 entries.
     # Rotated in round 4 so the 14 entries registered after the cap in
@@ -947,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "group_quantiles": _q_group_quantiles,
         "user_moving_avg": _q_user_moving_avg,
+        "export_resumable": _q_export_resumable,
     }
 
 
@@ -1851,4 +1885,7 @@ SELECT seq, CAST(n AS BIGINT) AS rows_in,
        CAST(MAX(batch_max_us) OVER (ORDER BY seq) AS BIGINT) AS watermark_us,
        CAST(SUM(n_indexed) OVER (ORDER BY seq) AS BIGINT) AS doc_count
 FROM per ORDER BY seq""",
+        "export_resumable": """
+SELECT doc_id, lang, n_chars, n_chars * 2 AS n_chars_2x
+FROM documents ORDER BY doc_id""",
     }
