@@ -165,6 +165,40 @@ def _q_knn_cosine(sf_dir: str):
     )
 
 
+def _q_pq_topk(sf_dir: str):
+    """Product-quantized ANN (ADC candidates + exact rerank, Jégou 2011):
+    the 32×-compressed scan path for embedding search at 100 TB.  Training
+    is bit-reproducible (integer-sum Lloyd), so output is deterministic;
+    the iterative k-means is not SQL-expressible → rows-only driver check,
+    with recall/exactness contracts covered by tests/test_pq.py."""
+    import pyarrow as pa
+    import ray.data
+
+    from vexor_ray.functions.ann import pq_adc_topk, pq_encode, pq_train
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, m_subspaces=8, k_codes=64, iters=2)
+    codes = pq_encode(emb, books)
+    tbl = pq_adc_topk(
+        codes,
+        books,
+        _knn_queries(sf_dir),
+        k=10,
+        rerank_embeddings=emb,
+        rerank_factor=10,
+    )
+    return tbl.cast(
+        pa.schema(
+            [
+                ("query_idx", pa.int64()),
+                ("rank", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("cosine", pa.float64()),
+            ]
+        )
+    )
+
+
 def _q_ann_lsh(sf_dir: str):
     import pyarrow as pa
     import ray.data
@@ -981,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "user_moving_avg": _q_user_moving_avg,
         "export_resumable": _q_export_resumable,
+        "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
     }
 
 

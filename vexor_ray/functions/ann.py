@@ -111,44 +111,57 @@ def brute_force_topk(
             }
         )
 
-    def merge_topk(batch: pa.Table) -> pa.Table:
-        """Per-query top-k within a batch of partials, widened to every row
-        tying the k-th (already-rounded) score — the same tie discipline as
-        the map side, so any merge tree over partials is exact."""
-        qi = batch.column("query_idx").to_numpy()
-        ids = batch.column("vec_id").to_numpy()
-        sims = batch.column("cosine").to_numpy()
-        order = np.lexsort((ids, -sims, qi))
-        qi, ids, sims = qi[order], ids[order], sims[order]
-        keep = np.zeros(qi.size, dtype=bool)
-        starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
-        ends = np.r_[starts[1:], qi.size]
-        for s, e in zip(starts, ends):
-            if e - s <= k:
-                keep[s:e] = True
-            else:
-                kth = sims[s + k - 1]
-                keep[s : s + k] = True
-                j = s + k
-                while j < e and sims[j] == kth:
-                    keep[j] = True
-                    j += 1
-        return pa.table(
-            {
-                "query_idx": pa.array(qi[keep], type=pa.int32()),
-                "vec_id": pa.array(ids[keep], type=pa.int64()),
-                "cosine": pa.array(sims[keep], type=pa.float64()),
-            }
-        )
-
     # partial top-k per block → one Ray reduce round over coalesced partials
     # (bounds driver rows by reduce_parts × nq × ~k instead of #blocks × …)
     partials = embeddings.map_batches(
         score_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+    return _reduce_topk(partials, k, "cosine")
+
+
+def _merge_topk(batch: pa.Table, k: int, score_col: str) -> pa.Table:
+    """Per-query top-k within a batch of partials, widened to every row
+    tying the k-th (already-rounded) score — the same tie discipline as
+    the map side, so any merge tree over partials is exact."""
+    qi = batch.column("query_idx").to_numpy()
+    ids = batch.column("vec_id").to_numpy()
+    sims = batch.column(score_col).to_numpy()
+    order = np.lexsort((ids, -sims, qi))
+    qi, ids, sims = qi[order], ids[order], sims[order]
+    keep = np.zeros(qi.size, dtype=bool)
+    starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+    ends = np.r_[starts[1:], qi.size]
+    for s, e in zip(starts, ends):
+        if e - s <= k:
+            keep[s:e] = True
+        else:
+            kth = sims[s + k - 1]
+            keep[s : s + k] = True
+            j = s + k
+            while j < e and sims[j] == kth:
+                keep[j] = True
+                j += 1
+    return pa.table(
+        {
+            "query_idx": pa.array(qi[keep], type=pa.int32()),
+            "vec_id": pa.array(ids[keep], type=pa.int64()),
+            score_col: pa.array(sims[keep], type=pa.float64()),
+        }
+    )
+
+
+def _reduce_topk(
+    partials: ray.data.Dataset, k: int, score_col: str
+) -> pa.Table:
+    """One Ray reduce round over per-block partial top-k tables, then the
+    exact driver cut: (query_idx, rank, vec_id, score_col)."""
+
+    def merge(batch: pa.Table) -> pa.Table:
+        return _merge_topk(batch, k, score_col)
+
     reduce_parts = 8
     reduced = partials.repartition(reduce_parts).map_batches(
-        merge_topk, batch_format="pyarrow", zero_copy_batch=True,
+        merge, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
     tables = list(reduced.iter_batches(batch_size=None, batch_format="pyarrow"))
@@ -158,14 +171,14 @@ def brute_force_topk(
                 {
                     "query_idx": pa.array([], type=pa.int32()),
                     "vec_id": pa.array([], type=pa.int64()),
-                    "cosine": pa.array([], type=pa.float64()),
+                    score_col: pa.array([], type=pa.float64()),
                 }
             )
         ]
-    final = merge_topk(pa.concat_tables(tables))
+    final = _merge_topk(pa.concat_tables(tables), k, score_col)
     qi = final.column("query_idx").to_numpy()
     ids = final.column("vec_id").to_numpy()
-    sims = final.column("cosine").to_numpy()
+    sims = final.column(score_col).to_numpy()
     # exact cut at k (no tie-widening in the final output) + rank column
     out_q, out_r, out_id, out_s = [], [], [], []
     starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]]) if qi.size else []
@@ -185,7 +198,7 @@ def brute_force_topk(
             "query_idx": cat(out_q, pa.int32()),
             "rank": cat(out_r, pa.int32()),
             "vec_id": cat(out_id, pa.int64()),
-            "cosine": cat(out_s, pa.float64()),
+            score_col: cat(out_s, pa.float64()),
         }
     )
 
@@ -375,6 +388,289 @@ def ivf_topk(
     )
     return brute_force_topk(cands, np.asarray(queries, dtype=np.float64), k,
                             id_col=id_col, vec_col=vec_col)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011 — "Product quantization
+# for nearest neighbor search", public): the 100 TB memory path.  A 64-d
+# float32 embedding is 256 B; its PQ code at m=8 is 8 B (32×), so the
+# candidate store for ADC scanning fits in memory at corpus sizes where the
+# raw embeddings never could.  Vectors are L2-normalized first, then each
+# of m subspaces is vector-quantized independently (k-means); the ADC score
+# sum_s <q_s, c_{s,code_s}> approximates the cosine.
+# --------------------------------------------------------------------------
+
+
+def pq_train(
+    embeddings: ray.data.Dataset,
+    *,
+    m_subspaces: int = 8,
+    k_codes: int = 256,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed PQ codebooks: (m_subspaces, k_codes, dim/m) float64.
+
+    Same deterministic map-reduce Lloyd discipline as :func:`ivf_train`:
+    seeds are the ``k_codes`` vectors with the smallest md5(id) (their
+    subvectors seed every subspace), each iteration broadcasts the
+    codebooks and reduces per-(subspace, code) INTEGER partial sums of the
+    2^20-quantized subvectors — bit-reproducible in any batch order.
+    Assignment metric is L2 on the normalized vector's subvectors (ties →
+    lowest code id).  Empty codes keep their previous centroid.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import md5_u64
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        if not ids:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.uint64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    vec_col: pa.array([], type=pa.list_(pa.float32())),
+                }
+            )
+        hs = np.fromiter(
+            (md5_u64(str(i).encode()) for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        order = np.argsort(hs, kind="stable")[:k_codes]
+        return pa.table(
+            {
+                "h": pa.array(hs[order], type=pa.uint64()),
+                id_col: pc.take(batch.column(id_col), pa.array(order)),
+                vec_col: pc.take(batch.column(vec_col), pa.array(order)),
+            }
+        )
+
+    seeds = embeddings.map_batches(
+        seed_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    seeds = seeds.sort_values("h", kind="mergesort").head(k_codes)
+    seed_mat = _normalize(np.asarray(list(seeds[vec_col]), dtype=np.float64))
+    dim = seed_mat.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    n_seeds = seed_mat.shape[0]
+    # every subspace starts from the same seed rows' subvectors; short
+    # corpora (< k_codes rows) just train fewer codes
+    books = np.zeros((m_subspaces, k_codes, dsub), dtype=np.float64)
+    for s in range(m_subspaces):
+        books[s, :n_seeds] = seed_mat[:, s * dsub : (s + 1) * dsub]
+
+    for _ in range(iters):
+        b_ref = ray.put(books)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            bks = ray.get(b_ref)
+            mat = embedding_matrix(batch.column(vec_col))
+            if mat.size == 0:
+                return pa.table(
+                    {
+                        "sub": pa.array([], type=pa.int32()),
+                        "code": pa.array([], type=pa.int32()),
+                        "n": pa.array([], type=pa.int64()),
+                        "vsum": pa.array([], type=pa.list_(pa.int64())),
+                    }
+                )
+            nmat = _normalize(mat)
+            q = np.floor(nmat * 1048576.0).astype(np.int64)  # exact scaling
+            out_s, out_c, out_n, out_sum = [], [], [], []
+            for s in range(m_subspaces):
+                sub = nmat[:, s * dsub : (s + 1) * dsub]
+                qsub = q[:, s * dsub : (s + 1) * dsub]
+                codes = pq_assign_codes(sub, bks[s])
+                for c in np.unique(codes):
+                    sel = qsub[codes == c]
+                    out_s.append(s)
+                    out_c.append(int(c))
+                    out_n.append(int(sel.shape[0]))
+                    out_sum.append(sel.sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "sub": pa.array(out_s, type=pa.int32()),
+                    "code": pa.array(out_c, type=pa.int32()),
+                    "n": pa.array(out_n, type=pa.int64()),
+                    "vsum": pa.array(out_sum, type=pa.list_(pa.int64())),
+                }
+            )
+
+        parts = embeddings.map_batches(
+            partial_sums, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        new_b = books.copy()
+        grouped = parts.groupby(["sub", "code"])
+        for (s, c), rows in grouped:
+            n = int(rows["n"].sum())
+            if n == 0:
+                continue
+            total = np.sum(
+                np.asarray(list(rows["vsum"]), dtype=np.int64), axis=0
+            )  # exact int sum, order-free
+            new_b[s, c] = total.astype(np.float64) / n / 1048576.0
+        books = new_b
+    return books
+
+
+def pq_assign_codes(sub: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """Nearest code per subvector row (L2; ties → lowest code id)."""
+    # argmin ||x - c||^2 == argmin (||c||^2 - 2 x·c); rounded like
+    # ivf_assign_cells so assignment is stable at float boundaries
+    d = (book * book).sum(axis=1)[None, :] - 2.0 * (sub @ book.T)
+    return np.argmin(np.round(d, 9), axis=1)
+
+
+def pq_encode(
+    embeddings: ray.data.Dataset,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """(id, code) dataset — m uint8 codes per vector, the compact ADC store."""
+    m, _, dsub = codebooks.shape
+    b_ref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bks = ray.get(b_ref)
+        ids = batch.column(id_col)
+        mat = embedding_matrix(batch.column(vec_col))
+        if mat.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "code": pa.array(
+                        [], type=pa.list_(pa.uint8(), m)
+                    ),
+                }
+            )
+        nmat = _normalize(mat)
+        codes = np.empty((nmat.shape[0], m), dtype=np.uint8)
+        for s in range(m):
+            codes[:, s] = pq_assign_codes(
+                nmat[:, s * dsub : (s + 1) * dsub], bks[s]
+            )
+        return pa.table(
+            {
+                id_col: ids,
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), type=pa.uint8()), m
+                ),
+            }
+        )
+
+    return embeddings.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pq_adc_topk(
+    codes: ray.data.Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    rerank_embeddings: ray.data.Dataset | None = None,
+    rerank_factor: int = 10,
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Asymmetric-distance top-k over PQ codes → (query_idx, rank, vec_id,
+    score).  score = sum_s LUT[s, code_s] with LUT[s, c] = <q_s, book[s,c]>
+    (approximate cosine; rounded to 6, ties → vec_id asc).  The scan reads
+    only the m-byte codes — the shape that fits a 100 TB corpus in memory.
+
+    With ``rerank_embeddings`` the ADC pass generates ``k × rerank_factor``
+    candidates per query and the true embeddings of just those candidates
+    are exact-cosine reranked (the IVFADC+R discipline: quantization noise
+    ~ reconstruction error scrambles near-tied neighbors, so ADC alone is a
+    candidate generator, not a ranker).  Output column is then ``cosine``
+    (exact), and the broadcast candidate-id set is bounded by
+    nq × k × rerank_factor — never corpus-sized.
+    """
+    m, k_codes, dsub = codebooks.shape
+    q = _normalize(np.asarray(queries, dtype=np.float64))  # (nq, dim)
+    # LUTs: (nq, m, k_codes)
+    luts = np.einsum(
+        "qsd,scd->qsc", q.reshape(q.shape[0], m, dsub), codebooks
+    )
+    lut_ref = ray.put(luts)
+    # the ADC pass must cut at the CANDIDATE count everywhere (map side
+    # included), not at the final k, or reranking has nothing to rerank
+    n_cand = k if rerank_embeddings is None else max(k, k * rerank_factor)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        ids = batch.column(id_col).to_numpy()
+        col = batch.column("code")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], type=pa.int32()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        cm = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(ids.size, m)
+            .astype(np.int64)
+        )
+        out_q, out_id, out_s = [], [], []
+        for qi in range(lt.shape[0]):
+            s = np.zeros(ids.size, dtype=np.float64)
+            for sub in range(m):
+                s += lt[qi, sub, cm[:, sub]]
+            s = np.round(s, 6)
+            if s.size > n_cand:
+                kth = -np.partition(-s, n_cand - 1)[n_cand - 1]
+                cand = np.flatnonzero(s >= kth)
+            else:
+                cand = np.arange(s.size)
+            order = np.lexsort((ids[cand], -s[cand]))
+            sel = cand[order]
+            out_q.append(np.full(sel.size, qi, dtype=np.int32))
+            out_id.append(ids[sel])
+            out_s.append(s[sel])
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q), type=pa.int32()),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    partials = codes.map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if rerank_embeddings is None:
+        return _reduce_topk(partials, k, "score")
+    cands = _reduce_topk(partials, n_cand, "score")
+    cand_ids = np.unique(cands.column("vec_id").to_numpy())
+    ids_ref = ray.put(cand_ids)  # sorted; bounded by nq × k × rerank_factor
+
+    def keep_cands(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = batch.column(id_col).to_numpy()
+        return batch.filter(pa.array(np.isin(ids, want)))
+
+    pruned = rerank_embeddings.map_batches(
+        keep_cands, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return brute_force_topk(
+        pruned,
+        np.asarray(queries, dtype=np.float64),
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
 
 
 class SrpBandBucketer:
