@@ -283,6 +283,28 @@ def bench_operators() -> dict:
     t0 = time.perf_counter()
     chunk_mode_pages(code_pages, out_chunks, mode="code")
     out["code_chunks"] = round(time.perf_counter() - t0, 3)
+
+    from vexor_ray.functions.ann import pq_adc_topk, pq_encode, pq_train
+
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.perf_counter()
+    books = pq_train(emb, m_subspaces=8, k_codes=64, iters=2)
+    codes = pq_encode(emb, books)
+    pq_adc_topk(codes, books, q, k=10, rerank_embeddings=emb, rerank_factor=10)
+    out["pq_topk"] = round(time.perf_counter() - t0, 3)
+
+    import tempfile
+
+    from vexor_ray.sinks import export_parquet_resumable
+
+    exp_dir = tempfile.mkdtemp(prefix="vx_bench_export_")
+    t0 = time.perf_counter()
+    export_parquet_resumable(
+        [f"{SF_DIR}/documents.parquet"], exp_dir, None,
+        columns=["doc_id", "lang", "n_chars"], rows_per_shard=8192,
+    )
+    out["export_resumable"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(exp_dir, ignore_errors=True)
     return out
 
 

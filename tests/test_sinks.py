@@ -77,6 +77,31 @@ def test_export_kill_and_resume(ray_session, tmp_path):
     assert len(store.list_files("data", suffix=".parquet")) == 10
 
 
+def test_export_kill_at_every_point(ray_session, tmp_path):
+    """Whatever commit the kill lands after, resume completes the export
+    with exactly the complement — and the final data is always identical."""
+    files = _make_inputs(tmp_path, n_files=1, rows_per_file=100, rows_per_group=25)
+    want = None
+    for kill_after in range(1, 4):
+        out = tmp_path / f"out-{kill_after}"
+        with pytest.raises(InjectedFault):
+            export_parquet_resumable(
+                files, out, _transform, rows_per_shard=25,
+                fail_after_shards=kill_after,
+            )
+        manifest = export_parquet_resumable(
+            files, out, _transform, rows_per_shard=25
+        )
+        assert manifest["shards_this_run"] == 4 - kill_after
+        got = (
+            read_exported(out).to_pandas().sort_values("val").reset_index(drop=True)
+        )
+        if want is None:
+            want = got
+        else:
+            assert got.equals(want)
+
+
 def test_export_on_no_rename_filesystem(ray_session, tmp_path):
     files = _make_inputs(tmp_path, n_files=1, rows_per_file=50, rows_per_group=25)
     fs = no_rename_filesystem(tmp_path / "objstore")
