@@ -1,16 +1,21 @@
-"""From-scratch uncompressed-AVI (RIFF) parsing and frame decode.
+"""From-scratch AVI (RIFF) parsing and frame decode: raw DIB and MJPEG.
 
 AVI is a RIFF container: ``RIFF <size> AVI `` wrapping LIST chunks; the
-``movi`` LIST holds one ``00db`` (uncompressed DIB) chunk per video frame.
-Frame pixels are bottom-up BGR rows padded to 4-byte boundaries — the
-classic Video-for-Windows layout.  This module parses the container and
-decodes frames with stdlib + numpy only, making the video arm of the
-multimodal stages REAL for uncompressed payloads (compressed codecs —
-H.264 etc. — need external libraries and stay out of scope; the reference
-has no video support at all, this is part of the beyond-reference
-training-data surface).
+``movi`` LIST holds one chunk per video frame — ``00db`` (uncompressed
+DIB, bottom-up BGR rows padded to 4-byte boundaries, the classic
+Video-for-Windows layout) or ``00dc`` (compressed).  Two codecs decode
+for real with stdlib + numpy only:
 
-``make_simple_avi`` assembles a minimal valid file for tests/fixtures.
+- raw DIB (``biCompression = 0``), and
+- **MJPEG** (``biCompression = 'MJPG'``): every frame is an independent
+  baseline JPEG, decoded by this repo's from-scratch JPEG codec
+  (``functions/jpeg.py``) — no inter-frame prediction, so the whole format
+  is honestly decodable without external libraries.
+
+Inter-frame codecs (H.264 etc.) stay out of scope; the reference has no
+video support at all, this is part of the beyond-reference training-data
+surface.  ``make_simple_avi`` assembles a minimal valid file for
+tests/fixtures in either codec.
 """
 
 from __future__ import annotations
@@ -26,17 +31,20 @@ def _pad_row(width: int) -> int:
 
 
 def parse_avi(payload: bytes) -> dict | None:
-    """Parse an uncompressed AVI → {width, height, frames: [(off, size)]}.
+    """Parse an AVI → {width, height, codec, frames: [(off, size)]}.
 
-    Returns None when the payload is not a RIFF/AVI container or holds no
-    uncompressed ``00db`` frames.
+    ``codec`` is ``"raw"`` (``00db`` DIB frames) or ``"mjpg"`` (``00dc``
+    JPEG frames).  Returns None when the payload is not a RIFF/AVI
+    container, holds no video frames, or uses a codec this module cannot
+    decode for real (inter-frame codecs).
     """
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
     width = height = 0
+    compression = 0
 
     def walk(start: int, end: int) -> list[tuple[int, int]]:
-        nonlocal width, height
+        nonlocal width, height, compression
         frames: list[tuple[int, int]] = []
         pos = start
         while pos + 8 <= end:
@@ -48,9 +56,10 @@ def parse_avi(payload: bytes) -> dict | None:
             elif fourcc == b"strf" and size >= 24:
                 # BITMAPINFOHEADER: biSize, biWidth, biHeight, planes,
                 # bitcount, compression ...
-                _, w, h = struct.unpack_from("<Iii", payload, body)
+                _, w, h, _, _, comp = struct.unpack_from("<IiiHHI", payload, body)
                 width, height = int(w), abs(int(h))
-            elif fourcc[2:4] == b"db":
+                compression = int(comp)
+            elif fourcc[2:4] in (b"db", b"dc"):
                 frames.append((body, size))
             pos = body + size + (size & 1)  # chunks are word-aligned
         return frames
@@ -58,13 +67,37 @@ def parse_avi(payload: bytes) -> dict | None:
     frames = walk(12, len(payload))
     if not frames or width <= 0 or height <= 0:
         return None
-    return {"width": width, "height": height, "frames": frames}
+    if compression == 0:
+        codec = "raw"
+    elif compression in (
+        struct.unpack("<I", b"MJPG")[0],
+        struct.unpack("<I", b"mjpg")[0],
+    ):
+        codec = "mjpg"
+    else:
+        return None  # inter-frame codec: no honest decode path
+    return {"width": width, "height": height, "codec": codec, "frames": frames}
 
 
 def decode_avi_frame(
-    payload: bytes, off: int, size: int, width: int, height: int
+    payload: bytes,
+    off: int,
+    size: int,
+    width: int,
+    height: int,
+    codec: str = "raw",
 ) -> np.ndarray | None:
-    """One ``00db`` chunk → (height, width, 3) uint8 RGB array."""
+    """One frame chunk → (height, width, 3) uint8 RGB array."""
+    if codec == "mjpg":
+        from .jpeg import decode_jpeg
+
+        try:
+            frame = decode_jpeg(bytes(payload[off : off + size]))
+        except Exception:
+            return None
+        if frame.shape[:2] != (height, width):
+            return None
+        return frame
     row = _pad_row(width)
     if size < row * height:
         return None
@@ -74,8 +107,18 @@ def decode_avi_frame(
     return rows[::-1, :, ::-1]
 
 
-def make_simple_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
-    """Minimal uncompressed AVI from (h, w, 3) uint8 RGB frames."""
+def make_simple_avi(
+    frames: list[np.ndarray],
+    fps: int = 10,
+    codec: str = "raw",
+    quality: int = 90,
+) -> bytes:
+    """Minimal AVI from (h, w, 3) uint8 RGB frames.
+
+    ``codec="raw"`` writes ``00db`` DIB frames; ``codec="mjpg"`` encodes
+    each frame with the from-scratch baseline JPEG encoder into ``00dc``
+    chunks (``biCompression = 'MJPG'``).
+    """
     if not frames:
         raise ValueError("need at least one frame")
     h, w, _ = frames[0].shape
@@ -88,7 +131,33 @@ def make_simple_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
     def lst(kind: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", kind + body)
 
-    frame_bytes = row * h
+    if codec == "mjpg":
+        from .jpeg import encode_jpeg
+
+        encoded = [encode_jpeg(np.ascontiguousarray(f), quality) for f in frames]
+        frame_bytes = max(len(e) for e in encoded)
+        compression = struct.unpack("<I", b"MJPG")[0]
+        handler = b"MJPG"
+        movi_chunks = b"".join(chunk(b"00dc", e) for e in encoded)
+    elif codec == "raw":
+        frame_bytes = row * h
+        compression = 0
+        handler = b"DIB "
+        movi_chunks = b"".join(
+            chunk(
+                b"00db",
+                np.ascontiguousarray(
+                    np.pad(
+                        f[::-1, :, ::-1].reshape(h, w * 3),
+                        ((0, 0), (0, row - w * 3)),
+                        mode="constant",
+                    )
+                ).tobytes(),
+            )
+            for f in frames
+        )
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
     avih = struct.pack(
         "<14I",
         1_000_000 // fps,  # microseconds per frame
@@ -109,7 +178,7 @@ def make_simple_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
         b"vids",
-        b"DIB ",
+        handler,
         0,
         0,
         0,
@@ -126,24 +195,13 @@ def make_simple_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         w,
         h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_bytes, 0, 0, 0, 0
+    )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi_body = b"".join(
-        chunk(
-            b"00db",
-            np.ascontiguousarray(
-                np.pad(
-                    f[::-1, :, ::-1].reshape(h, w * 3),
-                    ((0, 0), (0, row - w * 3)),
-                    mode="constant",
-                )
-            ).tobytes(),
-        )
-        for f in frames
-    )
-    movi = lst(b"movi", movi_body)
+    movi = lst(b"movi", movi_chunks)
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -247,7 +247,7 @@ class SampleFrames:
                 w, h = meta["width"], meta["height"]
                 for f in range(0, len(meta["frames"]), self.every_n):
                     off, size = meta["frames"][f]
-                    frame = decode_avi_frame(p, off, size, w, h)
+                    frame = decode_avi_frame(p, off, size, w, h, meta["codec"])
                     if frame is None:
                         continue
                     out_id.append(i)
