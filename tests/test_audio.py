@@ -49,3 +49,90 @@ def test_decode_audio_real_wav(ray_session):
     assert out.loc[2, "duration_s"] == 0.5
     # non-WAV → deterministic fake, still typed rows
     assert out.loc[3, "sample_rate"] >= 8000
+
+
+def test_wavcodec_g711_and_ima_roundtrip():
+    from vexor_ray.functions.wavcodec import (
+        alaw_decode,
+        alaw_encode,
+        make_wav,
+        parse_wav,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    # G.711 spot pins: mu-law code of 0 is 0xFF and decodes back to 0
+    assert ulaw_encode(np.array([0]))[0] == 0xFF
+    assert ulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+    # decode->encode idempotence over all byte codes (mu-law has the one
+    # well-known double-zero: byte 0x7F re-encodes as 0xFF)
+    b = np.arange(256, dtype=np.uint8)
+    assert (alaw_encode(alaw_decode(b)) == b).all()
+    assert (ulaw_encode(ulaw_decode(b)) == b).sum() == 255
+    # quantization error stays inside the G.711 segment bound (~3.2%)
+    x = (np.sin(np.linspace(0, 40 * np.pi, 8000)) * 20000).astype(np.int16)
+    for enc, dec in ((ulaw_encode, ulaw_decode), (alaw_encode, alaw_decode)):
+        y = dec(enc(x)).astype(np.int32)
+        rel = np.abs(y - x) / np.maximum(np.abs(x.astype(np.int32)), 256)
+        assert rel.max() < 0.04
+    # full WAV container round-trips, stereo
+    sig = np.stack([x, np.roll(x, 100)], axis=1)
+    for fmt, min_snr in (("alaw", 30.0), ("ulaw", 30.0), ("ima", 40.0)):
+        got = parse_wav(make_wav(sig, 8000, fmt))
+        assert got["rate"] == 8000 and got["n_channels"] == 2
+        y = got["samples"][:8000].astype(np.float64)
+        noise = ((y - sig[:8000]) ** 2).mean()
+        snr = 10 * np.log10((sig[:8000].astype(np.float64) ** 2).mean() / noise)
+        assert snr > min_snr
+
+
+def test_decode_audio_compressed_wavs(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.multimodal import decode_audio
+    from vexor_ray.functions.wavcodec import make_wav
+
+    t = np.arange(8000) / 8000.0
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    payloads = [make_wav(sine, 8000, f) for f in ("ulaw", "alaw", "ima")]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+    )
+    out = decode_audio(ds, concurrency=1).to_pandas().set_index("id")
+    for i in (1, 2, 3):
+        assert out.loc[i, "sample_rate"] == 8000
+        # compressed but real: RMS within 2% of the half-scale sine
+        assert abs(out.loc[i, "rms"] - 0.5 / np.sqrt(2)) < 0.01
+        assert 850 <= out.loc[i, "zero_crossings"] <= 910
+
+
+def test_decode_audio_undecodable_riff_stubs(ray_session):
+    import ray.data
+
+    from vexor_ray.functions.multimodal import decode_audio
+
+    # RIFF/WAVE with an MP3 (format tag 85) fmt chunk: no honest decode ->
+    # the documented md5 stub, not a crash and not garbage samples
+    import struct
+
+    fmt_body = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 0)
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", 0)
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1], type=pa.int64()),
+                "payload": pa.array([payload], type=pa.binary()),
+            }
+        )
+    )
+    out = decode_audio(ds, concurrency=1).to_pandas()
+    assert len(out) == 1  # typed stub row, no exception

@@ -137,12 +137,14 @@ class DecodeImage:
 
 
 class DecodeAudio:
-    """Actor-pool stage: (id, payload:binary) → real PCM-WAV audio features.
+    """Actor-pool stage: (id, payload:binary) → real WAV audio features.
 
-    WAV (RIFF PCM 8/16-bit) decodes for REAL via the stdlib ``wave`` module:
-    sample rate, channel count, duration, RMS level and zero-crossing count
-    from actual samples.  Non-WAV payloads get md5-derived fake features
-    (same value-checkable stub discipline as images).
+    WAV decodes for REAL via the from-scratch parser
+    (``functions/wavcodec.py``): PCM 8/16-bit, G.711 A-law/µ-law and IMA
+    ADPCM all yield sample rate, channel count, duration, RMS level and
+    zero-crossing count from actual samples.  Non-WAV payloads (and WAV
+    formats with no honest decode path, e.g. MP3-in-WAV) get md5-derived
+    fake features (same value-checkable stub discipline as images).
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -157,7 +159,9 @@ class DecodeAudio:
             "zero_crossings": [],
         }
         for p in payloads:
-            row = self._decode_wav(p) if (p or b"")[:4] == b"RIFF" else self._fake(p)
+            row = self._decode_wav(p) if (p or b"")[:4] == b"RIFF" else None
+            if row is None:
+                row = self._fake(p)
             for k, v in zip(list(out)[1:], row):
                 out[k].append(v)
         return pa.table(
@@ -173,21 +177,17 @@ class DecodeAudio:
 
     @staticmethod
     def _decode_wav(payload: bytes):
-        import io
-        import wave
+        from .wavcodec import parse_wav
 
-        with wave.open(io.BytesIO(payload)) as w:
-            rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
-            n = w.getnframes()
-            raw = w.readframes(n)
-        if width == 2:
-            x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
-        elif width == 1:  # 8-bit WAV is unsigned
-            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-        else:
-            raise ValueError(f"unsupported sample width {width}")
+        meta = parse_wav(payload)
+        if meta is None:  # RIFF but not a decodable WAV → caller stubs
+            return None
+        rate, nch, n = meta["rate"], meta["n_channels"], meta["n_frames"]
+        x = meta["samples"].astype(np.float64) / 32768.0
         if nch > 1:
-            x = x.reshape(-1, nch).mean(axis=1)  # downmix to mono
+            x = x.mean(axis=1)  # downmix to mono
+        else:
+            x = x.reshape(-1)
         rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
         zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
         return rate, nch, round(n / rate, 6) if rate else 0.0, round(rms, 6), zc
