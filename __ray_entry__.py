@@ -907,6 +907,22 @@ def _q_streaming_ingest(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_dsir_scores(sf_dir: str):
+    """DSIR importance scores (Xie et al. 2023): hashed-bigram log-ratio of
+    the lang='en' target distribution vs the whole-corpus source
+    distribution — the data-selection signal for steering a crawl toward a
+    target domain.  Dyadic-quantized logs (pitfall 13) make the SQL twin
+    bit-exact."""
+    import ray.data
+
+    from vexor_ray.functions.selection import dsir_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_scores(docs, target_col="lang", target_value="en")
+
+
 def _q_export_resumable(sf_dir: str):
     """Resumable partitioned export sink (``vexor_ray/sinks.py``): export
     the documents table (column-pruned read) with a computed column through
@@ -1015,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "user_moving_avg": _q_user_moving_avg,
         "export_resumable": _q_export_resumable,
+        "dsir_scores": _q_dsir_scores,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
     }
 
@@ -1923,4 +1940,30 @@ FROM per ORDER BY seq""",
         "export_resumable": """
 SELECT doc_id, lang, n_chars, n_chars * 2 AS n_chars_2x
 FROM documents ORDER BY doc_id""",
+        "dsir_scores": f"""
+WITH tl AS (SELECT doc_id, lang, {_TOKS} AS ts FROM documents),
+occ AS (SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS bg
+        FROM tl),
+bk AS (SELECT doc_id, lang,
+              md5_number_lower('dsir|' || bg) % 8192 AS b
+       FROM occ),
+src AS (SELECT b, COUNT(*) AS c FROM bk GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS c FROM bk WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT COUNT(*) FROM bk) AS st,
+               (SELECT COUNT(*) FROM bk WHERE lang = 'en') AS tt),
+allb AS (SELECT unnest(range(0, 8192)) AS b),
+w AS (SELECT allb.b,
+        floor(ln((COALESCE(tgt.c, 0) + 1.0) / (tot.tt + 8192))
+              * 1048576 + 0.5) / 1048576
+      - floor(ln((COALESCE(src.c, 0) + 1.0) / (tot.st + 8192))
+              * 1048576 + 0.5) / 1048576 AS wt
+      FROM allb CROSS JOIN tot
+      LEFT JOIN src ON src.b = allb.b
+      LEFT JOIN tgt ON tgt.b = allb.b),
+per AS (SELECT bk.doc_id, COUNT(*) AS n, SUM(w.wt) AS s
+        FROM bk JOIN w ON w.b = bk.b GROUP BY bk.doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, ROUND(s / n, 6) AS dsir_score
+FROM per ORDER BY doc_id""",
     }

@@ -520,3 +520,31 @@ def test_embedding_matrix_zero_copy_paths():
     ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))
     with pytest.raises(ValueError):
         embedding_matrix(ragged)
+
+
+def test_dsir_scores_prefer_target(ray_session):
+    """DSIR sanity: documents from the target language score higher on
+    average than off-target documents (their bigrams dominate the target
+    distribution), and scoring is deterministic."""
+    import ray.data
+
+    from vexor_ray.functions.selection import dsir_scores
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    out = dsir_scores(docs, target_col="lang", target_value="en").to_pandas()
+    langs = (
+        ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang"]
+        )
+        .to_pandas()
+        .set_index("doc_id")["lang"]
+    )
+    out["lang"] = out["doc_id"].map(langs)
+    en = out[out["lang"] == "en"]["dsir_score"].mean()
+    rest = out[out["lang"] != "en"]["dsir_score"].mean()
+    assert en > rest
+    out2 = dsir_scores(docs, target_col="lang", target_value="en").to_pandas()
+    assert out.drop(columns=["lang"]).equals(out2)
