@@ -907,6 +907,12 @@ def _q_streaming_ingest(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_sample_n(sf_dir: str):
+    from vexor_ray.pipelines.relational import sample_n_documents
+
+    return sample_n_documents(sf_dir, n=50)
+
+
 def _q_dsir_scores(sf_dir: str):
     """DSIR importance scores (Xie et al. 2023): hashed-bigram log-ratio of
     the lang='en' target distribution vs the whole-corpus source
@@ -1032,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_moving_avg": _q_user_moving_avg,
         "export_resumable": _q_export_resumable,
         "dsir_scores": _q_dsir_scores,
+        "sample_n": _q_sample_n,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
     }
 
@@ -1637,6 +1644,11 @@ ORDER BY e.event_id""",
 SELECT doc_id, n_chars FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
 ORDER BY doc_id""",
+        "sample_n": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars FROM documents
+  ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) LIMIT 50
+) ORDER BY doc_id""",
         "embedding_dup_pairs": _EMB_PAIRS_SQL,
         "embedding_dup_clusters": f"""
 WITH RECURSIVE pairs AS ({_EMB_PAIRS_SQL}),

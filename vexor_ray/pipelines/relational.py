@@ -218,6 +218,43 @@ def hash_sample_documents(sf_dir: str, pct: int = 10) -> ray.data.Dataset:
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sample_n_documents(sf_dir: str, n: int = 50) -> pa.Table:
+    """EXACT-size uniform sample: the ``n`` docs with the smallest
+    md5(doc_id) — ``hash_sample``'s fixed-count companion (a percentage
+    sample can't promise "give me exactly 100k eval docs").
+
+    Shape: per-batch partial top-n by hash (tiny), one driver merge —
+    no sort, no shuffle, any worker reproduces membership locally.
+    """
+    import numpy as np
+
+    from ..functions.dedup import md5_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        if not ids:
+            return batch.append_column("h", pa.array([], type=pa.uint64()))
+        hs = np.fromiter(
+            (md5_u64(str(d).encode()) for d in ids),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        order = np.argsort(hs, kind="stable")[:n]
+        out = batch.take(pa.array(order))
+        return out.append_column("h", pa.array(hs[order], type=pa.uint64()))
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    parts = parts.sort_values("h", kind="mergesort").head(n)
+    return pa.Table.from_pandas(
+        parts.drop(columns=["h"]).sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 def events_window_agg(sf_dir: str) -> pa.Table:
     """Stream-shaped: per-user tumbling 1-hour windows over the events log.
 
