@@ -907,6 +907,19 @@ def _q_streaming_ingest(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Near-dup keep-list with the keep-LONGEST survivor policy
+    (RefinedWeb/Gopher shape) — clean_corpus's canonical-min-id alternative."""
+    import ray.data
+
+    from vexor_ray.functions.dedup import dedup_keep_best
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return dedup_keep_best(docs)
+
+
 def _q_sample_n(sf_dir: str):
     from vexor_ray.pipelines.relational import sample_n_documents
 
@@ -1039,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_resumable": _q_export_resumable,
         "dsir_scores": _q_dsir_scores,
         "sample_n": _q_sample_n,
+        "dedup_keep_best": _q_dedup_keep_best,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
     }
 
@@ -1369,6 +1383,34 @@ ORDER BY doc_id"""
 
 
 # SRP-bucket embedding near-dup pairs (shared by the pair and cluster oracles)
+def _dedup_keep_best_sql() -> str:
+    """Keep-best survivor policy: same recursive-CTE components as
+    ``dup_clusters``, winner per component by (n_chars DESC, doc_id ASC)."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql(threshold=0.4)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_a, doc_a FROM pairs
+  UNION SELECT doc_b, doc_b FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+scored AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+           FROM comp c JOIN documents d USING (doc_id)),
+win AS (SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM scored) WHERE rn = 1),
+drops AS (SELECT doc_id FROM comp
+          WHERE doc_id NOT IN (SELECT doc_id FROM win))
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drops) ORDER BY doc_id"""
+
+
 def _emb_pairs_sql(
     n_planes: int = 8,
     n_bands: int = 4,
@@ -1649,6 +1691,7 @@ SELECT doc_id, lang, n_chars FROM (
   SELECT doc_id, lang, n_chars FROM documents
   ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) LIMIT 50
 ) ORDER BY doc_id""",
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "embedding_dup_pairs": _EMB_PAIRS_SQL,
         "embedding_dup_clusters": f"""
 WITH RECURSIVE pairs AS ({_EMB_PAIRS_SQL}),

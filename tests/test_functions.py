@@ -548,3 +548,30 @@ def test_dsir_scores_prefer_target(ray_session):
     assert en > rest
     out2 = dsir_scores(docs, target_col="lang", target_value="en").to_pandas()
     assert out.drop(columns=["lang"]).equals(out2)
+
+
+def test_dedup_keep_best_prefers_longest(ray_session):
+    """Survivor policy check: in a 3-doc near-dup cluster the LONGEST doc
+    survives (not the lowest id), and non-clustered docs all survive."""
+    import pyarrow as pa
+    import ray.data
+
+    from vexor_ray.functions.dedup import dedup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 9], type=pa.int64()),
+            "text": pa.array(
+                [base, base + " iota", base + " iota kappa lambda", "unrelated words only here"]
+            ),
+            "n_chars": pa.array(
+                [len(base), len(base) + 5, len(base) + 18, 25], type=pa.int64()
+            ),
+        }
+    )
+    out = dedup_keep_best(ray.data.from_arrow(docs)).to_pandas()
+    kept = set(out["doc_id"])
+    assert 3 in kept  # longest cluster member wins
+    assert 1 not in kept and 2 not in kept
+    assert 9 in kept  # singleton untouched

@@ -1074,6 +1074,109 @@ def clean_corpus(
     return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def dedup_keep_best(
+    docs: ray.data.Dataset,
+    *,
+    minhash_threshold: float = 0.4,
+    score_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Near-dup keep-list whose cluster survivor is the HIGHEST-``score_col``
+    member (ties → lowest doc_id) — the RefinedWeb/Gopher "keep the longest
+    page" policy, vs ``clean_corpus``'s keep-lowest-id canonicalization.
+    Docs in no cluster all survive.
+
+    Shapes: clusters ride the MinHash-LSH pipeline; the score attach is one
+    coarse doc_id-hash shuffle (cluster rows ∪ score rows, pandas merge per
+    partition); the per-cluster argmax is one coarse cluster_id-hash
+    shuffle; the final subtraction is the same (doc_id, flag) min-combine
+    as ``clean_corpus``.  Nothing corpus-sized touches the driver.
+    ``docs`` must carry ``doc_id``, ``text`` and ``score_col``.
+    """
+    import pandas as pd
+
+    from .groups import coarse_grouped, dedup_int_pairs, int_pid
+
+    clusters = duplicate_clusters(
+        minhash_lsh_pairs(docs, threshold=minhash_threshold)
+    )
+
+    def cl_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "cluster_id": batch.column("cluster_id").cast(pa.int64()),
+                "score": pa.array(
+                    np.full(batch.num_rows, -1, dtype=np.int64)
+                ),
+            }
+        )
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "cluster_id": pa.array(
+                    np.full(batch.num_rows, -1, dtype=np.int64)
+                ),
+                "score": batch.column(score_col).cast(pa.int64()),
+            }
+        )
+
+    unioned = clusters.map_batches(
+        cl_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        docs.map_batches(score_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cl = df[df["cluster_id"] >= 0][["doc_id", "cluster_id"]]
+        sc = df[df["cluster_id"] < 0][["doc_id", "score"]]
+        return cl.merge(sc, on="doc_id", how="inner")
+
+    scored = coarse_grouped(
+        unioned, lambda b: int_pid(b, ["doc_id"], 64), attach
+    )
+
+    def drops_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cluster_id", "score", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        losers = df[df["cluster_id"].duplicated(keep="first")]
+        return losers[["doc_id"]]
+
+    drops = coarse_grouped(
+        scored, lambda b: int_pid(b, ["cluster_id"], 64), drops_of_partition
+    )
+
+    def tag(value: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").cast(pa.int64()),
+                    "keep": np.full(batch.num_rows, value, dtype=np.int8),
+                }
+            )
+
+        return fn
+
+    merged = dedup_int_pairs(
+        docs.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True).union(
+            drops.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+        ),
+        ["doc_id"],
+        agg={"kept": ("keep", "min")},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = batch.column("kept").to_numpy() == 1
+        return pa.table({"doc_id": pa.array(ids[keep], type=pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _token_window_hashes(text: str, window: int) -> list[int]:
     """md5-low64 hashes of every consecutive ``window``-token span (all
     occurrences, not deduplicated); SQL twin:
