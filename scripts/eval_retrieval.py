@@ -125,11 +125,33 @@ def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
 
     dense_by_q, dcos_by_q = dense_orders(None)
     bdf, n_docs = bucket_doc_freq(ds, dim=4096, mode="word_mix", n=2)
-    idf_by_q, _ = dense_orders(idf_weights(bdf, n_docs))
+    idf = idf_weights(bdf, n_docs)
+    idf_by_q, _ = dense_orders(idf)
+
+    # PQ arm: the 32x-compressed ADC scan + exact rerank over the SAME idf
+    # embeddings — measures what product quantization costs in retrieval
+    # quality (rerank makes surviving scores exact, so only recall differs)
+    from vexor_ray.functions.ann import pq_adc_topk, pq_encode, pq_train
+
+    emb_ds_pq = ds.map_batches(
+        hash_embed_batch,
+        fn_kwargs={"dim": 4096, "mode": "word_mix", "n": 2, "idf": idf},
+        batch_format="pyarrow", zero_copy_batch=True)
+    books = pq_train(emb_ds_pq, m_subspaces=64, k_codes=256, iters=2,
+                     id_col="doc_id")
+    codes = pq_encode(emb_ds_pq, books, id_col="doc_id")
+    qemb_pq = hash_embed(qtexts, dim=4096, n=2, mode="word_mix", idf=idf)
+    pq_top = pq_adc_topk(codes, books, qemb_pq.astype(np.float64), k=50,
+                         id_col="doc_id", rerank_embeddings=emb_ds_pq,
+                         rerank_factor=4)
+    pq_by_q: dict[int, list[int]] = {}
+    pt = pq_top.to_pydict()
+    for qi, vid in zip(pt["query_idx"], pt["vec_id"]):
+        pq_by_q.setdefault(qi, []).append(vid)
 
     arms: dict[str, list[list[int]]] = {
         "bm25_exact": [], "bm25_wand": [], "dense": [], "dense_idf": [],
-        "hybrid": [], "hybrid_idf": [], "rerank_bm25l": [],
+        "dense_idf_pq": [], "hybrid": [], "hybrid_idf": [], "rerank_bm25l": [],
     }
     for qi, qtext in enumerate(qtexts):
         exact = s.search(qtext, k=10, method="exact")
@@ -143,6 +165,7 @@ def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
         arms["hybrid"].append([d for d, _ in fused])
         idf_order = idf_by_q.get(qi, [])
         arms["dense_idf"].append(idf_order[:10])
+        arms["dense_idf_pq"].append(pq_by_q.get(qi, [])[:10])
         arms["hybrid_idf"].append(
             [d for d, _ in s.search_hybrid(qtext, idf_order, k=10)]
         )
