@@ -104,6 +104,12 @@ class BuildConfig:
     # bandwidth around 8 tasks; beyond that extra tasks only contend
     # (see _encode_task_cpus).  0 disables the cap (1 CPU per task).
     encode_max_concurrent: int = 8
+    # Store the impact-ordered companion layout next to each posting chunk
+    # (codec.encode_impact) enabling the Threshold-Algorithm scorer
+    # (query/impact.py) — exact early termination for cold selective
+    # queries.  Opt-in: it roughly doubles segment bytes, the wrong default
+    # at 100 TB unless the serving workload needs the cold-selective tail.
+    impact_postings: bool = False
     fail_after_partitions: int | None = None  # fault injection for resume tests
 
     def public_dict(self) -> dict:
@@ -204,6 +210,22 @@ _CHUNK_SCHEMA = pa.schema(
     ]
 )
 
+# companion impact-ordered layout (BuildConfig.impact_postings): absolute
+# docIDs/tfs/dls varint-coded in descending idf-free-component order plus the
+# per-block frontier maxima the TA scorer prunes with (codec.encode_impact)
+_CHUNK_SCHEMA_IMPACT = pa.schema(
+    list(_CHUNK_SCHEMA)
+    + [
+        pa.field("imp_doc_blob", pa.large_binary()),
+        pa.field("imp_tf_blob", pa.large_binary()),
+        pa.field("imp_dl_blob", pa.large_binary()),
+        pa.field("imp_doc_off", pa.list_(pa.uint32())),
+        pa.field("imp_tf_off", pa.list_(pa.uint32())),
+        pa.field("imp_dl_off", pa.list_(pa.uint32())),
+        pa.field("imp_cmax", pa.list_(pa.float32())),
+    ]
+)
+
 
 def _offsets_list_array(
     values: np.ndarray, list_offsets: np.ndarray, value_type: pa.DataType
@@ -247,6 +269,7 @@ def encode_runs(
     block_size: int,
     k1: float,
     b: float,
+    impact: bool = False,
 ) -> pa.Table:
     """Encode complete (term, salt) runs of a hash-partitioned, key-sorted block.
 
@@ -255,11 +278,13 @@ def encode_runs(
     per-run blobs / per-block skip + block-max metadata are assembled from
     byte-size prefix sums into Arrow arrays without a per-run Python loop.
     Output format is identical to ``codec.encode_chunk`` (tested against it).
+    ``impact=True`` additionally emits the impact-ordered companion streams
+    (same vectorized discipline: one extra lexsort + one varint pass each).
     """
     batch = batch.combine_chunks()
     n = batch.num_rows
     if n == 0:
-        return _CHUNK_SCHEMA.empty_table()
+        return (_CHUNK_SCHEMA_IMPACT if impact else _CHUNK_SCHEMA).empty_table()
     # the term column stays an ARROW array end to end: materializing ~1M
     # Python str objects per call was the encoder's steady-state fault
     # source (pymalloc returns emptied 256 KB arenas to the OS via munmap,
@@ -335,24 +360,60 @@ def encode_runs(
 
     blk_list_off = np.zeros(n_runs + 1, dtype=np.int64)
     np.cumsum(blocks_per_run, out=blk_list_off[1:])
-    return pa.table(
-        {
-            "th": pa.array(ths[run_starts].astype(np.uint64), type=pa.uint64()),
-            "term": term_arr.take(pa.array(run_starts, type=pa.int64())),
-            "salt": pa.array(salts[run_starts].astype(np.uint64), type=pa.uint64()),
-            "n_postings": pa.array(run_lengths.astype(np.uint64), type=pa.uint64()),
-            "doc_blob": out_cols["doc_blob"],
-            "tf_blob": out_cols["tf_blob"],
-            "dl_blob": out_cols["dl_blob"],
-            "doc_off": out_cols["doc_off"],
-            "tf_off": out_cols["tf_off"],
-            "dl_off": out_cols["dl_off"],
-            "block_last": _offsets_list_array(
-                block_last, blk_list_off, pa.uint64()
-            ),
-            "block_ub": _offsets_list_array(block_ub, blk_list_off, pa.float32()),
+    columns = {
+        "th": pa.array(ths[run_starts].astype(np.uint64), type=pa.uint64()),
+        "term": term_arr.take(pa.array(run_starts, type=pa.int64())),
+        "salt": pa.array(salts[run_starts].astype(np.uint64), type=pa.uint64()),
+        "n_postings": pa.array(run_lengths.astype(np.uint64), type=pa.uint64()),
+        "doc_blob": out_cols["doc_blob"],
+        "tf_blob": out_cols["tf_blob"],
+        "dl_blob": out_cols["dl_blob"],
+        "doc_off": out_cols["doc_off"],
+        "tf_off": out_cols["tf_off"],
+        "dl_off": out_cols["dl_off"],
+        "block_last": _offsets_list_array(block_last, blk_list_off, pa.uint64()),
+        "block_ub": _offsets_list_array(block_ub, blk_list_off, pa.float32()),
+    }
+    if impact:
+        # impact permutation: run-major, then component DESC, then docID asc
+        # (run_ids is valid for the doc-sorted arrays too: the doc-sort is
+        # run-major with unchanged run lengths, so run membership per
+        # position is identical).  Block geometry (starts/run mapping) is
+        # shared with the docID-ordered layout — same run lengths, same
+        # fixed block size — so _run_relative_offsets is reused as-is.
+        order_imp = np.lexsort((doc_s, -comp, run_ids))
+        comp_imp = comp[order_imp]
+        imp_streams = {
+            "imp_doc_blob": doc_s[order_imp],
+            "imp_tf_blob": tf_s[order_imp],
+            "imp_dl_blob": dl_s[order_imp],
         }
-    )
+        imp_offs = {
+            "imp_doc_blob": "imp_doc_off",
+            "imp_tf_blob": "imp_tf_off",
+            "imp_dl_blob": "imp_dl_off",
+        }
+        for blob_name, stream in imp_streams.items():
+            buf, sizes = codec.varint_encode_with_sizes(stream)
+            byte_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(sizes, out=byte_off[1:])
+            run_byte_bounds = byte_off[run_bounds]
+            columns[blob_name] = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                n_runs,
+                [None, pa.py_buffer(run_byte_bounds.tobytes()), pa.py_buffer(buf)],
+            )
+            values, list_off = _run_relative_offsets(
+                byte_off, run_starts, block_starts, block_run, blocks_per_run, n
+            )
+            columns[imp_offs[blob_name]] = _offsets_list_array(
+                values, list_off, pa.uint32()
+            )
+        imp_cmax = codec.ub_float32(np.maximum.reduceat(comp_imp, block_starts))
+        columns["imp_cmax"] = _offsets_list_array(
+            imp_cmax, blk_list_off, pa.float32()
+        )
+    return pa.table(columns)
 
 
 def compact_index(
@@ -930,6 +991,7 @@ def build_index(
                     "block_size": cfg.block_size,
                     "k1": cfg.k1,
                     "b": cfg.b,
+                    "impact": cfg.impact_postings,
                 },
                 batch_format="pyarrow",
                 batch_size=None,

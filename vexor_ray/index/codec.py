@@ -110,8 +110,12 @@ def encode_chunk(
     block_size: int = POSTING_BLOCK_SIZE,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    impact: bool = False,
 ) -> dict:
-    """Encode one (term, salt) posting chunk. docIDs must be ascending."""
+    """Encode one (term, salt) posting chunk. docIDs must be ascending.
+
+    ``impact=True`` additionally emits the impact-ordered companion layout
+    (``encode_impact``) used by the Threshold-Algorithm scorer."""
     n = int(doc_ids.size)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=_U64)
     tfs = np.ascontiguousarray(tfs, dtype=_U64)
@@ -142,7 +146,7 @@ def encode_chunk(
         np.cumsum([len(p) for p in parts], out=o[1:])
         return o
 
-    return {
+    out = {
         "n_postings": n,
         "block_size": block_size,
         "doc_blob": b"".join(doc_parts),
@@ -154,6 +158,87 @@ def encode_chunk(
         "block_last": block_last,
         "block_ub": block_ub,
     }
+    if impact:
+        out.update(
+            encode_impact(doc_ids, tfs, dls, avg_doc_len, block_size, k1, b)
+        )
+    return out
+
+
+def encode_impact(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avg_doc_len: float,
+    block_size: int = POSTING_BLOCK_SIZE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> dict:
+    """Impact-ordered companion encoding of one posting chunk.
+
+    Postings sorted by DESCENDING idf-free BM25 component (ties → docID
+    ascending) under the encode-time ``avg_doc_len``, sliced into blocks of
+    ``block_size``; docIDs are stored as absolute varints (an impact
+    permutation is not monotone, so delta coding buys nothing, and only the
+    head blocks are ever read).  ``imp_cmax[i]`` = component of block i's
+    first entry rounded UP to float32 — because the order is globally
+    descending it upper-bounds every entry in blocks ``>= i``, which is the
+    frontier bound the Threshold-Algorithm scorer (``query/impact.py``)
+    needs.  Under a drifted global avgdl the query layer rescales by
+    ``max(1, avg_now/avg_enc)`` exactly as it does ``block_ub`` (component
+    monotone in avgdl, ratio bounded by the avg ratio), so the bound stays
+    conservative even though the stored ORDER is then only approximate.
+    """
+    n = int(doc_ids.size)
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=_U64)
+    tfs = np.ascontiguousarray(tfs, dtype=_U64)
+    dls = np.ascontiguousarray(dls, dtype=_U64)
+    comp = bm25_tf_component(tfs, dls, avg_doc_len, k1, b) if n else np.zeros(0)
+    order = np.lexsort((doc_ids, -comp))
+    doc_i, tf_i, dl_i = doc_ids[order], tfs[order], dls[order]
+    n_blocks = (n + block_size - 1) // block_size if n else 0
+    starts = np.arange(n_blocks, dtype=np.int64) * block_size
+    doc_parts, tf_parts, dl_parts = [], [], []
+    for bk in range(n_blocks):
+        s, e = int(starts[bk]), min(int(starts[bk]) + block_size, n)
+        doc_parts.append(varint_encode(doc_i[s:e]))
+        tf_parts.append(varint_encode(tf_i[s:e]))
+        dl_parts.append(varint_encode(dl_i[s:e]))
+    imp_cmax = (
+        ub_float32(np.maximum.reduceat(comp[order], starts))
+        if n_blocks
+        else np.zeros(0, dtype=np.float32)
+    )
+
+    def offs(parts: list[bytes]) -> np.ndarray:
+        o = np.zeros(len(parts) + 1, dtype=np.uint32)
+        np.cumsum([len(p) for p in parts], out=o[1:])
+        return o
+
+    return {
+        "imp_doc_blob": b"".join(doc_parts),
+        "imp_tf_blob": b"".join(tf_parts),
+        "imp_dl_blob": b"".join(dl_parts),
+        "imp_doc_off": offs(doc_parts),
+        "imp_tf_off": offs(tf_parts),
+        "imp_dl_off": offs(dl_parts),
+        "imp_cmax": imp_cmax,
+    }
+
+
+def decode_impact_block(
+    chunk: dict, block: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one impact-ordered block → (doc_ids, tfs, dls), impact order."""
+    do, to, lo = chunk["imp_doc_off"], chunk["imp_tf_off"], chunk["imp_dl_off"]
+    docs = varint_decode(memoryview(chunk["imp_doc_blob"])[do[block] : do[block + 1]])
+    tfs = varint_decode(memoryview(chunk["imp_tf_blob"])[to[block] : to[block + 1]])
+    dls = varint_decode(memoryview(chunk["imp_dl_blob"])[lo[block] : lo[block + 1]])
+    return docs, tfs, dls
+
+
+def impact_n_blocks(chunk: dict) -> int:
+    return len(chunk["imp_cmax"])
 
 
 def decode_chunk(chunk: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -83,25 +83,34 @@ def _chunks_from_table(
     terms = cols["term"].to_pylist()
     n_postings = cols["n_postings"].to_numpy()
     salts = cols["salt"].to_numpy()
+    has_impact = "imp_cmax" in cols
     for i in range(tbl.num_rows):
-        out.append(
-            (
-                terms[i],
+        chunk = {
+            "salt": int(salts[i]),
+            "n_postings": int(n_postings[i]),
+            "block_size": block_size,
+            "doc_blob": memoryview(cols["doc_blob"][i].as_buffer()),
+            "tf_blob": memoryview(cols["tf_blob"][i].as_buffer()),
+            "dl_blob": memoryview(cols["dl_blob"][i].as_buffer()),
+            "doc_off": cols["doc_off"][i].values.to_numpy(),
+            "tf_off": cols["tf_off"][i].values.to_numpy(),
+            "dl_off": cols["dl_off"][i].values.to_numpy(),
+            "block_last": cols["block_last"][i].values.to_numpy(),
+            "block_ub": cols["block_ub"][i].values.to_numpy(),
+        }
+        if has_impact:
+            chunk.update(
                 {
-                    "salt": int(salts[i]),
-                    "n_postings": int(n_postings[i]),
-                    "block_size": block_size,
-                    "doc_blob": memoryview(cols["doc_blob"][i].as_buffer()),
-                    "tf_blob": memoryview(cols["tf_blob"][i].as_buffer()),
-                    "dl_blob": memoryview(cols["dl_blob"][i].as_buffer()),
-                    "doc_off": cols["doc_off"][i].values.to_numpy(),
-                    "tf_off": cols["tf_off"][i].values.to_numpy(),
-                    "dl_off": cols["dl_off"][i].values.to_numpy(),
-                    "block_last": cols["block_last"][i].values.to_numpy(),
-                    "block_ub": cols["block_ub"][i].values.to_numpy(),
-                },
+                    "imp_doc_blob": memoryview(cols["imp_doc_blob"][i].as_buffer()),
+                    "imp_tf_blob": memoryview(cols["imp_tf_blob"][i].as_buffer()),
+                    "imp_dl_blob": memoryview(cols["imp_dl_blob"][i].as_buffer()),
+                    "imp_doc_off": cols["imp_doc_off"][i].values.to_numpy(),
+                    "imp_tf_off": cols["imp_tf_off"][i].values.to_numpy(),
+                    "imp_dl_off": cols["imp_dl_off"][i].values.to_numpy(),
+                    "imp_cmax": cols["imp_cmax"][i].values.to_numpy(),
+                }
             )
-        )
+        out.append((terms[i], chunk))
     return out
 
 
@@ -372,6 +381,9 @@ class Searcher:
             for term, chunk in _chunks_from_table(tbl, self._block_size):
                 if scale != 1.0:
                     chunk["block_ub"] = chunk["block_ub"] * np.float32(scale)
+                    if "imp_cmax" in chunk:
+                        # same conservative stale-avgdl rescale as block_ub
+                        chunk["imp_cmax"] = chunk["imp_cmax"] * np.float32(scale)
                 found.append((term, chunk))
             return found
 
@@ -769,8 +781,11 @@ class Searcher:
         """BM25 top-k: ``[(doc_id, score)]`` ranked by (score desc, docID asc).
 
         ``method``: "exact" (vectorized term-at-a-time), "wand" (block-max
-        WAND), or "auto" — pick per query by candidate volume.  All three
-        are rank-identical; auto only chooses the faster engine.
+        WAND), "impact" (Threshold-Algorithm over the opt-in impact-ordered
+        layout — requires ``BuildConfig(impact_postings=True)``), or "auto"
+        — pick per query by candidate volume.  All are rank-identical; auto
+        only chooses the faster engine (preferring impact over wand for
+        cold selective queries when the index carries the layout).
         """
         terms = self.preprocess_query(query)
         if not terms or self.doc_count == 0 or self.avg_doc_len <= 0:
@@ -807,7 +822,26 @@ class Searcher:
                 selective = n_common <= 1 and any(
                     df * 100 <= self.doc_count for df in dfs
                 )
-                method = "wand" if selective else "exact"
+                if not selective:
+                    method = "exact"
+                else:
+                    from .impact import has_impact_layout
+
+                    method = (
+                        "impact" if has_impact_layout(chunks_by_term) else "wand"
+                    )
+        if method == "impact":
+            from .impact import impact_topk
+
+            return impact_topk(
+                terms,
+                chunks_by_term,
+                doc_count=self.doc_count,
+                avg_doc_len=self.avg_doc_len,
+                k=k,
+                k1=self.k1,
+                b=self.b,
+            )
         if method == "exact":
             doc_ids, scores = self._exact_scores(terms, chunks_by_term)
             return self._top_k(doc_ids, scores, k)
