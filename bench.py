@@ -124,6 +124,43 @@ def bench_queries(index_dir: str, n: int | None = None) -> dict:
     return out
 
 
+def bench_impact(pages: Path, num_cpus: int) -> dict:
+    """Impact-ordered-layout arm: build the companion-layout index and
+    measure COLD selective latency (rare needle + hot companion, fresh
+    Searcher per query) for the TA scorer vs WAND on the same index."""
+    import statistics
+
+    from vexor_ray.index.build import build_index
+    from vexor_ray.query.searcher import Searcher
+
+    cfg = _build_cfg(num_cpus)
+    cfg.impact_postings = True
+    idx = Path(f"/tmp/vx_bench_impidx_{_pages_rows()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(pages, idx, cfg)
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    # 'body'/'title' wrap every synthetic page (df = corpus size); needles
+    # have df 2/10/100 — the auto-routed cold-selective shape
+    queries = [f"{r} body" for r in
+               ("needledftwo", "needledften", "needledfhundred")]
+    out = {"impact_build_sec": build_sec}
+    for method in ("impact", "wand"):
+        lats = []
+        for q in queries:
+            for _ in range(3):
+                s = Searcher(idx)  # fresh caches: cold path
+                t0 = time.perf_counter()
+                s.search(q, 10, method=method)
+                lats.append(time.perf_counter() - t0)
+        out[f"{method}_cold_sel_p50_ms"] = round(
+            1000 * statistics.median(lats), 2
+        )
+        out[f"{method}_cold_sel_max_ms"] = round(1000 * max(lats), 2)
+    return out
+
+
 def bench_operators() -> dict:
     """Secondary: representative operators over the driver sf tables."""
     import ray.data
@@ -335,6 +372,7 @@ def run_bench() -> dict:
         queries, ops = {}, {}
     else:
         queries = bench_queries(build["index_dir"])
+        queries.update(bench_impact(pages, NUM_CPUS))
         ops = bench_operators()
     ray.shutdown()
 

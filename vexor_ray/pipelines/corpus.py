@@ -84,12 +84,17 @@ def write_pages_shards(pages: ray.data.Dataset, out_dir: Path) -> list[str]:
     return sorted(str(f) for f in out_dir.glob("pages-*.parquet"))
 
 
-def documents_index(sf_dir: str) -> Path:
-    """Build (or reuse) the BM25 index over ``{sf_dir}/documents.parquet``."""
+def documents_index(sf_dir: str, impact: bool = False) -> Path:
+    """Build (or reuse) the BM25 index over ``{sf_dir}/documents.parquet``.
+
+    ``impact=True`` builds (and caches separately) the variant carrying the
+    impact-ordered companion layout for the Threshold-Algorithm scorer.
+    """
     src = f"{sf_dir}/documents.parquet"
     fp = file_fingerprint([src])
     from ..spec import INDEX_FORMAT_VERSION
-    key = hashlib.sha1(f"{fp}|v{INDEX_FORMAT_VERSION}".encode()).hexdigest()[:16]
+    tag = "imp|" if impact else ""
+    key = hashlib.sha1(f"{tag}{fp}|v{INDEX_FORMAT_VERSION}".encode()).hexdigest()[:16]
     idx_dir = _CACHE_ROOT / f"docs_index_{key}"
     if not (idx_dir / MANIFEST_NAME).exists():
         tmp_pages = idx_dir.parent / (idx_dir.name + "_pages")
@@ -101,6 +106,7 @@ def documents_index(sf_dir: str) -> Path:
             partitions_per_wave=4,
             shard_group_size=8,
             tokenize_concurrency=2,
+            impact_postings=impact,
         )
         build_index(files, idx_dir, cfg)
     return idx_dir
@@ -173,6 +179,44 @@ def bm25_topk_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
             "doc_id": pa.array([p[0] for p in pairs], type=pa.int64()),
             "score": pa.array([p[1] for p in pairs], type=pa.float64()),
             "rank": pa.array(range(1, len(pairs) + 1), type=pa.int32()),
+        }
+    )
+
+
+def bm25_topk_impact_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
+    """Top-k via the Threshold-Algorithm scorer — same contract (and SQL
+    twin) as ``bm25_topk_table``, but the ranking is produced by early
+    termination over the impact-ordered layout instead of scoring the full
+    candidate set.
+
+    The oracle ranks by ROUNDED score; TA returns exact unrounded top-k'.
+    The fetch grows until the rounded score of the worst fetched doc is
+    strictly below the rounded k-th boundary: rounding is monotone, so any
+    unfetched doc rounds to at most that value and can neither enter the
+    rounded top-k nor tie its boundary — the cut is then provably exact,
+    not heuristically padded.
+    """
+    idx_dir = documents_index(sf_dir, impact=True)
+    searcher = Searcher(idx_dir)
+    kk = max(4 * k, k + 16)
+    while True:
+        res = searcher.search(query, kk, method="impact")
+        pairs = [(d, round(sc, 6)) for d, sc in res]
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        if len(res) < kk or len(pairs) <= k:
+            break  # every matching doc fetched
+        boundary = pairs[k - 1][1]
+        if round(res[-1][1], 6) < boundary:
+            break
+        kk *= 4
+    pairs = pairs[:k]
+    urls = searcher.lookup_urls([d for d, _ in pairs])
+    out = [(int(urls[d]), sc) for d, sc in pairs]
+    return pa.table(
+        {
+            "doc_id": pa.array([p[0] for p in out], type=pa.int64()),
+            "score": pa.array([p[1] for p in out], type=pa.float64()),
+            "rank": pa.array(range(1, len(out) + 1), type=pa.int32()),
         }
     )
 
