@@ -1,0 +1,178 @@
+"""Positional sidecar + phrase matching vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from vexor_ray.index import positions as posmod
+from vexor_ray.index.positions import (
+    PositionsConfig,
+    PositionsIndex,
+    build_positions_index,
+    decode_position_chunk,
+    encode_position_runs,
+)
+from vexor_ray.refimpl.textnorm import extract_text
+from vexor_ray.spec import TOKEN_PATTERN
+import re
+
+_TOK = re.compile(TOKEN_PATTERN)
+
+
+def _oracle_corpus(pages_dir):
+    """doc_id → token list over the extracted text (engine parity source)."""
+    from vexor_ray.stages.docids import doc_id_base
+
+    corpus = {}
+    for fi, f in enumerate(sorted(pages_dir.glob("part-*.parquet"))):
+        tbl = pq.read_table(f, columns=["html"])
+        for ri, h in enumerate(tbl.column("html").to_pylist()):
+            text = extract_text(h)
+            if text:
+                corpus[doc_id_base(fi, ri)] = _TOK.findall(text.lower())
+    return corpus
+
+
+def _oracle_phrase(corpus, phrase: str) -> dict[int, int]:
+    terms = _TOK.findall(phrase.lower())
+    out = {}
+    for did, toks in corpus.items():
+        n = 0
+        for i in range(len(toks) - len(terms) + 1):
+            if toks[i : i + len(terms)] == terms:
+                n += 1
+        if n:
+            out[did] = n
+    return out
+
+
+def test_encode_decode_roundtrip():
+    rows = [
+        (1, "aa", 0, 5, [1, 4, 9]),
+        (1, "aa", 0, 7, [2]),
+        (1, "aa", 0, 6, [3, 3 + 127]),  # out-of-order docs within run
+        (2, "bb", 0, 5, [1000000]),
+        (2, "bb", 1, 9, [1, 2, 3, 4]),
+    ]
+    batch = pa.table(
+        {
+            "th": pa.array([r[0] for r in rows], type=pa.uint64()),
+            "term": pa.array([r[1] for r in rows], type=pa.string()),
+            "salt": pa.array([r[2] for r in rows], type=pa.uint64()),
+            "doc_id": pa.array([r[3] for r in rows], type=pa.uint64()),
+            "poss": pa.array([r[4] for r in rows], type=pa.list_(pa.uint32())),
+        }
+    )
+    out = encode_position_runs(batch)
+    assert out.num_rows == 3  # (aa,0), (bb,0), (bb,1)
+    chunks = out.to_pylist()
+    aa = chunks[0]
+    docs, cnts, flat = decode_position_chunk(
+        {k: (bytes(v) if isinstance(v, (bytes, bytearray)) else v) for k, v in aa.items()}
+    )
+    assert docs.tolist() == [5, 6, 7]
+    assert cnts.tolist() == [3, 2, 1]
+    assert flat.tolist() == [1, 4, 9, 3, 130, 2]
+    bb1 = chunks[2]
+    docs, cnts, flat = decode_position_chunk(bb1)
+    assert docs.tolist() == [9] and flat.tolist() == [1, 2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, pages_1k, tmp_path_factory):
+    out = tmp_path_factory.mktemp("positions") / "pos_1k"
+    cfg = PositionsConfig(
+        salt_shift=8,  # aggressive salting: hot terms split into many chunks
+        num_waves=2,
+        partitions_per_wave=4,
+        shard_group_size=2,
+        tokenize_concurrency=2,
+    )
+    build_positions_index(pages_1k, out, cfg)
+    return out
+
+
+@pytest.fixture(scope="module")
+def pos_oracle(pages_1k):
+    return _oracle_corpus(pages_1k)
+
+
+def test_phrase_parity_fixture_phrases(pos_index, pos_oracle):
+    idx = PositionsIndex(pos_index)
+    # phrases harvested from the corpus itself + adversarial shapes
+    some_tokens = next(iter(pos_oracle.values()))
+    phrases = [
+        " ".join(some_tokens[3:5]),
+        " ".join(some_tokens[10:13]),
+        "html body",          # markup wrapper tokens (hot)
+        "body html",
+        "needledften",        # single term == positional tf
+        "qqqzzzabsentterm",   # absent
+        "needledften needledfhundred",  # co-located? likely absent
+    ]
+    n_nonempty = 0
+    for ph in phrases:
+        got = idx.phrase_occurrences(ph)
+        exp = _oracle_phrase(pos_oracle, ph)
+        got_d = dict(
+            zip(got["doc_id"].to_pylist(), got["n_occ"].to_pylist())
+        )
+        assert got_d == exp, ph
+        n_nonempty += bool(exp)
+    assert n_nonempty >= 3
+
+
+def test_phrase_repeated_term(pos_index, pos_oracle):
+    idx = PositionsIndex(pos_index)
+    # the generator emits runs like "batch batch batch" — overlapping
+    # occurrences of a repeated-term phrase are the classic off-by-one trap
+    for ph in ["batch batch", "batch batch batch"]:
+        got = idx.phrase_occurrences(ph)
+        exp = _oracle_phrase(pos_oracle, ph)
+        got_d = dict(zip(got["doc_id"].to_pylist(), got["n_occ"].to_pylist()))
+        assert got_d == exp, ph
+
+
+def test_phrase_longer_random_windows(pos_index, pos_oracle):
+    idx = PositionsIndex(pos_index)
+    rng = np.random.default_rng(3)
+    dids = sorted(pos_oracle)
+    checked = 0
+    for _ in range(10):
+        did = dids[int(rng.integers(0, len(dids)))]
+        toks = pos_oracle[did]
+        if len(toks) < 12:
+            continue
+        s = int(rng.integers(0, len(toks) - 6))
+        ph = " ".join(toks[s : s + int(rng.integers(2, 6))])
+        got = idx.phrase_occurrences(ph)
+        exp = _oracle_phrase(pos_oracle, ph)
+        got_d = dict(zip(got["doc_id"].to_pylist(), got["n_occ"].to_pylist()))
+        assert got_d == exp, (did, ph)
+        assert did in got_d  # the source doc must match its own window
+        checked += 1
+    assert checked >= 5
+
+
+def test_positions_resume(ray_session, pages_1k, tmp_path_factory):
+    from vexor_ray.index.manifest import InjectedFault
+
+    out = tmp_path_factory.mktemp("positions_resume") / "pos_r"
+    cfg = PositionsConfig(
+        shard_group_size=2, num_waves=2, tokenize_concurrency=2,
+        fail_after_partitions=2,
+    )
+    with pytest.raises(InjectedFault):
+        build_positions_index(pages_1k, out, cfg)
+    cfg2 = PositionsConfig(
+        shard_group_size=2, num_waves=2, tokenize_concurrency=2
+    )
+    man = build_positions_index(pages_1k, out, cfg2)
+    done = {p["partition_id"] for p in man["partitions"] if p["stage"] == "positions"}
+    assert done == {"wave-0000", "wave-0001"}
+    idx = PositionsIndex(out)
+    got = idx.phrase_occurrences("body html")  # "</body></html>" wrapper
+    assert got.num_rows > 0

@@ -1,0 +1,596 @@
+"""Positional posting sidecar + exact phrase matching.
+
+Beyond-reference fulltext capability: the reference scores bags of words
+only (``vexor/bm25.py:64-89`` — postings are ``(chunk_id, tf)``, token
+order is discarded at ``Counter`` time), so it cannot answer phrase
+queries.  This sidecar stores, per (term, salt) chunk, every 1-based token
+position of the term in each document, enabling exact consecutive-token
+phrase matching.
+
+It is a SEPARATE opt-in index directory (positions roughly double the raw
+token data — the wrong default at 100 TB) that reuses the engine's
+object-store-ready build machinery end to end: lineage docIDs
+(``stages/docids.py``), the extract/tokenize actor pool shape, attempt-dir
+writes + partition-record commits + pointer-swap manifest
+(``index/storage.py`` / ``index/manifest.py``), so a killed build resumes
+at stage/partition granularity on any ``pyarrow.fs``.
+
+Layout per (term, salt) chunk, docIDs ascending (one parquet row):
+
+- ``doc_blob``: varint docID deltas (``delta[0] = doc[0]``);
+- ``cnt_blob``: varint positions-count per posting (the positional tf);
+- ``pos_blob``: varint 1-based positions, delta-coded WITHIN each posting
+  (ascending per doc, so gaps are small).
+
+Query (``phrase_occurrences``): tokenize the phrase WITHOUT dedup/cap
+(order and repeats are the semantics — unlike BM25's
+``preprocess_query``), decode each term's postings, map docIDs into the
+rarest term's dense index, then chain-intersect ``idx * 2^32 + pos`` keys:
+occurrences of ``t0 .. tn`` are ``keys(t0) ∩ (keys(t1) - 1) ∩ ... ∩
+(keys(tn) - n)`` — each step one ``np.intersect1d`` over sorted unique
+uint64 arrays, no per-doc Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray.data
+
+from ..hashing import file_fingerprint, hash_terms
+from ..spec import DEFAULT_SALT_SHIFT, FULL_CHAR_LIMIT, TOKEN_PATTERN
+from . import codec
+from .manifest import BuildManifest, PartitionRecord, load_manifest
+from .storage import Store, gc_stale_attempts
+
+_POS_BASE = np.uint64(1) << np.uint64(32)  # doc-index stride in chain keys
+
+
+@dataclass
+class PositionsConfig:
+    token_pattern: str = TOKEN_PATTERN
+    tokenizer: str = "regex"  # regex | bert_union (must match the BM25 index)
+    text_only: bool = True  # phrase semantics over the text itself
+    pre_extracted: bool = False
+    char_limit: int = FULL_CHAR_LIMIT
+    salt_shift: int = DEFAULT_SALT_SHIFT
+    num_waves: int = 1
+    partitions_per_wave: int = 8
+    shard_group_size: int = 8
+    tokenize_batch_size: int = 1024
+    tokenize_concurrency: int = 4
+    fail_after_partitions: int | None = None
+
+    def public_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d.pop("fail_after_partitions")
+        return d
+
+
+class TokenizePositions:
+    """Actor-pool callable: per-doc term → 1-based position lists.
+
+    Positions index into the tokenizer's output sequence for the document
+    (1-based, matching SQL ``generate_series(1, len(toks))`` twins).
+    """
+
+    def __init__(
+        self,
+        text_only: bool = True,
+        token_pattern: str = TOKEN_PATTERN,
+        tokenizer: str = "regex",
+    ):
+        from ..stages.berttok import make_tokenizer
+
+        self._tokenize = make_tokenizer(tokenizer, token_pattern)
+        self._text_only = text_only
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        docs = texts if self._text_only else [f"{u} {t}" for u, t in zip(urls, texts)]
+        terms_col: list[list[str]] = []
+        poss_col: list[list[list[int]]] = []
+        for doc in docs:
+            by_term: dict[str, list[int]] = {}
+            for i, tok in enumerate(self._tokenize(doc), start=1):
+                by_term.setdefault(tok, []).append(i)
+            terms_col.append(list(by_term.keys()))
+            poss_col.append(list(by_term.values()))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "terms": pa.array(terms_col, type=pa.list_(pa.string())),
+                "poss": pa.array(
+                    poss_col, type=pa.list_(pa.list_(pa.uint32()))
+                ),
+            }
+        )
+
+
+def explode_position_postings(batch: pa.Table, *, salt_shift: int) -> pa.Table:
+    """(doc_id, terms, poss) → flat (th, term, salt, doc_id, poss) rows."""
+    batch = batch.combine_chunks()
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "th": pa.array([], type=pa.uint64()),
+                "term": pa.array([], type=pa.string()),
+                "salt": pa.array([], type=pa.uint64()),
+                "doc_id": pa.array([], type=pa.uint64()),
+                "poss": pa.array([], type=pa.list_(pa.uint32())),
+            }
+        )
+    terms_list = batch.column("terms")
+    flat_terms = pc.list_flatten(terms_list)
+    parent = pc.list_parent_indices(terms_list)
+    doc_ids = pc.cast(pc.take(batch.column("doc_id"), parent), pa.uint64())
+    poss = pc.list_flatten(batch.column("poss"))  # outer flatten only
+    if isinstance(flat_terms, pa.ChunkedArray):
+        flat_terms = flat_terms.combine_chunks()
+    # dictionary-space hashing (Zipfian streams have ~1% uniques)
+    de = pc.dictionary_encode(flat_terms)
+    uniq = np.asarray(de.dictionary.to_numpy(zero_copy_only=False), dtype=object)
+    hu = hash_terms(uniq)
+    th = hu.view(np.int64)[de.indices.to_numpy()].view(np.uint64)
+    return pa.table(
+        {
+            "th": pa.array(th, type=pa.uint64()),
+            "term": flat_terms,
+            "salt": pc.shift_right(doc_ids, pa.scalar(salt_shift, pa.uint64())),
+            "doc_id": doc_ids,
+            "poss": poss,
+        }
+    )
+
+
+_POS_CHUNK_SCHEMA = pa.schema(
+    [
+        ("th", pa.uint64()),
+        ("term", pa.string()),
+        ("salt", pa.uint64()),
+        ("n_postings", pa.uint64()),
+        ("doc_blob", pa.large_binary()),
+        ("cnt_blob", pa.large_binary()),
+        ("pos_blob", pa.large_binary()),
+    ]
+)
+
+
+def encode_position_runs(batch: pa.Table) -> pa.Table:
+    """Encode complete (term, salt) runs of a key-sorted block — vectorized
+    like ``build.encode_runs``: one lexsort, one varint pass per stream,
+    per-run blobs assembled from byte-size prefix sums."""
+    batch = batch.combine_chunks()
+    n = batch.num_rows
+    if n == 0:
+        return _POS_CHUNK_SCHEMA.empty_table()
+    term_col = batch.column("term")
+    term_arr = term_col.chunk(0) if isinstance(term_col, pa.ChunkedArray) else term_col
+    ths = batch.column("th").to_numpy()
+    salts = batch.column("salt").to_numpy()
+    doc_ids = batch.column("doc_id").to_numpy()
+    poss_col = batch.column("poss")
+    poss_arr = (
+        poss_col.chunk(0) if isinstance(poss_col, pa.ChunkedArray) else poss_col
+    )
+
+    change = (
+        (ths[1:] != ths[:-1])
+        | (salts[1:] != salts[:-1])
+        | pc.not_equal(
+            term_arr.slice(1), term_arr.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    )
+    run_starts = np.concatenate([[0], np.flatnonzero(change) + 1]).astype(np.int64)
+    n_runs = run_starts.size
+    run_lengths = np.diff(np.concatenate([run_starts, [n]]))
+    run_ids = np.repeat(np.arange(n_runs), run_lengths)
+    run_bounds = np.concatenate([run_starts, [n]])
+
+    order = np.lexsort((doc_ids, run_ids))
+    doc_s = doc_ids[order].astype(np.uint64)
+    poss_s = poss_arr.take(pa.array(order, type=pa.int64()))
+
+    deltas = doc_s.copy()
+    deltas[1:] -= doc_s[:-1]
+    deltas[run_starts] = doc_s[run_starts]
+
+    # list_value_length + list_flatten respect the taken array's offsets
+    # (raw .values/.offsets on a taken ListArray are not guaranteed aligned)
+    cnt_i64 = pc.list_value_length(poss_s).to_numpy().astype(np.int64)
+    flat_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cnt_i64, out=flat_off[1:])
+    cnts = cnt_i64.astype(np.uint64)
+    flat_pos = pc.list_flatten(poss_s).to_numpy().astype(np.uint64)
+    # delta-code positions within each posting (first stays absolute);
+    # zero-length postings cannot occur (a term present in a doc has >= 1
+    # position), so every flat_off[:-1] start index is a real element
+    pos_deltas = flat_pos.copy()
+    pos_deltas[1:] -= flat_pos[:-1]
+    starts = flat_off[:-1]
+    pos_deltas[starts] = flat_pos[starts]
+
+    def run_blob(stream: np.ndarray, elem_bounds: np.ndarray) -> pa.Array:
+        """varint-encode ``stream``; slice into per-run LargeBinary by the
+        element index bounds (length n_runs + 1)."""
+        buf, sizes = codec.varint_encode_with_sizes(stream)
+        byte_off = np.zeros(stream.size + 1, dtype=np.int64)
+        np.cumsum(sizes, out=byte_off[1:])
+        bounds = byte_off[elem_bounds]
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            n_runs,
+            [None, pa.py_buffer(bounds.tobytes()), pa.py_buffer(buf)],
+        )
+
+    return pa.table(
+        {
+            "th": pa.array(ths[run_starts].astype(np.uint64), type=pa.uint64()),
+            "term": term_arr.take(pa.array(run_starts, type=pa.int64())),
+            "salt": pa.array(salts[run_starts].astype(np.uint64), type=pa.uint64()),
+            "n_postings": pa.array(run_lengths.astype(np.uint64), type=pa.uint64()),
+            "doc_blob": run_blob(deltas, run_bounds),
+            "cnt_blob": run_blob(cnts, run_bounds),
+            "pos_blob": run_blob(pos_deltas, flat_off[run_bounds]),
+        }
+    )
+
+
+def decode_position_chunk(chunk: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One chunk → (doc_ids, cnts, flat absolute positions)."""
+    doc_ids = np.cumsum(codec.varint_decode(chunk["doc_blob"]), dtype=np.uint64)
+    cnts = codec.varint_decode(chunk["cnt_blob"])
+    pos_deltas = codec.varint_decode(chunk["pos_blob"])
+    if pos_deltas.size == 0:
+        return doc_ids, cnts, pos_deltas
+    csum = np.cumsum(pos_deltas, dtype=np.uint64)
+    starts = np.zeros(cnts.size, dtype=np.int64)
+    np.cumsum(cnts[:-1].astype(np.int64), out=starts[1:])
+    # absolute[j] = csum[j] - (csum[start_of_its_posting] - first_delta)
+    base = csum[starts] - pos_deltas[starts]
+    flat_pos = csum - np.repeat(base, cnts.astype(np.int64))
+    return doc_ids, cnts, flat_pos
+
+
+def build_positions_index(
+    source: str | Path | list | Store,
+    out_dir: str | Path | Store,
+    cfg: PositionsConfig | None = None,
+    *,
+    filesystem=None,
+    source_filesystem=None,
+) -> dict:
+    """Build (or resume) the positional sidecar at ``out_dir``.
+
+    Same two-stage shape as the BM25 build: a resumable tokenized-positions
+    checkpoint (one partition per shard group), then one sorted exchange +
+    encode per wave.  Every partition commit is an attempt-dir write + a
+    record; the final manifest commits by pointer swap — identical
+    object-store discipline to ``build.build_index``.
+    """
+    from .build import (
+        _attempt_dir_write,
+        _normalize_pre_extracted,
+        _parquet_rows,
+        _record_dirs,
+        _resolve_source,
+        _th_bounds,
+        _effective_pool_size,
+    )
+    from ..stages.docids import read_with_doc_ids
+    from ..stages.extract import make_extract_fn
+
+    cfg = cfg or PositionsConfig()
+    store = Store.resolve(out_dir, filesystem)
+    store.mkdirs()
+    manifest = BuildManifest(store, fail_after_partitions=cfg.fail_after_partitions)
+    files, src_fs = _resolve_source(source, source_filesystem)
+    if not files:
+        raise ValueError(f"no parquet input files under {source}")
+
+    # ---- stage 1: tokenize with positions, per shard group -----------------
+    groups = [
+        files[i : i + cfg.shard_group_size]
+        for i in range(0, len(files), cfg.shard_group_size)
+    ]
+    tok_fp = hashlib.sha1(
+        f"{cfg.tokenizer}|{cfg.token_pattern}|{cfg.text_only}|pos".encode()
+    ).hexdigest()
+    parts_files: list[str] = []
+    for gi, group in enumerate(groups):
+        pid = f"group-{gi:05d}"
+        fp = hashlib.sha1(
+            (file_fingerprint(group, src_fs) + tok_fp).encode()
+        ).hexdigest()
+        if manifest.is_done("pos_tok", pid, fp):
+            rec = manifest.load_partitions()[f"pos_tok--{pid}"]
+            keep = {d.rsplit("/", 1)[-1] for d in _record_dirs(rec)}
+            gc_stale_attempts(store, "pos_tok", pid, keep)
+            parts_files.extend(rec.output_files)
+            continue
+        t0 = time.perf_counter()
+        read_cols = ["url", "text"] if cfg.pre_extracted else ["url", "html"]
+        ds = read_with_doc_ids(
+            group,
+            read_cols,
+            file_indices=list(
+                range(gi * cfg.shard_group_size, gi * cfg.shard_group_size + len(group))
+            ),
+            filesystem=src_fs,
+        )
+        if not cfg.pre_extracted:
+            ds = ds.map_batches(
+                make_extract_fn(cfg.char_limit),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        else:
+            ds = ds.map_batches(
+                _normalize_pre_extracted, batch_format="pyarrow", zero_copy_batch=True
+            )
+        ds = ds.map_batches(
+            TokenizePositions,
+            fn_constructor_kwargs={
+                "text_only": cfg.text_only,
+                "token_pattern": cfg.token_pattern,
+                "tokenizer": cfg.tokenizer,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+            concurrency=_effective_pool_size(cfg.tokenize_concurrency),
+            zero_copy_batch=True,
+        )
+        out_files, dirname = _attempt_dir_write(store, ds, "pos_tok", pid)
+        manifest.commit_partition(
+            PartitionRecord(
+                stage="pos_tok",
+                partition_id=pid,
+                input_fingerprint=fp,
+                output_files=out_files,
+                metrics={
+                    "rows": _parquet_rows(out_files, store.fs),
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                },
+            )
+        )
+        gc_stale_attempts(store, "pos_tok", pid, {dirname})
+        parts_files.extend(out_files)
+
+    # ---- stage 2: explode → sorted exchange → encode, per wave -------------
+    waves: dict[int, list[str]] = {}
+    th_bounds: dict[int, list[list[int]]] = {}
+    ckpt_fp = hashlib.sha1("|".join(sorted(parts_files)).encode()).hexdigest()
+    for wave in range(max(1, cfg.num_waves)):
+        pid = f"wave-{wave:04d}"
+        wave_fp = hashlib.sha1(f"{ckpt_fp}|{cfg.salt_shift}|{wave}".encode()).hexdigest()
+        if manifest.is_done("positions", pid, wave_fp):
+            rec = manifest.load_partitions()[f"positions--{pid}"]
+            keep = {d.rsplit("/", 1)[-1] for d in _record_dirs(rec)}
+            gc_stale_attempts(store, "positions", pid, keep)
+            waves[wave] = rec.output_files
+            th_bounds[wave] = rec.lineage.get("th_bounds") or _th_bounds(
+                rec.output_files, store.fs
+            )
+            continue
+        t0 = time.perf_counter()
+        ds = ray.data.read_parquet(
+            sorted(parts_files),
+            override_num_blocks=cfg.partitions_per_wave * 2,
+            filesystem=store.fs,
+        )
+        ds = ds.map_batches(
+            explode_position_postings,
+            fn_kwargs={"salt_shift": cfg.salt_shift},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        if cfg.num_waves > 1:
+            w = np.uint64(cfg.num_waves)
+            wv = np.uint64(wave)
+
+            def in_wave(batch: pa.Table, _w=w, _wv=wv) -> pa.Table:
+                th = batch.column("th").to_numpy()
+                return batch.filter(pa.array((th % _w) == _wv))
+
+            ds = ds.map_batches(in_wave, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.sort(["th", "salt"])
+        ds = ds.map_batches(
+            encode_position_runs,
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+        out_files, dirname = _attempt_dir_write(
+            store, ds, "positions", pid, row_group_size=2048
+        )
+        bounds = _th_bounds(out_files, store.fs)
+        manifest.commit_partition(
+            PartitionRecord(
+                stage="positions",
+                partition_id=pid,
+                input_fingerprint=wave_fp,
+                output_files=out_files,
+                metrics={
+                    "chunk_rows": _parquet_rows(out_files, store.fs),
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                },
+                lineage={"wave": wave, "th_bounds": bounds},
+            )
+        )
+        gc_stale_attempts(store, "positions", pid, {dirname})
+        waves[wave] = out_files
+        th_bounds[wave] = bounds
+
+    return manifest.finalize(
+        config=cfg.public_dict(),
+        stats={"n_files": len(files)},
+        extra={
+            "kind": "positions",
+            "pos_waves": {str(w): f for w, f in waves.items()},
+            "pos_th_bounds": {str(w): b for w, b in th_bounds.items()},
+            "input_files": files,
+        },
+    )
+
+
+class PositionsIndex:
+    """Query access to a committed positional sidecar."""
+
+    def __init__(self, index_dir: str | Path | Store, *, filesystem=None):
+        self._store = Store.resolve(index_dir, filesystem)
+        self.manifest = load_manifest(self._store)
+        if self.manifest.get("kind") != "positions":
+            raise ValueError(f"{index_dir} is not a positions sidecar")
+        cfg = self.manifest["config"]
+        self.num_waves = int(cfg.get("num_waves", 1))
+        from ..stages.berttok import make_tokenizer
+
+        self._tokenize = make_tokenizer(
+            cfg.get("tokenizer", "regex"), cfg.get("token_pattern")
+        )
+        self._waves = {
+            int(w): f for w, f in self.manifest["pos_waves"].items()
+        }
+        self._bounds = {
+            int(w): b for w, b in self.manifest.get("pos_th_bounds", {}).items()
+        }
+        self._chunk_cache: dict[str, list[dict]] = {}
+
+    def term_chunks(self, terms: list[str]) -> dict[str, list[dict]]:
+        out: dict[str, list[dict]] = {t: [] for t in terms}
+        missing = sorted({t for t in terms if t not in self._chunk_cache})
+        for t in terms:
+            if t in self._chunk_cache:
+                out[t] = self._chunk_cache[t]
+        if not missing:
+            return out
+        ths = hash_terms(np.asarray(missing, dtype=object))
+        by_wave: dict[int, list[int]] = {}
+        for i, th in enumerate(ths):
+            by_wave.setdefault(
+                int(th % np.uint64(self.num_waves)) if self.num_waves > 1 else 0, []
+            ).append(i)
+        found: dict[str, list[dict]] = {t: [] for t in missing}
+        for w, idxs in by_wave.items():
+            files = self._waves.get(w, [])
+            bounds = self._bounds.get(w)
+            w_ths = ths[idxs]
+            if bounds and len(bounds) == len(files):
+                files = [
+                    f
+                    for f, (lo, hi) in zip(files, bounds)
+                    if ((w_ths >= np.uint64(lo)) & (w_ths <= np.uint64(hi))).any()
+                ]
+            if not files:
+                continue
+            w_terms = [missing[i] for i in idxs]
+            flt = pc.field("th").isin(pa.array(w_ths, type=pa.uint64())) & pc.field(
+                "term"
+            ).isin(w_terms)
+            tbl = pads.dataset(files, filesystem=self._store.fs).to_table(filter=flt)
+            tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
+            tbl = tbl.combine_chunks()
+            if tbl.num_rows == 0:
+                continue
+            cols = {name: tbl.column(name).chunk(0) for name in tbl.column_names}
+            t_terms = cols["term"].to_pylist()
+            for i in range(tbl.num_rows):
+                found[t_terms[i]].append(
+                    {
+                        "salt": int(cols["salt"][i].as_py()),
+                        "n_postings": int(cols["n_postings"][i].as_py()),
+                        "doc_blob": memoryview(cols["doc_blob"][i].as_buffer()),
+                        "cnt_blob": memoryview(cols["cnt_blob"][i].as_buffer()),
+                        "pos_blob": memoryview(cols["pos_blob"][i].as_buffer()),
+                    }
+                )
+        for t in missing:
+            self._chunk_cache[t] = found[t]
+            out[t] = found[t]
+        return out
+
+    def _term_keys(
+        self, chunks: list[dict], base: np.ndarray
+    ) -> np.ndarray:
+        """Sorted unique uint64 chain keys (base_idx * 2^32 + pos) for the
+        postings of one term restricted to docIDs present in ``base``."""
+        if base.size == 0:
+            return np.zeros(0, dtype=np.uint64)
+        keys: list[np.ndarray] = []
+        for c in sorted(chunks, key=lambda c: int(c.get("salt", 0))):
+            docs, cnts, flat_pos = decode_position_chunk(c)
+            if docs.size == 0:
+                continue
+            idx = np.searchsorted(base, docs)
+            idx[idx >= base.size] = base.size - 1
+            keep = base[idx] == docs
+            if not keep.any():
+                continue
+            rep = np.repeat(keep, cnts.astype(np.int64))
+            flat_idx = np.repeat(idx.astype(np.uint64), cnts.astype(np.int64))
+            keys.append(flat_idx[rep] * _POS_BASE + flat_pos[rep])
+        if not keys:
+            return np.zeros(0, dtype=np.uint64)
+        out = np.concatenate(keys)
+        out.sort()  # salt chunks are docID-disjoint; sort is near-free merge
+        return out
+
+    def phrase_occurrences(self, phrase: str) -> pa.Table:
+        """(doc_id, n_occ) for docs containing the exact token phrase."""
+        terms = self._tokenize(phrase)  # NO dedup, NO cap: order is semantics
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.uint64()),
+                "n_occ": pa.array([], type=pa.uint64()),
+            }
+        )
+        if not terms:
+            return empty
+        chunks_by_term = self.term_chunks(list(dict.fromkeys(terms)))
+        # candidate doc set = the rarest term's docIDs (phrase docs must
+        # contain every term, so any term's doc set is a valid base)
+        df = {
+            t: sum(c["n_postings"] for c in chunks_by_term[t])
+            for t in set(terms)
+        }
+        if min(df.values()) == 0:
+            return empty
+        rarest = min(df, key=lambda t: (df[t], t))
+        base_parts = [
+            decode_position_chunk(c)[0]
+            for c in chunks_by_term[rarest]
+        ]
+        base = np.sort(np.concatenate(base_parts))
+        cur: np.ndarray | None = None
+        term_keys: dict[str, np.ndarray] = {}
+        for i, t in enumerate(terms):
+            if t not in term_keys:
+                term_keys[t] = self._term_keys(chunks_by_term[t], base)
+            keys = term_keys[t]
+            if keys.size == 0:
+                return empty
+            shifted = keys - np.uint64(i)  # occurrence-start key for step i
+            if cur is None:
+                cur = shifted
+            else:
+                cur = np.intersect1d(cur, shifted, assume_unique=True)
+            if cur.size == 0:
+                return empty
+        occ_idx = (cur // _POS_BASE).astype(np.int64)
+        counts = np.bincount(occ_idx, minlength=base.size)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "doc_id": pa.array(base[nz], type=pa.uint64()),
+                "n_occ": pa.array(counts[nz].astype(np.uint64), type=pa.uint64()),
+            }
+        )

@@ -112,6 +112,62 @@ def documents_index(sf_dir: str, impact: bool = False) -> Path:
     return idx_dir
 
 
+def documents_positions_index(sf_dir: str) -> Path:
+    """Build (or reuse) the positional sidecar over the documents corpus.
+
+    Built from the SAME sorted pages shards as ``documents_index`` so the
+    lineage docIDs agree — a phrase hit maps back to the original doc_id
+    through the BM25 index's url lookup.
+    """
+    from ..index.positions import PositionsConfig, build_positions_index
+
+    src = f"{sf_dir}/documents.parquet"
+    fp = file_fingerprint([src])
+    from ..spec import INDEX_FORMAT_VERSION
+
+    key = hashlib.sha1(f"pos|{fp}|v{INDEX_FORMAT_VERSION}".encode()).hexdigest()[:16]
+    pos_dir = _CACHE_ROOT / f"docs_positions_{key}"
+    from ..index.manifest import manifest_exists
+
+    if not manifest_exists(pos_dir):
+        bm_dir = documents_index(sf_dir)  # ensures the pages shards exist
+        pages_dir = bm_dir.parent / (bm_dir.name + "_pages")
+        if not pages_dir.exists():
+            write_pages_shards(documents_as_pages(sf_dir), pages_dir)
+        cfg = PositionsConfig(
+            pre_extracted=True,
+            text_only=True,
+            num_waves=1,
+            partitions_per_wave=4,
+            shard_group_size=8,
+            tokenize_concurrency=2,
+        )
+        build_positions_index(pages_dir, pos_dir, cfg)
+    return pos_dir
+
+
+def phrase_match_table(sf_dir: str, phrase: str) -> pa.Table:
+    """(doc_id, n_occ) for documents containing the exact token phrase,
+    via the positional sidecar's chain-key intersection."""
+    from ..index.positions import PositionsIndex
+
+    pidx = PositionsIndex(documents_positions_index(sf_dir))
+    occ = pidx.phrase_occurrences(phrase)
+    internal = occ["doc_id"].to_pylist()
+    searcher = Searcher(documents_index(sf_dir))
+    urls = searcher.lookup_urls(internal)
+    # internal docID order == url order == original doc_id order, so the
+    # output is already doc_id-ascending
+    return pa.table(
+        {
+            "doc_id": pa.array([int(urls[d]) for d in internal], type=pa.int64()),
+            "n_occ": pa.array(
+                [int(x) for x in occ["n_occ"].to_pylist()], type=pa.int64()
+            ),
+        }
+    )
+
+
 class DocumentsSearcher:
     """Searcher over the documents corpus, reporting ORIGINAL doc_ids.
 
