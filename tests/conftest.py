@@ -50,6 +50,45 @@ def built_index(ray_session, pages_1k, tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def pos_index(ray_session, pages_1k, tmp_path_factory):
+    """Positional sidecar over pages_1k (aggressive salting + 2 waves)."""
+    from vexor_ray.index.positions import PositionsConfig, build_positions_index
+
+    out = tmp_path_factory.mktemp("positions") / "pos_1k"
+    cfg = PositionsConfig(
+        salt_shift=8,
+        num_waves=2,
+        partitions_per_wave=4,
+        shard_group_size=2,
+        tokenize_concurrency=2,
+    )
+    build_positions_index(pages_1k, out, cfg)
+    return out
+
+
+@pytest.fixture(scope="session")
+def pos_oracle(pages_1k):
+    """doc_id → token list of the extracted text (positions ground truth)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from vexor_ray.refimpl.textnorm import extract_text
+    from vexor_ray.spec import TOKEN_PATTERN
+    from vexor_ray.stages.docids import doc_id_base
+
+    tok = re.compile(TOKEN_PATTERN)
+    corpus = {}
+    for fi, f in enumerate(sorted(pages_1k.glob("part-*.parquet"))):
+        tbl = pq.read_table(f, columns=["html"])
+        for ri, h in enumerate(tbl.column("html").to_pylist()):
+            text = extract_text(h)
+            if text:
+                corpus[doc_id_base(fi, ri)] = tok.findall(text.lower())
+    return corpus
+
+
+@pytest.fixture(scope="session")
 def oracle_1k(pages_1k):
     import pyarrow.parquet as pq
 

@@ -1,0 +1,90 @@
+"""Boolean-filtered BM25 and proximity (NEAR) queries vs pure oracles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from vexor_ray.query.searcher import Searcher
+from vexor_ray.refimpl import search as oracle_search
+
+
+def _bool_oracle(oracle, must, should, must_not, k):
+    docs_of = lambda t: {p[0] for p in oracle.postings.get(t, [])}
+    scoring = " ".join(list(dict.fromkeys(must + should)))
+    full = oracle_search(oracle, scoring, k=oracle.doc_count)
+    out = []
+    for d, s in full:
+        if all(d in docs_of(t) for t in must) and not any(
+            d in docs_of(t) for t in must_not
+        ):
+            out.append((d, s))
+    return out[:k]
+
+
+@pytest.mark.parametrize(
+    "must,should,must_not",
+    [
+        (["needledften"], [], []),
+        (["needledfhundred"], ["needledften"], []),
+        (["needledfhundred"], [], ["needledften"]),
+        ([], ["needledften", "needledfhundred"], []),
+        (["needledften", "needledfhundred"], [], []),  # likely empty ∩
+        (["qqqzzzabsentterm"], ["needledften"], []),  # absent must → empty
+        ([], ["needledfhundred"], ["qqqzzzabsentterm"]),  # absent not → no-op
+    ],
+)
+def test_boolean_matches_oracle(built_index, oracle_1k, must, should, must_not):
+    out, _ = built_index
+    s = Searcher(out)
+    got = s.search_boolean(must, should, must_not, k=20)
+    exp = _bool_oracle(oracle_1k, must, should, must_not, 20)
+    assert [d for d, _ in got] == [d for d, _ in exp], (must, should, must_not)
+    for (_, gs), (_, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_boolean_filters_hot_terms(built_index, oracle_1k):
+    """must_not on a wrapper token that appears in EVERY page → empty."""
+    out, _ = built_index
+    s = Searcher(out)
+    assert s.search_boolean(["needledften"], [], ["html"], k=5) == []
+    # and must on it keeps everything the scoring term matches
+    got = s.search_boolean(["html"], ["needledften"], [], k=5)
+    exp = _bool_oracle(oracle_1k, ["html"], ["needledften"], [], 5)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def _near_oracle(pos_corpus, a, b, window):
+    out = {}
+    for did, toks in pos_corpus.items():
+        pa_ = [i for i, t in enumerate(toks, start=1) if t == a]
+        pb = [i for i, t in enumerate(toks, start=1) if t == b]
+        dists = [abs(x - y) for x in pa_ for y in pb if not (a == b and x == y)]
+        if dists and min(dists) <= window:
+            out[did] = min(dists)
+    return out
+
+
+def test_near_matches_oracle(pos_index, pos_oracle):
+    from vexor_ray.index.positions import PositionsIndex
+
+    idx = PositionsIndex(pos_index)
+    pairs = [
+        ("body", "html", 2),
+        ("head", "title", 4),
+        ("needledften", "html", 1000),
+        ("batch", "batch", 3),  # same-term proximity
+        ("qqqzzzabsentterm", "html", 10),
+    ]
+    n_nonempty = 0
+    for a, b, w in pairs:
+        got = idx.near_occurrences(a, b, w)
+        exp = _near_oracle(pos_oracle, a, b, w)
+        got_d = dict(
+            zip(got["doc_id"].to_pylist(), got["min_dist"].to_pylist())
+        )
+        assert got_d == exp, (a, b, w)
+        n_nonempty += bool(exp)
+    assert n_nonempty >= 3

@@ -2,12 +2,12 @@
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
-from vexor_ray.index import positions as posmod
 from vexor_ray.index.positions import (
     PositionsConfig,
     PositionsIndex,
@@ -15,25 +15,9 @@ from vexor_ray.index.positions import (
     decode_position_chunk,
     encode_position_runs,
 )
-from vexor_ray.refimpl.textnorm import extract_text
 from vexor_ray.spec import TOKEN_PATTERN
-import re
 
 _TOK = re.compile(TOKEN_PATTERN)
-
-
-def _oracle_corpus(pages_dir):
-    """doc_id → token list over the extracted text (engine parity source)."""
-    from vexor_ray.stages.docids import doc_id_base
-
-    corpus = {}
-    for fi, f in enumerate(sorted(pages_dir.glob("part-*.parquet"))):
-        tbl = pq.read_table(f, columns=["html"])
-        for ri, h in enumerate(tbl.column("html").to_pylist()):
-            text = extract_text(h)
-            if text:
-                corpus[doc_id_base(fi, ri)] = _TOK.findall(text.lower())
-    return corpus
 
 
 def _oracle_phrase(corpus, phrase: str) -> dict[int, int]:
@@ -79,25 +63,6 @@ def test_encode_decode_roundtrip():
     bb1 = chunks[2]
     docs, cnts, flat = decode_position_chunk(bb1)
     assert docs.tolist() == [9] and flat.tolist() == [1, 2, 3, 4]
-
-
-@pytest.fixture(scope="module")
-def pos_index(ray_session, pages_1k, tmp_path_factory):
-    out = tmp_path_factory.mktemp("positions") / "pos_1k"
-    cfg = PositionsConfig(
-        salt_shift=8,  # aggressive salting: hot terms split into many chunks
-        num_waves=2,
-        partitions_per_wave=4,
-        shard_group_size=2,
-        tokenize_concurrency=2,
-    )
-    build_positions_index(pages_1k, out, cfg)
-    return out
-
-
-@pytest.fixture(scope="module")
-def pos_oracle(pages_1k):
-    return _oracle_corpus(pages_1k)
 
 
 def test_phrase_parity_fixture_phrases(pos_index, pos_oracle):

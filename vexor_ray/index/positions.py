@@ -594,3 +594,68 @@ class PositionsIndex:
                 "n_occ": pa.array(counts[nz].astype(np.uint64), type=pa.uint64()),
             }
         )
+
+    def near_occurrences(self, term_a: str, term_b: str, window: int) -> pa.Table:
+        """(doc_id, min_dist) for docs where ``term_a`` and ``term_b`` occur
+        within ``window`` tokens of each other (unordered proximity).
+
+        ``min_dist`` = the smallest ``|pos_a - pos_b|`` in the doc (>= 1 —
+        two distinct terms cannot share a position; for ``term_a ==
+        term_b`` the distance is between two distinct occurrences).
+        Vectorized: for every a-occurrence, the candidate nearest
+        b-positions are the two ``searchsorted`` neighbours in the sorted
+        b-key array; per-doc minima fall out of one ``np.minimum.at``.
+        """
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.uint64()),
+                "min_dist": pa.array([], type=pa.uint64()),
+            }
+        )
+        if window < 0:
+            return empty
+        chunks = self.term_chunks(sorted({term_a, term_b}))
+        df = {t: sum(c["n_postings"] for c in cl) for t, cl in chunks.items()}
+        if not df or min(df.values()) == 0:
+            return empty
+        rarest = min(df, key=lambda t: (df[t], t))
+        base = np.sort(
+            np.concatenate(
+                [decode_position_chunk(c)[0] for c in chunks[rarest]]
+            )
+        )
+        ka = self._term_keys(chunks[term_a], base)
+        kb = self._term_keys(chunks[term_b], base)
+        if term_a == term_b:
+            # distance between consecutive occurrences of the same term
+            if ka.size < 2:
+                return empty
+            same_doc = (ka[1:] // _POS_BASE) == (ka[:-1] // _POS_BASE)
+            if not same_doc.any():
+                return empty
+            diffs = (ka[1:] - ka[:-1])[same_doc]
+            idxs = (ka[1:] // _POS_BASE)[same_doc].astype(np.int64)
+        else:
+            if ka.size == 0 or kb.size == 0:
+                return empty
+            ins = np.searchsorted(kb, ka)
+            cand_idx = np.concatenate(
+                [np.clip(ins - 1, 0, kb.size - 1), np.clip(ins, 0, kb.size - 1)]
+            )
+            aa = np.concatenate([ka, ka])
+            bb = kb[cand_idx]
+            same_doc = (aa // _POS_BASE) == (bb // _POS_BASE)
+            if not same_doc.any():
+                return empty
+            aa, bb = aa[same_doc], bb[same_doc]
+            diffs = np.where(aa > bb, aa - bb, bb - aa)
+            idxs = (aa // _POS_BASE).astype(np.int64)
+        best = np.full(base.size, np.iinfo(np.uint64).max, dtype=np.uint64)
+        np.minimum.at(best, idxs, diffs)
+        hit = np.flatnonzero(best <= np.uint64(window))
+        return pa.table(
+            {
+                "doc_id": pa.array(base[hit], type=pa.uint64()),
+                "min_dist": pa.array(best[hit], type=pa.uint64()),
+            }
+        )

@@ -168,6 +168,49 @@ def phrase_match_table(sf_dir: str, phrase: str) -> pa.Table:
     )
 
 
+def near_match_table(sf_dir: str, term_a: str, term_b: str, window: int) -> pa.Table:
+    """(doc_id, min_dist) for documents where the two terms occur within
+    ``window`` tokens of each other (unordered proximity)."""
+    from ..index.positions import PositionsIndex
+
+    pidx = PositionsIndex(documents_positions_index(sf_dir))
+    occ = pidx.near_occurrences(term_a, term_b, window)
+    internal = occ["doc_id"].to_pylist()
+    searcher = Searcher(documents_index(sf_dir))
+    urls = searcher.lookup_urls(internal)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(urls[d]) for d in internal], type=pa.int64()),
+            "min_dist": pa.array(
+                [int(x) for x in occ["min_dist"].to_pylist()], type=pa.int64()
+            ),
+        }
+    )
+
+
+def boolean_topk_table(
+    sf_dir: str,
+    must: list[str],
+    should: list[str],
+    must_not: list[str],
+    k: int = 10,
+) -> pa.Table:
+    """Boolean-filtered BM25 top-k with the rounding-stable ranking of
+    ``bm25_topk_table`` (score everything matching, rank by rounded score)."""
+    s = DocumentsSearcher(sf_dir)
+    res = s.searcher.search_boolean(must, should, must_not, k=s.searcher.doc_count)
+    pairs = [(d, round(sc, 6)) for d, sc in s._to_orig(res)]
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    pairs = pairs[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "score": pa.array([p[1] for p in pairs], type=pa.float64()),
+            "rank": pa.array(range(1, len(pairs) + 1), type=pa.int32()),
+        }
+    )
+
+
 class DocumentsSearcher:
     """Searcher over the documents corpus, reporting ORIGINAL doc_ids.
 

@@ -888,6 +888,67 @@ class Searcher:
             off += n
         return parts
 
+    def search_boolean(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Boolean-filtered BM25 top-k (beyond-reference: the reference has
+        no boolean operators, ``vexor/bm25.py:64-89`` is pure OR).
+
+        Result docs contain EVERY ``must`` term and NO ``must_not`` term;
+        ranking is the exact scorer over ``must + should`` (dedup
+        order-preserving, capped like ``preprocess_query``), tie-broken
+        (score desc, docID asc).  Filters are vectorized membership tests
+        against decoded posting docID arrays — no per-doc Python.
+        """
+        from ..spec import MAX_QUERY_TERMS
+
+        must = [t for t in (must or []) if t]
+        should = [t for t in (should or []) if t]
+        must_not = [t for t in (must_not or []) if t]
+        scoring = list(dict.fromkeys(must + should))[:MAX_QUERY_TERMS]
+        if not scoring or self.doc_count == 0 or self.avg_doc_len <= 0:
+            return []
+        all_terms = list(dict.fromkeys(scoring + must + must_not))
+        chunks_by_term = self.term_chunks(all_terms)
+
+        def term_docs(term: str) -> np.ndarray:
+            from ..index.codec import decode_chunk
+
+            chunks = chunks_by_term.get(term, [])
+            if not chunks:
+                return np.zeros(0, dtype=np.uint64)
+            docs = np.concatenate([decode_chunk(c)[0] for c in chunks])
+            docs.sort()  # chunk lists are gen-then-salt ordered, not global
+            return docs
+
+        for t in must:
+            if not chunks_by_term.get(t):
+                return []  # a must term absent from the corpus matches nothing
+        doc_ids, scores = self._exact_scores(scoring, chunks_by_term)
+        if doc_ids.size == 0:
+            return []
+        keep = np.ones(doc_ids.size, dtype=bool)
+        for t in dict.fromkeys(must):
+            members = term_docs(t)
+            idx = np.searchsorted(members, doc_ids)
+            idx[idx >= members.size] = members.size - 1
+            keep &= members.size > 0
+            keep &= members[idx] == doc_ids
+        for t in dict.fromkeys(must_not):
+            members = term_docs(t)
+            if members.size == 0:
+                continue
+            idx = np.searchsorted(members, doc_ids)
+            idx[idx >= members.size] = members.size - 1
+            keep &= members[idx] != doc_ids
+        if not keep.any():
+            return []
+        return self._top_k(doc_ids[keep], scores[keep], k)
+
     # -- hybrid (RRF fusion with a dense ranking) --------------------------
     def search_hybrid(
         self,
