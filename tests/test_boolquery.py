@@ -56,6 +56,48 @@ def test_boolean_filters_hot_terms(built_index, oracle_1k):
     assert [d for d, _ in got] == [d for d, _ in exp]
 
 
+def test_prefix_expansion_and_search(built_index, oracle_1k):
+    import pytest as _pytest
+
+    out, _ = built_index
+    s = Searcher(out)
+    # every generation of the shared index carries a term dictionary
+    assert any(
+        g.get("termdict") for gens in s._wave_gens.values() for g in gens
+    )
+    exp_vocab = sorted(
+        t for t in oracle_1k.postings if t.startswith("needledf")
+    )
+    assert s.expand_prefix("needledf") == exp_vocab
+    assert s.expand_prefix("qqqzzzabsent") == []
+    with _pytest.raises(ValueError):
+        s.expand_prefix("")
+    # deterministic lexicographic truncation
+    assert s.expand_prefix("needledf", max_terms=2) == exp_vocab[:2]
+
+    from vexor_ray.refimpl import bm25 as refbm25
+
+    got = s.search_prefix("needledf", k=15, max_terms=None)
+    scores = refbm25.score_postings(
+        exp_vocab, oracle_1k.postings, oracle_1k.doc_count, oracle_1k.avg_doc_len
+    )
+    exp = refbm25.top_k(scores, 15)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_prefix_legacy_fallback_scan(built_index):
+    """Indexes without dictionaries scan segment term columns instead."""
+    out, _ = built_index
+    s = Searcher(out)
+    want = s.expand_prefix("needledf")
+    for gens in s._wave_gens.values():
+        for g in gens:
+            g["termdict"] = []
+    assert s.expand_prefix("needledf") == want
+
+
 def _near_oracle(pos_corpus, a, b, window):
     out = {}
     for did, toks in pos_corpus.items():

@@ -1025,11 +1025,76 @@ def build_index(
         ctx.shuffle_strategy = prev_strategy
         ctx.max_hash_shuffle_aggregators = prev_max_agg
 
+    # ---- term dictionary sidecar (one per segments generation) ------------
+    # Sorted distinct (term, df) rows: prefix/wildcard expansion needs
+    # lexicographic access that the th-hash-keyed segment layout cannot
+    # provide (hashing destroys term order).  Vocabulary-sized, not
+    # postings-sized — a driver-side columnar aggregate per generation —
+    # and committed under the same attempt-dir + record protocol, so a
+    # killed build resumes past completed dictionaries.
+    for rec in list(manifest.load_partitions().values()):
+        if rec.stage != "segments":
+            continue
+        pid = rec.partition_id
+        td_fp = hashlib.sha1("|".join(sorted(rec.output_files)).encode()).hexdigest()
+        if manifest.is_done("termdict", pid, td_fp):
+            tdrec = manifest.load_partitions()[f"termdict--{pid}"]
+            keep = {d.rsplit("/", 1)[-1] for d in _record_dirs(tdrec)}
+            gc_stale_attempts(store, "termdict", pid, keep)
+            continue
+        t0 = time.perf_counter()
+        out_files: list[str] = []
+        dirname = None
+        if rec.output_files:
+            parts = [
+                _open_pq(f, store.fs).read(columns=["term", "n_postings"])
+                for f in rec.output_files
+            ]
+            tbl = pa.concat_tables(parts)
+            agg = pa.TableGroupBy(tbl, "term").aggregate([("n_postings", "sum")])
+            agg = agg.sort_by("term")
+            dict_tbl = pa.table(
+                {
+                    "term": agg.column("term"),
+                    "df": pc.cast(agg.column("n_postings_sum"), pa.uint64()),
+                }
+            )
+            dirname = attempt_dir(pid)
+            store.mkdirs("termdict", dirname)
+            dest = f"{store.path('termdict', dirname)}/dict.parquet"
+            pq.write_table(
+                dict_tbl, dest, filesystem=store.fs, row_group_size=8192
+            )
+            out_files = store.list_files("termdict", dirname, suffix=".parquet")
+        manifest.commit_partition(
+            PartitionRecord(
+                stage="termdict",
+                partition_id=pid,
+                input_fingerprint=td_fp,
+                output_files=out_files,
+                metrics={
+                    "terms": int(dict_tbl.num_rows) if out_files else 0,
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                },
+                lineage={
+                    "wave": rec.lineage.get("wave"),
+                    "gen": rec.lineage.get("gen", 0),
+                },
+            )
+        )
+        if dirname is not None:
+            gc_stale_attempts(store, "termdict", pid, {dirname})
+
     # ---- finalize ----------------------------------------------------------
     # waves        — flat file lists (all generations), for simple consumers;
     # wave_gens    — per-wave generation list in ascending gen order with the
     #                file-index coverage + encode-time avgdl the query layer
     #                needs to drop superseded chunks and rescale WAND bounds
+    termdict_by_pid = {
+        rec.partition_id: rec.output_files
+        for rec in manifest.load_partitions().values()
+        if rec.stage == "termdict"
+    }
     wave_gens: dict[int, list[dict]] = {}
     for rec in manifest.load_partitions().values():
         if rec.stage == "segments":
@@ -1047,6 +1112,7 @@ def build_index(
                     "th_bounds": _th_bounds(rec.output_files, store.fs),
                     "covers_files": rec.lineage.get("covers_files", []),
                     "avgdl": rec.lineage.get("avgdl", avg_doc_len),
+                    "termdict": termdict_by_pid.get(rec.partition_id, []),
                 }
             )
     for w, gens in wave_gens.items():

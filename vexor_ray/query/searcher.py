@@ -201,6 +201,7 @@ class Searcher:
                             if avgdl_gen > 0
                             else 1.0
                         ),
+                        "termdict": list(g.get("termdict", [])),
                     }
                 )
             if out:
@@ -887,6 +888,63 @@ class Searcher:
             )
             off += n
         return parts
+
+    def expand_prefix(self, prefix: str, max_terms: int | None = None) -> list[str]:
+        """Sorted corpus terms starting with ``prefix``.
+
+        Reads the per-generation term-dictionary sidecars (sorted by term,
+        so the range predicate prunes parquet row groups); legacy indexes
+        without dictionaries fall back to a columnar scan of the segment
+        ``term`` column (correct, unpruned).  Terms whose postings were
+        fully superseded by later generations may appear — they score
+        exactly 0 downstream, so expansion stays correct.
+
+        ``max_terms``: truncate lexicographically (deterministic) — the
+        guard against a one-letter prefix expanding to the whole vocabulary.
+        """
+        if not prefix:
+            raise ValueError("empty prefix would expand to the whole vocabulary")
+        hi = prefix + chr(0x10FFFF)
+        flt = (pc.field("term") >= prefix) & (pc.field("term") < hi)
+        dict_files = [
+            f
+            for gens in self._wave_gens.values()
+            for g in gens
+            for f in g.get("termdict", [])
+        ]
+        if dict_files:
+            tbl = pads.dataset(dict_files, filesystem=self._fs).to_table(
+                columns=["term"], filter=flt
+            )
+        else:
+            seg_files = [
+                f
+                for gens in self._wave_gens.values()
+                for g in gens
+                for f in g["files"]
+            ]
+            tbl = pads.dataset(seg_files, filesystem=self._fs).to_table(
+                columns=["term"], filter=flt
+            )
+        terms = sorted(set(tbl.column("term").to_pylist()))
+        if max_terms is not None and len(terms) > max_terms:
+            terms = terms[:max_terms]
+        return terms
+
+    def search_prefix(
+        self, prefix: str, k: int = 10, max_terms: int | None = 1024
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k treating every term with the given prefix as a query
+        term (wildcard ``prefix*`` — beyond-reference: the reference can
+        only score literal query tokens).  Scoring is the exact scorer over
+        the expanded term list in lexicographic order, so results are
+        deterministic and SQL-checkable."""
+        terms = self.expand_prefix(prefix, max_terms)
+        if not terms or self.doc_count == 0 or self.avg_doc_len <= 0:
+            return []
+        chunks_by_term = self.term_chunks(terms)
+        doc_ids, scores = self._exact_scores(terms, chunks_by_term)
+        return self._top_k(doc_ids, scores, k)
 
     def search_boolean(
         self,
