@@ -98,6 +98,62 @@ def test_prefix_legacy_fallback_scan(built_index):
     assert s.expand_prefix("needledf") == want
 
 
+def _lev(a: str, b: str) -> int:
+    """Textbook Levenshtein (dynamic programming), the test's ground truth."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_expansion_and_search(built_index, oracle_1k):
+    out, _ = built_index
+    s = Searcher(out)
+    vocab = list(oracle_1k.postings)
+    # edit-distance-1 membership matches the DP ground truth over the vocab
+    for probe in ["needledften", "htmk", "bodyy", "xyzzyqq", "a"]:
+        exp = sorted(t for t in vocab if _lev(probe, t) <= 1)
+        assert s.expand_fuzzy(probe) == exp, probe
+
+    # the linear edit-1 check agrees with DP on adversarial pairs
+    for a, b in [
+        ("abc", "abc"), ("abc", "abd"), ("abc", "ab"), ("abc", "abcd"),
+        ("abc", "bc"), ("abc", "acb"), ("ab", "ba"), ("aaa", "aba"),
+        ("abcd", "abdc"), ("x", ""), ("", ""), ("abab", "bab"),
+    ]:
+        assert Searcher._within_edit1(a, b) == (_lev(a, b) <= 1), (a, b)
+
+    # typo query scores the expanded union exactly like the oracle math
+    from vexor_ray.refimpl import bm25 as refbm25
+
+    probe = "needledftem"  # 1 edit from needledften
+    exp_terms = sorted(t for t in vocab if _lev(probe, t) <= 1)
+    assert exp_terms  # the corpus needle is reachable
+    got = s.search_fuzzy(probe, k=15, max_terms_per_token=None)
+    scores = refbm25.score_postings(
+        exp_terms, oracle_1k.postings, oracle_1k.doc_count, oracle_1k.avg_doc_len
+    )
+    exp = refbm25.top_k(scores, 15)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_suggest_prefers_common_terms(built_index, oracle_1k):
+    out, _ = built_index
+    s = Searcher(out)
+    # "htmk" is 1 edit from "html" (every page) — the obvious correction
+    assert s.suggest("htmk") == "html"
+    # an exact vocabulary term suggests itself (df dominates its typos)
+    assert s.suggest("html") == "html"
+    assert s.suggest("qzqzqzqz") is None
+
+
 def _near_oracle(pos_corpus, a, b, window):
     out = {}
     for did, toks in pos_corpus.items():

@@ -228,6 +228,26 @@ def prefix_topk_table(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
     )
 
 
+def fuzzy_topk_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
+    """Typo-tolerant BM25 top-k: every query token expands to corpus terms
+    within Levenshtein distance 1 (uncapped — mirrors the SQL twin), with
+    the rounding-stable ranking of ``bm25_topk_table``."""
+    s = DocumentsSearcher(sf_dir)
+    res = s.searcher.search_fuzzy(
+        query, k=s.searcher.doc_count, max_terms_per_token=None
+    )
+    pairs = [(d, round(sc, 6)) for d, sc in s._to_orig(res)]
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    pairs = pairs[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "score": pa.array([p[1] for p in pairs], type=pa.float64()),
+            "rank": pa.array(range(1, len(pairs) + 1), type=pa.int32()),
+        }
+    )
+
+
 class DocumentsSearcher:
     """Searcher over the documents corpus, reporting ORIGINAL doc_ids.
 

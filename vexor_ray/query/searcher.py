@@ -946,6 +946,114 @@ class Searcher:
         doc_ids, scores = self._exact_scores(terms, chunks_by_term)
         return self._top_k(doc_ids, scores, k)
 
+    def _dictionary_terms(self, nlen_range: tuple[int, int] | None = None):
+        """(terms, dfs) from the term-dictionary sidecars (or the segment
+        scan fallback), deduped with dfs summed across generations."""
+        dict_files = [
+            f
+            for gens in self._wave_gens.values()
+            for g in gens
+            for f in g.get("termdict", [])
+        ]
+        if dict_files:
+            files, cols = dict_files, ["term", "df"]
+        else:
+            files = [
+                f
+                for gens in self._wave_gens.values()
+                for g in gens
+                for f in g["files"]
+            ]
+            cols = ["term", "n_postings"]
+        tbl = pads.dataset(files, filesystem=self._fs).to_table(columns=cols)
+        terms = tbl.column(cols[0]).to_pylist()
+        dfs = tbl.column(cols[1]).to_numpy()
+        agg: dict[str, int] = {}
+        for t, d in zip(terms, dfs):
+            if nlen_range is not None and not (
+                nlen_range[0] <= len(t) <= nlen_range[1]
+            ):
+                continue
+            agg[t] = agg.get(t, 0) + int(d)
+        return agg
+
+    @staticmethod
+    def _within_edit1(a: str, b: str) -> bool:
+        """True iff levenshtein(a, b) <= 1 (linear two-pointer check)."""
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        # a is shorter by one: one skip allowed in b
+        i = j = 0
+        skipped = False
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            elif skipped:
+                return False
+            else:
+                skipped = True
+                j += 1
+        return True
+
+    def expand_fuzzy(self, term: str, max_terms: int | None = None) -> list[str]:
+        """Corpus terms within Levenshtein distance 1 of ``term``, sorted.
+
+        Dictionary-driven: candidates are pre-filtered to length ±1, then
+        checked with a linear edit-distance-1 test.  The per-candidate
+        Python loop is vocabulary-scale (never postings-scale); at extreme
+        vocabularies a length+first-char-bucketed dictionary layout would
+        prune further — documented trade-off, not needed at current sizes.
+        ``max_terms`` keeps the highest-df candidates (deterministic tie:
+        term ascending) — close typos of common words beat rare noise.
+        """
+        if not term:
+            raise ValueError("empty term")
+        cand = self._dictionary_terms((len(term) - 1, len(term) + 1))
+        hits = [t for t in cand if self._within_edit1(term, t)]
+        hits.sort()
+        if max_terms is not None and len(hits) > max_terms:
+            hits = sorted(
+                hits, key=lambda t: (-cand[t], t)
+            )[:max_terms]
+            hits.sort()
+        return hits
+
+    def suggest(self, term: str) -> str | None:
+        """Spell-suggestion: the highest-df term within edit distance 1
+        (the term itself wins when present — df order, tie term asc)."""
+        cand = self._dictionary_terms((len(term) - 1, len(term) + 1))
+        best = None
+        for t in cand:
+            if self._within_edit1(term, t):
+                key = (-cand[t], t)
+                if best is None or key < best[0]:
+                    best = (key, t)
+        return best[1] if best else None
+
+    def search_fuzzy(
+        self, query: str, k: int = 10, max_terms_per_token: int | None = 8
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k where every query token is expanded to its corpus
+        terms within edit distance 1 (typo-tolerant retrieval —
+        beyond-reference).  The expanded union is scored by the exact
+        scorer in lexicographic order (deterministic, SQL-checkable)."""
+        tokens = self.preprocess_query(query)
+        expanded: set[str] = set()
+        for t in tokens:
+            expanded.update(self.expand_fuzzy(t, max_terms_per_token))
+        terms = sorted(expanded)
+        if not terms or self.doc_count == 0 or self.avg_doc_len <= 0:
+            return []
+        chunks_by_term = self.term_chunks(terms)
+        doc_ids, scores = self._exact_scores(terms, chunks_by_term)
+        return self._top_k(doc_ids, scores, k)
+
     def search_boolean(
         self,
         must: list[str] | None = None,
