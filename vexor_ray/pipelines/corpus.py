@@ -248,6 +248,42 @@ def fuzzy_topk_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     )
 
 
+def snippets_table(sf_dir: str, query: str, k: int = 10, width: int = 80) -> pa.Table:
+    """Top-k hits with query-aware KWIC snippets (rounding-stable ranking).
+
+    Text is fetched via lineage-pruned reads of the pages shards the index
+    was built from (``query/snippets.fetch_texts``), so the cost is O(k)
+    regardless of corpus size; snippet semantics are substring-find based
+    and reproduced exactly by the SQL twin's ``strpos`` + ``substr``.
+    """
+    from ..query.snippets import fetch_texts, kwic_snippet
+
+    s = DocumentsSearcher(sf_dir)
+    pairs = [(d, round(sc, 6)) for d, sc in s.searcher.search(
+        query, k=s.searcher.doc_count, method="exact"
+    )]
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    pairs = pairs[:k]
+    internal = [d for d, _ in pairs]
+    texts = fetch_texts(s.searcher, internal)
+    terms = s.searcher.preprocess_query(query)
+    urls = s.searcher.lookup_urls(internal)
+    positions, snips = [], []
+    for d in internal:
+        got = kwic_snippet(texts.get(d, ""), terms, width=width, mark=False)
+        pos, snip = got if got else (0, "")
+        positions.append(pos)
+        snips.append(snip)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(urls[d]) for d in internal], type=pa.int64()),
+            "rank": pa.array(range(1, len(internal) + 1), type=pa.int32()),
+            "pos": pa.array(positions, type=pa.int64()),
+            "snippet": pa.array(snips, type=pa.string()),
+        }
+    )
+
+
 class DocumentsSearcher:
     """Searcher over the documents corpus, reporting ORIGINAL doc_ids.
 
