@@ -15,6 +15,7 @@ from vexor_ray.index.positions import (
     decode_position_chunk,
     encode_position_runs,
 )
+from vexor_ray.fixtures.pages import write_pages
 from vexor_ray.spec import TOKEN_PATTERN
 
 _TOK = re.compile(TOKEN_PATTERN)
@@ -137,7 +138,49 @@ def test_positions_resume(ray_session, pages_1k, tmp_path_factory):
     )
     man = build_positions_index(pages_1k, out, cfg2)
     done = {p["partition_id"] for p in man["partitions"] if p["stage"] == "positions"}
-    assert done == {"wave-0000", "wave-0001"}
+    assert done == {"wave-0000-gen-0000", "wave-0001-gen-0000"}
     idx = PositionsIndex(out)
     got = idx.phrase_occurrences("body html")  # "</body></html>" wrapper
     assert got.num_rows > 0
+
+
+def test_positions_incremental_delta_generation(ray_session, tmp_path_factory):
+    """Changing one shard appends a small delta generation per wave; query
+    results stay exactly equal to a from-scratch build over the new corpus."""
+    import pyarrow.parquet as pq
+
+    from vexor_ray.fixtures.pages import generate_pages
+
+    tmp = tmp_path_factory.mktemp("pos_incr")
+    pages = write_pages(tmp / "pages", 400, seed=42, rows_per_file=100)
+
+    def cfg():
+        return PositionsConfig(
+            shard_group_size=1, num_waves=2, tokenize_concurrency=2
+        )
+
+    idx_dir = tmp / "idx"
+    build_positions_index(pages, idx_dir, cfg())
+
+    shards = sorted(pages.glob("part-*.parquet"))
+    other = generate_pages(120, seed=77)
+    pq.write_table(other.slice(40, 60), shards[2])
+    man = build_positions_index(pages, idx_dir, cfg())
+
+    for w, gens in man["pos_wave_gens"].items():
+        assert [g["gen"] for g in gens] == [0, 1], w
+        assert gens[1]["covers_files"] == [2], w
+
+    fresh_dir = tmp / "idx_fresh"
+    build_positions_index(pages, fresh_dir, cfg())
+    inc, fresh = PositionsIndex(idx_dir), PositionsIndex(fresh_dir)
+    n_nonempty = 0
+    for ph in ["body html", "head title", "title example", "batch batch"]:
+        a = inc.phrase_occurrences(ph).to_pydict()
+        b = fresh.phrase_occurrences(ph).to_pydict()
+        assert a == b, ph
+        n_nonempty += bool(a["doc_id"])
+        na = inc.near_occurrences(*ph.split()[:2], 10).to_pydict()
+        nb = fresh.near_occurrences(*ph.split()[:2], 10).to_pydict()
+        assert na == nb, ph
+    assert n_nonempty >= 2

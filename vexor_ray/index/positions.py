@@ -306,16 +306,24 @@ def build_positions_index(
         f"{cfg.tokenizer}|{cfg.token_pattern}|{cfg.text_only}|pos".encode()
     ).hexdigest()
     parts_files: list[str] = []
+    group_fp_now: dict[str, str] = {}
+    group_parts: dict[str, list[str]] = {}
+    group_file_idx: dict[str, list[int]] = {}
     for gi, group in enumerate(groups):
         pid = f"group-{gi:05d}"
         fp = hashlib.sha1(
             (file_fingerprint(group, src_fs) + tok_fp).encode()
         ).hexdigest()
+        group_fp_now[pid] = fp
+        group_file_idx[pid] = list(
+            range(gi * cfg.shard_group_size, gi * cfg.shard_group_size + len(group))
+        )
         if manifest.is_done("pos_tok", pid, fp):
             rec = manifest.load_partitions()[f"pos_tok--{pid}"]
             keep = {d.rsplit("/", 1)[-1] for d in _record_dirs(rec)}
             gc_stale_attempts(store, "pos_tok", pid, keep)
             parts_files.extend(rec.output_files)
+            group_parts[pid] = list(rec.output_files)
             continue
         t0 = time.perf_counter()
         read_cols = ["url", "text"] if cfg.pre_extracted else ["url", "html"]
@@ -364,26 +372,56 @@ def build_positions_index(
         )
         gc_stale_attempts(store, "pos_tok", pid, {dirname})
         parts_files.extend(out_files)
+        group_parts[pid] = list(out_files)
 
     # ---- stage 2: explode → sorted exchange → encode, per wave -------------
-    waves: dict[int, list[str]] = {}
-    th_bounds: dict[int, list[list[int]]] = {}
-    ckpt_fp = hashlib.sha1("|".join(sorted(parts_files)).encode()).hexdigest()
+    # GENERATIONS (the BM25 build's incremental shape, simplified — no
+    # global stats, so no avgdl rescale): a changed shard group appends a
+    # small delta generation per wave covering only its files; the query
+    # layer drops chunks whose file index was re-indexed by a later
+    # generation (salt ranges nest inside file docID ranges, so supersede is
+    # exact at chunk granularity).  Shrinking the input file set forces a
+    # full rebuild (same contract as the BM25 path).
+    recs = manifest.load_partitions()
     for wave in range(max(1, cfg.num_waves)):
-        pid = f"wave-{wave:04d}"
-        wave_fp = hashlib.sha1(f"{ckpt_fp}|{cfg.salt_shift}|{wave}".encode()).hexdigest()
-        if manifest.is_done("positions", pid, wave_fp):
-            rec = manifest.load_partitions()[f"positions--{pid}"]
-            keep = {d.rsplit("/", 1)[-1] for d in _record_dirs(rec)}
-            gc_stale_attempts(store, "positions", pid, keep)
-            waves[wave] = rec.output_files
-            th_bounds[wave] = rec.lineage.get("th_bounds") or _th_bounds(
-                rec.output_files, store.fs
+        # prior generations whose files all still exist, ascending
+        prior: list[tuple[int, PartitionRecord]] = []
+        for key, rec in recs.items():
+            if rec.stage != "positions" or rec.lineage.get("wave") != wave:
+                continue
+            if all(store.exists_abs(f) for f in rec.output_files):
+                prior.append((int(rec.lineage.get("gen", 0)), rec))
+        prior.sort()
+        known_fps: dict[str, str] = {}
+        for _, rec in prior:
+            known_fps.update(rec.lineage.get("group_fps", {}))
+        shrunk = any(p not in group_fp_now for p in known_fps)
+        if shrunk or not prior:
+            dirty = sorted(group_fp_now)
+            next_gen = 0
+        else:
+            dirty = sorted(
+                p for p, fp in group_fp_now.items() if known_fps.get(p) != fp
             )
+            next_gen = prior[-1][0] + 1
+        if prior and not dirty and not shrunk:
+            for _, rec in prior:
+                keep = {d.rsplit("/", 1)[-1] for d in _record_dirs(rec)}
+                gc_stale_attempts(store, "positions", rec.partition_id, keep)
             continue
+        if next_gen == 0:
+            # full rebuild supersedes everything: drop stale records so the
+            # finalize below only sees the live generation
+            for _, rec in prior:
+                manifest.delete_partition(rec.key())
+        pid = f"wave-{wave:04d}-gen-{next_gen:04d}"
+        dirty_files = sorted(f for p in dirty for f in group_parts[p])
+        gen_fp = hashlib.sha1(
+            ("|".join(dirty_files) + f"|{cfg.salt_shift}|{wave}").encode()
+        ).hexdigest()
         t0 = time.perf_counter()
         ds = ray.data.read_parquet(
-            sorted(parts_files),
+            dirty_files,
             override_num_blocks=cfg.partitions_per_wave * 2,
             filesystem=store.fs,
         )
@@ -417,26 +455,59 @@ def build_positions_index(
             PartitionRecord(
                 stage="positions",
                 partition_id=pid,
-                input_fingerprint=wave_fp,
+                input_fingerprint=gen_fp,
                 output_files=out_files,
                 metrics={
                     "chunk_rows": _parquet_rows(out_files, store.fs),
                     "wall_s": round(time.perf_counter() - t0, 3),
                 },
-                lineage={"wave": wave, "th_bounds": bounds},
+                lineage={
+                    "wave": wave,
+                    "gen": next_gen,
+                    "th_bounds": bounds,
+                    "group_fps": {p: group_fp_now[p] for p in dirty},
+                    "covers_files": sorted(
+                        fi for p in dirty for fi in group_file_idx[p]
+                    ),
+                },
             )
         )
         gc_stale_attempts(store, "positions", pid, {dirname})
-        waves[wave] = out_files
-        th_bounds[wave] = bounds
 
+    # ---- finalize: per-wave generation lists (live suffix) -----------------
+    wave_gens: dict[int, list[dict]] = {}
+    for rec in manifest.load_partitions().values():
+        if rec.stage != "positions":
+            continue
+        wave_gens.setdefault(rec.lineage.get("wave", 0), []).append(
+            {
+                "gen": int(rec.lineage.get("gen", 0)),
+                "files": rec.output_files,
+                "th_bounds": rec.lineage.get("th_bounds")
+                or _th_bounds(rec.output_files, store.fs),
+                "covers_files": rec.lineage.get("covers_files", []),
+            }
+        )
+    for w in wave_gens:
+        wave_gens[w].sort(key=lambda g: g["gen"])
     return manifest.finalize(
         config=cfg.public_dict(),
         stats={"n_files": len(files)},
         extra={
             "kind": "positions",
-            "pos_waves": {str(w): f for w, f in waves.items()},
-            "pos_th_bounds": {str(w): b for w, b in th_bounds.items()},
+            # flat lists kept for older readers; generation-aware readers
+            # use pos_wave_gens + the supersede rule
+            "pos_waves": {
+                str(w): [f for g in gens for f in g["files"]]
+                for w, gens in sorted(wave_gens.items())
+            },
+            "pos_th_bounds": {
+                str(w): [b for g in gens for b in g["th_bounds"]]
+                for w, gens in sorted(wave_gens.items())
+            },
+            "pos_wave_gens": {
+                str(w): gens for w, gens in sorted(wave_gens.items())
+            },
             "input_files": files,
         },
     )
@@ -457,12 +528,45 @@ class PositionsIndex:
         self._tokenize = make_tokenizer(
             cfg.get("tokenizer", "regex"), cfg.get("token_pattern")
         )
-        self._waves = {
-            int(w): f for w, f in self.manifest["pos_waves"].items()
-        }
-        self._bounds = {
-            int(w): b for w, b in self.manifest.get("pos_th_bounds", {}).items()
-        }
+        self.salt_shift = int(cfg.get("salt_shift", DEFAULT_SALT_SHIFT))
+        raw_gens = self.manifest.get("pos_wave_gens")
+        if raw_gens is None:  # legacy single-generation sidecars
+            raw_gens = {
+                w: [
+                    {
+                        "gen": 0,
+                        "files": fls,
+                        "th_bounds": self.manifest.get("pos_th_bounds", {}).get(
+                            w, []
+                        ),
+                        "covers_files": [],
+                    }
+                ]
+                for w, fls in self.manifest["pos_waves"].items()
+            }
+        # per-wave ascending generations with the set of file indices a
+        # LATER generation re-indexed (chunks from those are superseded)
+        self._wave_gens: dict[int, list[dict]] = {}
+        for w, gens in raw_gens.items():
+            gens = sorted(gens, key=lambda g: g["gen"])
+            out = []
+            for i, g in enumerate(gens):
+                if not g["files"]:
+                    continue
+                superseded: set[int] = set()
+                for g2 in gens[i + 1 :]:
+                    superseded.update(g2.get("covers_files", []))
+                out.append(
+                    {
+                        "files": list(g["files"]),
+                        "th_bounds": g.get("th_bounds", []),
+                        "superseded": np.array(
+                            sorted(superseded), dtype=np.uint64
+                        ),
+                    }
+                )
+            if out:
+                self._wave_gens[int(w)] = out
         self._chunk_cache: dict[str, list[dict]] = {}
 
     def term_chunks(self, terms: list[str]) -> dict[str, list[dict]]:
@@ -481,38 +585,55 @@ class PositionsIndex:
             ).append(i)
         found: dict[str, list[dict]] = {t: [] for t in missing}
         for w, idxs in by_wave.items():
-            files = self._waves.get(w, [])
-            bounds = self._bounds.get(w)
             w_ths = ths[idxs]
-            if bounds and len(bounds) == len(files):
-                files = [
-                    f
-                    for f, (lo, hi) in zip(files, bounds)
-                    if ((w_ths >= np.uint64(lo)) & (w_ths <= np.uint64(hi))).any()
-                ]
-            if not files:
-                continue
             w_terms = [missing[i] for i in idxs]
             flt = pc.field("th").isin(pa.array(w_ths, type=pa.uint64())) & pc.field(
                 "term"
             ).isin(w_terms)
-            tbl = pads.dataset(files, filesystem=self._store.fs).to_table(filter=flt)
-            tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
-            tbl = tbl.combine_chunks()
-            if tbl.num_rows == 0:
-                continue
-            cols = {name: tbl.column(name).chunk(0) for name in tbl.column_names}
-            t_terms = cols["term"].to_pylist()
-            for i in range(tbl.num_rows):
-                found[t_terms[i]].append(
-                    {
-                        "salt": int(cols["salt"][i].as_py()),
-                        "n_postings": int(cols["n_postings"][i].as_py()),
-                        "doc_blob": memoryview(cols["doc_blob"][i].as_buffer()),
-                        "cnt_blob": memoryview(cols["cnt_blob"][i].as_buffer()),
-                        "pos_blob": memoryview(cols["pos_blob"][i].as_buffer()),
-                    }
+            for gen in self._wave_gens.get(w, []):
+                files = gen["files"]
+                bounds = gen["th_bounds"]
+                if bounds and len(bounds) == len(files):
+                    files = [
+                        f
+                        for f, (lo, hi) in zip(files, bounds)
+                        if ((w_ths >= np.uint64(lo)) & (w_ths <= np.uint64(hi))).any()
+                    ]
+                if not files:
+                    continue
+                tbl = pads.dataset(files, filesystem=self._store.fs).to_table(
+                    filter=flt
                 )
+                if tbl.num_rows and gen["superseded"].size:
+                    file_idx = pc.shift_right(
+                        tbl.column("salt"),
+                        pa.scalar(32 - self.salt_shift, pa.uint64()),
+                    )
+                    keep = np.isin(
+                        file_idx.to_numpy(zero_copy_only=False),
+                        gen["superseded"],
+                        invert=True,
+                    )
+                    if not keep.all():
+                        tbl = tbl.filter(pa.array(keep))
+                tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
+                tbl = tbl.combine_chunks()
+                if tbl.num_rows == 0:
+                    continue
+                cols = {
+                    name: tbl.column(name).chunk(0) for name in tbl.column_names
+                }
+                t_terms = cols["term"].to_pylist()
+                for i in range(tbl.num_rows):
+                    found[t_terms[i]].append(
+                        {
+                            "salt": int(cols["salt"][i].as_py()),
+                            "n_postings": int(cols["n_postings"][i].as_py()),
+                            "doc_blob": memoryview(cols["doc_blob"][i].as_buffer()),
+                            "cnt_blob": memoryview(cols["cnt_blob"][i].as_buffer()),
+                            "pos_blob": memoryview(cols["pos_blob"][i].as_buffer()),
+                        }
+                    )
         for t in missing:
             self._chunk_cache[t] = found[t]
             out[t] = found[t]
