@@ -184,3 +184,19 @@ def test_positions_incremental_delta_generation(ray_session, tmp_path_factory):
         nb = fresh.near_occurrences(*ph.split()[:2], 10).to_pydict()
         assert na == nb, ph
     assert n_nonempty >= 2
+
+    # compaction: one FULL generation per wave, results unchanged, the
+    # fragmented generations' records and directories gone
+    from vexor_ray.index.positions import compact_positions_index
+
+    man2 = compact_positions_index(pages, idx_dir)
+    for w, gens in man2["pos_wave_gens"].items():
+        assert len(gens) == 1 and gens[0]["full"], w
+    live = {f for gens in man2["pos_wave_gens"].values() for g in gens for f in g["files"]}
+    on_disk = {str(f) for f in (idx_dir / "positions").rglob("*.parquet")}
+    assert on_disk == live
+    comp = PositionsIndex(idx_dir)
+    for ph in ["body html", "head title", "batch batch"]:
+        assert comp.phrase_occurrences(ph).to_pydict() == fresh.phrase_occurrences(
+            ph
+        ).to_pydict(), ph

@@ -266,6 +266,7 @@ def build_positions_index(
     out_dir: str | Path | Store,
     cfg: PositionsConfig | None = None,
     *,
+    compact: bool = False,
     filesystem=None,
     source_filesystem=None,
 ) -> dict:
@@ -399,6 +400,13 @@ def build_positions_index(
         if shrunk or not prior:
             dirty = sorted(group_fp_now)
             next_gen = 0
+        elif compact and len(prior) > 1:
+            # compaction: a NEW generation covering every group supersedes
+            # the fragmented history; the old generations stay on disk (and
+            # the previously committed manifest stays valid) until
+            # compact_positions_index GCs them after the new commit
+            dirty = sorted(group_fp_now)
+            next_gen = prior[-1][0] + 1
         else:
             dirty = sorted(
                 p for p, fp in group_fp_now.items() if known_fps.get(p) != fp
@@ -464,6 +472,7 @@ def build_positions_index(
                 lineage={
                     "wave": wave,
                     "gen": next_gen,
+                    "full": next_gen == 0 or set(dirty) == set(group_fp_now),
                     "th_bounds": bounds,
                     "group_fps": {p: group_fp_now[p] for p in dirty},
                     "covers_files": sorted(
@@ -482,6 +491,9 @@ def build_positions_index(
         wave_gens.setdefault(rec.lineage.get("wave", 0), []).append(
             {
                 "gen": int(rec.lineage.get("gen", 0)),
+                "full": bool(
+                    rec.lineage.get("full") or rec.lineage.get("gen", 0) == 0
+                ),
                 "files": rec.output_files,
                 "th_bounds": rec.lineage.get("th_bounds")
                 or _th_bounds(rec.output_files, store.fs),
@@ -490,6 +502,13 @@ def build_positions_index(
         )
     for w in wave_gens:
         wave_gens[w].sort(key=lambda g: g["gen"])
+        # generations older than the newest FULL one are fully superseded:
+        # expose only the live suffix (stale dirs/records are GC'd by
+        # compact_positions_index AFTER this manifest commits)
+        base = max(
+            (i for i, g in enumerate(wave_gens[w]) if g["full"]), default=0
+        )
+        wave_gens[w] = wave_gens[w][base:]
     return manifest.finalize(
         config=cfg.public_dict(),
         stats={"n_files": len(files)},
@@ -511,6 +530,63 @@ def build_positions_index(
             "input_files": files,
         },
     )
+
+
+def compact_positions_index(
+    source: str | Path | list | Store,
+    out_dir: str | Path | Store,
+    cfg: PositionsConfig | None = None,
+    *,
+    filesystem=None,
+    source_filesystem=None,
+) -> dict:
+    """Merge a fragmented positional generation history back into one FULL
+    generation per wave, crash-safely (the ``compact_index`` protocol):
+    the compaction generation commits through the normal build path — the
+    previously committed manifest stays valid until the pointer swap — and
+    only AFTER the new manifest commits are the superseded generations'
+    records and attempt directories deleted.  Tokenized-position
+    checkpoints are reused, so tokenization is not repeated."""
+    from .build import _record_dirs
+
+    store = Store.resolve(out_dir, filesystem)
+    if cfg is None:
+        recorded = dict(load_manifest(store)["config"])
+        cfg = PositionsConfig(**recorded)
+    result = build_positions_index(
+        source, store, cfg, compact=True, source_filesystem=source_filesystem
+    )
+
+    manifest = BuildManifest(store)
+    by_wave: dict[int, list] = {}
+    for rec in manifest.load_partitions().values():
+        if rec.stage == "positions":
+            by_wave.setdefault(rec.lineage.get("wave"), []).append(rec)
+    removed = False
+    for recs in by_wave.values():
+        recs.sort(key=lambda r: r.lineage.get("gen", 0))
+        base = 0
+        for i, r in enumerate(recs):
+            if r.lineage.get("full") or r.lineage.get("gen", 0) == 0:
+                base = i
+        for r in recs[:base]:
+            # record first (a half-done GC never resurrects the gen)
+            manifest.delete_partition(r.key())
+            for d in _record_dirs(r):
+                store.delete_dir_abs(d)
+            removed = True
+    if removed:
+        man = load_manifest(store)
+        result = manifest.finalize(
+            config=man["config"],
+            stats=man["stats"],
+            extra={
+                k: man[k]
+                for k in man
+                if k not in ("format_version", "config", "stats", "partitions")
+            },
+        )
+    return result
 
 
 class PositionsIndex:
