@@ -189,6 +189,55 @@ def test_impact_method_requires_layout(built_index):
         s.search("needledftwo the", k=10, method="impact")
 
 
+def test_impact_split_run_overlapping_chunks():
+    """A (term, salt) run split across sort-block boundaries yields chunks
+    with INTERLEAVED doc ranges (encode_runs documents this as first-class);
+    TA random access must probe every candidate chunk, not assume one owner
+    per docID range — regression for the single-searchsorted version that
+    silently dropped a term's contribution for docs in the 'wrong' chunk."""
+    from vexor_ray.index import codec
+    from vexor_ray.query.impact import impact_topk
+    from vexor_ray.refimpl import bm25 as refbm25
+
+    avgdl = 10.0
+    n_docs = 200
+
+    def chunk(docs, tfs, dls):
+        return codec.encode_chunk(
+            np.array(docs, dtype=np.uint64),
+            np.array(tfs, dtype=np.uint64),
+            np.array(dls, dtype=np.uint64),
+            avgdl,
+            block_size=2,
+            impact=True,
+        )
+
+    # term y: one chunk.  term x: TWO fragments of one run, interleaved.
+    chunks_by_term = {
+        "x": [chunk([5, 100], [3, 1], [10, 10]), chunk([7, 50], [2, 5], [10, 10])],
+        "y": [chunk([5, 7, 50], [4, 1, 2], [10, 10, 10])],
+    }
+    got = impact_topk(
+        ["y", "x"],
+        chunks_by_term,
+        doc_count=n_docs,
+        avg_doc_len=avgdl,
+        k=10,
+        k1=1.5,
+        b=0.75,
+    )
+    postings = {
+        "x": [(5, 3, 10), (7, 2, 10), (50, 5, 10), (100, 1, 10)],
+        "y": [(5, 4, 10), (7, 1, 10), (50, 2, 10)],
+    }
+    exp = refbm25.top_k(
+        refbm25.score_postings(["y", "x"], postings, n_docs, avgdl), 10
+    )
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-12)
+
+
 def test_impact_incremental_stale_avgdl(ray_session, tmp_path_factory):
     """Delta generations shift global avgdl; gen-0 impact frontiers must be
     conservatively rescaled (same rule as block_ub) so TA stays exact."""

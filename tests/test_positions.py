@@ -200,3 +200,30 @@ def test_positions_incremental_delta_generation(ray_session, tmp_path_factory):
         assert comp.phrase_occurrences(ph).to_pydict() == fresh.phrase_occurrences(
             ph
         ).to_pydict(), ph
+
+
+def test_positions_shrunk_input_forces_full_rebuild(ray_session, tmp_path_factory):
+    """Removing a trailing input file must trigger a full-rebuild generation
+    — a delta gen only covers CURRENT files, so the dropped file's old
+    chunks would otherwise survive as phantom docs."""
+    tmp = tmp_path_factory.mktemp("pos_shrink")
+    pages = write_pages(tmp / "pages", 300, seed=42, rows_per_file=100)
+    idx_dir = tmp / "idx"
+    cfg = PositionsConfig(shard_group_size=2, num_waves=1, tokenize_concurrency=2)
+    build_positions_index(pages, idx_dir, cfg)
+    idx0 = PositionsIndex(idx_dir)
+    before = idx0.phrase_occurrences("body html").to_pydict()
+    phantom = [d for d in before["doc_id"] if (d >> 32) == 2]
+    assert phantom  # file 2's docs matched before removal
+
+    sorted(pages.glob("part-*.parquet"))[2].unlink()
+    man = build_positions_index(
+        pages, idx_dir,
+        PositionsConfig(shard_group_size=2, num_waves=1, tokenize_concurrency=2),
+    )
+    for w, gens in man["pos_wave_gens"].items():
+        assert len(gens) == 1 and gens[0]["gen"] == 0, w
+    after = PositionsIndex(idx_dir).phrase_occurrences("body html").to_pydict()
+    assert not any((d >> 32) == 2 for d in after["doc_id"])  # no phantoms
+    kept = {d for d in before["doc_id"] if (d >> 32) != 2}
+    assert set(after["doc_id"]) == kept

@@ -460,8 +460,9 @@ def compact_index(
 
     # GC superseded generations — only AFTER the new manifest committed
     manifest = BuildManifest(store)
+    all_recs = manifest.load_partitions()
     by_wave: dict[int, list] = {}
-    for rec in manifest.load_partitions().values():
+    for rec in all_recs.values():
         if rec.stage == "segments":
             by_wave.setdefault(rec.lineage.get("wave"), []).append(rec)
     removed = False
@@ -473,10 +474,16 @@ def compact_index(
                 base = i
         for r in recs[:base]:
             # record first (so a half-done GC never resurrects the gen),
-            # then the now-unreferenced files
+            # then the now-unreferenced files — including the generation's
+            # paired term dictionary, which would otherwise orphan
             manifest.delete_partition(r.key())
             for d in _record_dirs(r):
                 store.delete_dir_abs(d)
+            td = all_recs.get(f"termdict--{r.partition_id}")
+            if td is not None:
+                manifest.delete_partition(td.key())
+                for d in _record_dirs(td):
+                    store.delete_dir_abs(d)
             removed = True
     if removed:
         # refresh the manifest's informational partition list (waves /

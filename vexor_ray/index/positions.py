@@ -394,9 +394,18 @@ def build_positions_index(
                 prior.append((int(rec.lineage.get("gen", 0)), rec))
         prior.sort()
         known_fps: dict[str, str] = {}
+        known_files: set[int] = set()
         for _, rec in prior:
             known_fps.update(rec.lineage.get("group_fps", {}))
-        shrunk = any(p not in group_fp_now for p in known_fps)
+            known_files.update(rec.lineage.get("covers_files", []))
+        current_files = {fi for idxs in group_file_idx.values() for fi in idxs}
+        # shrinking detection must compare FILE INDEX coverage, not group
+        # ids: dropping a trailing file leaves every group id alive but its
+        # old chunks unsuperseded (a delta gen only covers current files)
+        shrunk = (
+            any(p not in group_fp_now for p in known_fps)
+            or bool(known_files - current_files)
+        )
         if shrunk or not prior:
             dirty = sorted(group_fp_now)
             next_gen = 0
@@ -645,7 +654,22 @@ class PositionsIndex:
                 self._wave_gens[int(w)] = out
         self._chunk_cache: dict[str, list[dict]] = {}
 
+    def refresh(self) -> None:
+        """Reload the committed manifest and generation layout in place."""
+        self.__init__(self._store)
+
     def term_chunks(self, terms: list[str]) -> dict[str, list[dict]]:
+        """Per-term encoded position chunks, surviving an online compaction:
+        if a referenced file was GC'd after a newer manifest committed,
+        reload once and retry (compaction is result-identical by contract —
+        the same discipline as ``Searcher.term_chunks``)."""
+        try:
+            return self._term_chunks_once(terms)
+        except FileNotFoundError:
+            self.refresh()
+            return self._term_chunks_once(terms)
+
+    def _term_chunks_once(self, terms: list[str]) -> dict[str, list[dict]]:
         out: dict[str, list[dict]] = {t: [] for t in terms}
         missing = sorted({t for t in terms if t not in self._chunk_cache})
         for t in terms:
@@ -715,16 +739,23 @@ class PositionsIndex:
             out[t] = found[t]
         return out
 
+    @staticmethod
+    def _decoded(chunks: list[dict]) -> list[tuple]:
+        """Each chunk decoded exactly once: [(docs, cnts, flat_pos)]."""
+        return [
+            decode_position_chunk(c)
+            for c in sorted(chunks, key=lambda c: int(c.get("salt", 0)))
+        ]
+
     def _term_keys(
-        self, chunks: list[dict], base: np.ndarray
+        self, decoded: list[tuple], base: np.ndarray
     ) -> np.ndarray:
         """Sorted unique uint64 chain keys (base_idx * 2^32 + pos) for the
-        postings of one term restricted to docIDs present in ``base``."""
+        (pre-decoded) postings of one term restricted to docIDs in ``base``."""
         if base.size == 0:
             return np.zeros(0, dtype=np.uint64)
         keys: list[np.ndarray] = []
-        for c in sorted(chunks, key=lambda c: int(c.get("salt", 0))):
-            docs, cnts, flat_pos = decode_position_chunk(c)
+        for docs, cnts, flat_pos in decoded:
             if docs.size == 0:
                 continue
             idx = np.searchsorted(base, docs)
@@ -754,7 +785,9 @@ class PositionsIndex:
             return empty
         chunks_by_term = self.term_chunks(list(dict.fromkeys(terms)))
         # candidate doc set = the rarest term's docIDs (phrase docs must
-        # contain every term, so any term's doc set is a valid base)
+        # contain every term, so any term's doc set is a valid base);
+        # every chunk is decoded exactly once and shared between the base
+        # build and the chain-key construction
         df = {
             t: sum(c["n_postings"] for c in chunks_by_term[t])
             for t in set(terms)
@@ -762,16 +795,15 @@ class PositionsIndex:
         if min(df.values()) == 0:
             return empty
         rarest = min(df, key=lambda t: (df[t], t))
-        base_parts = [
-            decode_position_chunk(c)[0]
-            for c in chunks_by_term[rarest]
-        ]
-        base = np.sort(np.concatenate(base_parts))
+        decoded = {t: self._decoded(chunks_by_term[t]) for t in set(terms)}
+        base = np.sort(
+            np.concatenate([d[0] for d in decoded[rarest]])
+        )
         cur: np.ndarray | None = None
         term_keys: dict[str, np.ndarray] = {}
         for i, t in enumerate(terms):
             if t not in term_keys:
-                term_keys[t] = self._term_keys(chunks_by_term[t], base)
+                term_keys[t] = self._term_keys(decoded[t], base)
             keys = term_keys[t]
             if keys.size == 0:
                 return empty
@@ -816,13 +848,10 @@ class PositionsIndex:
         if not df or min(df.values()) == 0:
             return empty
         rarest = min(df, key=lambda t: (df[t], t))
-        base = np.sort(
-            np.concatenate(
-                [decode_position_chunk(c)[0] for c in chunks[rarest]]
-            )
-        )
-        ka = self._term_keys(chunks[term_a], base)
-        kb = self._term_keys(chunks[term_b], base)
+        decoded = {t: self._decoded(cl) for t, cl in chunks.items()}
+        base = np.sort(np.concatenate([d[0] for d in decoded[rarest]]))
+        ka = self._term_keys(decoded[term_a], base)
+        kb = self._term_keys(decoded[term_b], base)
         if term_a == term_b:
             # distance between consecutive occurrences of the same term
             if ka.size < 2:

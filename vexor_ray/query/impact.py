@@ -76,43 +76,51 @@ class _ImpactCursor:
 class _RandomAccess:
     """(tf, dl) lookup by docID across one term's docID-ordered chunks.
 
-    A term's chunks cover disjoint doc ranges (salt ranges; the searcher's
-    supersede filter drops overlapped generations) but arrive in
-    generation-then-salt order, NOT globally docID-ascending — so they are
-    re-sorted by last docID here.  The owning chunk is then one
-    ``searchsorted`` over per-chunk last docIDs; within it, one more over
-    ``block_last`` picks the block, decoded once and cached (TA revisits
-    the same hot blocks for consecutive candidates).
+    A doc's posting lives in exactly ONE of a term's chunks, but chunk doc
+    RANGES are not necessarily disjoint: besides the salt ranges (disjoint)
+    and generations (made disjoint by the searcher's supersede filter), the
+    sort shuffle backend may split one (term, salt) run across block
+    boundaries into multiple chunks whose doc ranges interleave
+    (``build.encode_runs`` documents this as a first-class state the query
+    layer merges).  So lookup probes EVERY chunk whose [first, last] doc
+    range contains the target (a linear scan over the handful of chunks a
+    term has) instead of assuming a single owner; within a chunk, one
+    ``searchsorted`` over ``block_last`` picks the block, decoded once and
+    cached (TA revisits the same hot blocks for consecutive candidates).
     """
 
-    __slots__ = ("chunks", "chunk_last", "blocks")
+    __slots__ = ("chunks", "chunk_first", "chunk_last", "blocks")
 
     def __init__(self, chunks: list[dict]):
-        self.chunks = sorted(
-            (c for c in chunks if c["n_postings"]),
-            key=lambda c: int(c["block_last"][-1]),
-        )
+        self.chunks = [c for c in chunks if c["n_postings"]]
+        firsts = []
+        for c in self.chunks:
+            # first docID = first varint of block 0 (cheap: one block decode,
+            # reused below through the block cache)
+            firsts.append(int(codec.decode_block(c, 0)[0][0]))
+        self.chunk_first = np.array(firsts, dtype=np.uint64)
         self.chunk_last = np.array(
             [int(c["block_last"][-1]) for c in self.chunks], dtype=np.uint64
         )
         self.blocks: list[dict] = [dict() for _ in self.chunks]
 
     def lookup(self, doc: int) -> tuple[float, float] | None:
-        ci = int(np.searchsorted(self.chunk_last, doc))
-        if ci >= len(self.chunks):
-            return None
-        c = self.chunks[ci]
-        b = int(np.searchsorted(c["block_last"], doc))
-        cache = self.blocks[ci]
-        blk = cache.get(b)
-        if blk is None:
-            blk = codec.decode_block(c, b)
-            cache[b] = blk
-        docs, tfs, dls = blk
-        p = int(np.searchsorted(docs, doc))
-        if p >= docs.size or int(docs[p]) != doc:
-            return None
-        return float(tfs[p]), float(dls[p])
+        d = np.uint64(doc)
+        for ci in range(len(self.chunks)):
+            if d < self.chunk_first[ci] or d > self.chunk_last[ci]:
+                continue
+            c = self.chunks[ci]
+            b = int(np.searchsorted(c["block_last"], doc))
+            cache = self.blocks[ci]
+            blk = cache.get(b)
+            if blk is None:
+                blk = codec.decode_block(c, b)
+                cache[b] = blk
+            docs, tfs, dls = blk
+            p = int(np.searchsorted(docs, doc))
+            if p < docs.size and int(docs[p]) == doc:
+                return float(tfs[p]), float(dls[p])
+        return None
 
 
 def has_impact_layout(chunks_by_term: dict[str, list[dict]]) -> bool:

@@ -147,6 +147,12 @@ class Searcher:
         # fixed-size blocks) — lets the WAND drain map (block, pos) to a
         # global offset into a cached full-chunk decode
         self._block_size: int | None = cfg.get("block_size")
+        # impact-ordered companion layout present?  (manifest config flag —
+        # cheaper and earlier than probing chunks).  The imp_* columns are
+        # only READ when a query actually routes to the TA scorer: on an
+        # impact index they roughly double the segment bytes, and exact /
+        # WAND queries must not pay that IO.
+        self._impact = bool(cfg.get("impact_postings"))
         # per-wave generation list (incremental builds append generations;
         # a chunk from gen g is superseded when its salt's file index was
         # re-indexed by a LATER generation — salt ranges nest inside file
@@ -252,6 +258,7 @@ class Searcher:
         # after an append (streaming ingestion grows the corpus in place)
         self._all_doc_ids = None
         self._dense_provider = None  # lazy (search_dense), reset on refresh
+        self._dict_cache = None  # lazy vocabulary dict (fuzzy/suggest)
 
     # -- segment access ----------------------------------------------------
     @staticmethod
@@ -317,19 +324,37 @@ class Searcher:
         """
         self.__init__(self._store, max_dense_docs=self._max_dense_docs_arg)
 
-    def term_chunks(self, terms: list[str]) -> dict[str, list[dict]]:
+    _BASE_COLUMNS = [
+        "th", "term", "salt", "n_postings",
+        "doc_blob", "tf_blob", "dl_blob",
+        "doc_off", "tf_off", "dl_off",
+        "block_last", "block_ub",
+    ]
+    _IMPACT_COLUMNS = [
+        "imp_doc_blob", "imp_tf_blob", "imp_dl_blob",
+        "imp_doc_off", "imp_tf_off", "imp_dl_off", "imp_cmax",
+    ]
+
+    def term_chunks(
+        self, terms: list[str], with_impact: bool = False
+    ) -> dict[str, list[dict]]:
         """Fetch encoded posting chunks for each term, surviving an online
         compaction: if a referenced segment file disappeared (compaction
         GC'd the superseded generation after committing a new manifest),
         reload the manifest once and retry — compaction is bit-identical by
-        contract, so results are unchanged."""
+        contract, so results are unchanged.
+
+        ``with_impact=True`` additionally materializes the impact-ordered
+        companion columns (TA scorer only — they double the bytes read)."""
         try:
-            return self._term_chunks_once(terms)
+            return self._term_chunks_once(terms, with_impact)
         except FileNotFoundError:
             self.refresh()
-            return self._term_chunks_once(terms)
+            return self._term_chunks_once(terms, with_impact)
 
-    def _term_chunks_once(self, terms: list[str]) -> dict[str, list[dict]]:
+    def _term_chunks_once(
+        self, terms: list[str], with_impact: bool = False
+    ) -> dict[str, list[dict]]:
         """One attempt at the pruned segment read (see ``term_chunks``).
 
         Chunks for one term are returned in ascending salt (doc-range) order,
@@ -338,9 +363,19 @@ class Searcher:
         out: dict[str, list[dict]] = {t: [] for t in terms}
         if not terms or self.doc_count == 0:
             return out
-        missing = [t for t in terms if t not in self._chunk_cache]
+
+        def cached_ok(t: str) -> bool:
+            hit = self._chunk_cache.get(t)
+            if hit is None:
+                return False
+            if with_impact and self._impact:
+                # upgrade: base-column entries lack the imp_* payload
+                return all("imp_cmax" in c for c in hit) or not hit
+            return True
+
+        missing = [t for t in terms if not cached_ok(t)]
         for t in terms:
-            if t in self._chunk_cache:
+            if t not in missing and t in self._chunk_cache:
                 out[t] = self._chunk_cache[t]
         if not missing:
             return out
@@ -354,12 +389,18 @@ class Searcher:
                 by_wave.setdefault(int(w), []).append(t)
         else:
             by_wave[0] = list(terms)
+        columns = list(self._BASE_COLUMNS)
+        if with_impact and self._impact:
+            columns += self._IMPACT_COLUMNS
+
         def read_gen(gen: dict, ths: np.ndarray, wave_terms: list[str], flt):
             """One (wave, generation) segment read → [(term, chunk)]."""
             sel = self._gen_files_for_ths(gen, ths, self._fs)
             if not sel:
                 return []
-            tbl = pads.dataset(sel, filesystem=self._fs).to_table(filter=flt)
+            tbl = pads.dataset(sel, filesystem=self._fs).to_table(
+                filter=flt, columns=columns
+            )
             if tbl.num_rows == 0:
                 return []
             if gen["superseded"].size:
@@ -826,14 +867,13 @@ class Searcher:
                 if not selective:
                     method = "exact"
                 else:
-                    from .impact import has_impact_layout
-
-                    method = (
-                        "impact" if has_impact_layout(chunks_by_term) else "wand"
-                    )
+                    method = "impact" if self._impact else "wand"
         if method == "impact":
             from .impact import impact_topk
 
+            # upgrade fetch: routing above used base columns only; the TA
+            # scorer needs the impact companion payload for these terms
+            chunks_by_term = self.term_chunks(terms, with_impact=True)
             return impact_topk(
                 terms,
                 chunks_by_term,
@@ -946,36 +986,69 @@ class Searcher:
         doc_ids, scores = self._exact_scores(terms, chunks_by_term)
         return self._top_k(doc_ids, scores, k)
 
-    def _dictionary_terms(self, nlen_range: tuple[int, int] | None = None):
-        """(terms, dfs) from the term-dictionary sidecars (or the segment
-        scan fallback), deduped with dfs summed across generations."""
-        dict_files = [
-            f
-            for gens in self._wave_gens.values()
-            for g in gens
-            for f in g.get("termdict", [])
-        ]
-        if dict_files:
-            files, cols = dict_files, ["term", "df"]
-        else:
-            files = [
+    def _dictionary_terms(
+        self, nlen_range: tuple[int, int] | None = None
+    ) -> dict[str, int]:
+        """term → df over the LIVE postings, cached per searcher.
+
+        Single-generation indexes read the term-dictionary sidecars (exact
+        by construction).  Multi-generation (incremental) indexes fall back
+        to a supersede-aware scan of the segment (term, n_postings, salt)
+        columns: per-generation dictionaries have no supersede filter, so
+        summing them would double-count every doc a delta generation
+        re-indexed (and keep dfs for terms its docs no longer contain).
+        One read either way — the vocabulary dict is cached and length
+        filters are applied against the cache.
+        """
+        if self._dict_cache is None:
+            agg: dict[str, int] = {}
+            single_gen = all(
+                len(gens) == 1 for gens in self._wave_gens.values()
+            )
+            dict_files = [
                 f
                 for gens in self._wave_gens.values()
                 for g in gens
-                for f in g["files"]
+                for f in g.get("termdict", [])
             ]
-            cols = ["term", "n_postings"]
-        tbl = pads.dataset(files, filesystem=self._fs).to_table(columns=cols)
-        terms = tbl.column(cols[0]).to_pylist()
-        dfs = tbl.column(cols[1]).to_numpy()
-        agg: dict[str, int] = {}
-        for t, d in zip(terms, dfs):
-            if nlen_range is not None and not (
-                nlen_range[0] <= len(t) <= nlen_range[1]
-            ):
-                continue
-            agg[t] = agg.get(t, 0) + int(d)
-        return agg
+            if dict_files and single_gen:
+                tbl = pads.dataset(dict_files, filesystem=self._fs).to_table(
+                    columns=["term", "df"]
+                )
+                for t, d in zip(
+                    tbl.column("term").to_pylist(), tbl.column("df").to_numpy()
+                ):
+                    agg[t] = agg.get(t, 0) + int(d)
+            else:
+                for gens in self._wave_gens.values():
+                    for gen in gens:
+                        tbl = pads.dataset(
+                            gen["files"], filesystem=self._fs
+                        ).to_table(columns=["term", "n_postings", "salt"])
+                        if tbl.num_rows and gen["superseded"].size:
+                            file_idx = pc.shift_right(
+                                tbl.column("salt"),
+                                pa.scalar(32 - self.salt_shift, pa.uint64()),
+                            )
+                            keep = np.isin(
+                                file_idx.to_numpy(zero_copy_only=False),
+                                gen["superseded"],
+                                invert=True,
+                            )
+                            if not keep.all():
+                                tbl = tbl.filter(pa.array(keep))
+                        for t, d in zip(
+                            tbl.column("term").to_pylist(),
+                            tbl.column("n_postings").to_numpy(),
+                        ):
+                            agg[t] = agg.get(t, 0) + int(d)
+            self._dict_cache = agg
+        if nlen_range is None:
+            return self._dict_cache
+        lo, hi = nlen_range
+        return {
+            t: d for t, d in self._dict_cache.items() if lo <= len(t) <= hi
+        }
 
     @staticmethod
     def _within_edit1(a: str, b: str) -> bool:
