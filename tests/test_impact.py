@@ -189,6 +189,19 @@ def test_impact_method_requires_layout(built_index):
         s.search("needledftwo the", k=10, method="impact")
 
 
+def test_impact_cache_upgrade_after_base_fetch(impact_index, oracle_1k):
+    """A searcher that served an exact query first caches base-column
+    chunks; a later impact query on the SAME terms must upgrade those
+    entries to carry the imp_* payload (the lazy-projection regression)."""
+    s = Searcher(impact_index)
+    for q in ["needledften example", "needledfhundred the"]:
+        first = s.search(q, 10, method="exact")  # populates base-only cache
+        got = s.search(q, 10, method="impact")   # must upgrade, not KeyError
+        expected = oracle_search(oracle_1k, q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        assert [d for d, _ in first] == [d for d, _ in expected], q
+
+
 def test_impact_split_run_overlapping_chunks():
     """A (term, salt) run split across sort-block boundaries yields chunks
     with INTERLEAVED doc ranges (encode_runs documents this as first-class);

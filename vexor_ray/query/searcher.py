@@ -114,6 +114,34 @@ def _chunks_from_table(
     return out
 
 
+def _imp_rows_from_table(tbl: pa.Table) -> list[tuple[str, dict]]:
+    """Impact-column-only rows (cache-upgrade reads): (term, partial chunk)."""
+    tbl = tbl.combine_chunks()
+    out: list[tuple[str, dict]] = []
+    if tbl.num_rows == 0:
+        return out
+    cols = {name: tbl.column(name).chunk(0) for name in tbl.column_names}
+    terms = cols["term"].to_pylist()
+    for i in range(tbl.num_rows):
+        out.append(
+            (
+                terms[i],
+                {
+                    "salt": int(cols["salt"][i].as_py()),
+                    "n_postings": int(cols["n_postings"][i].as_py()),
+                    "imp_doc_blob": memoryview(cols["imp_doc_blob"][i].as_buffer()),
+                    "imp_tf_blob": memoryview(cols["imp_tf_blob"][i].as_buffer()),
+                    "imp_dl_blob": memoryview(cols["imp_dl_blob"][i].as_buffer()),
+                    "imp_doc_off": cols["imp_doc_off"][i].values.to_numpy(),
+                    "imp_tf_off": cols["imp_tf_off"][i].values.to_numpy(),
+                    "imp_dl_off": cols["imp_dl_off"][i].values.to_numpy(),
+                    "imp_cmax": cols["imp_cmax"][i].values.to_numpy(),
+                },
+            )
+        )
+    return out
+
+
 class Searcher:
     """Query executor bound to one committed index directory."""
 
@@ -363,23 +391,74 @@ class Searcher:
         out: dict[str, list[dict]] = {t: [] for t in terms}
         if not terms or self.doc_count == 0:
             return out
-
-        def cached_ok(t: str) -> bool:
-            hit = self._chunk_cache.get(t)
-            if hit is None:
-                return False
-            if with_impact and self._impact:
-                # upgrade: base-column entries lack the imp_* payload
-                return all("imp_cmax" in c for c in hit) or not hit
-            return True
-
-        missing = [t for t in terms if not cached_ok(t)]
+        want_imp = with_impact and self._impact
+        need_full = [t for t in terms if t not in self._chunk_cache]
+        need_upgrade = (
+            [
+                t
+                for t in terms
+                if t not in need_full
+                and any("imp_cmax" not in c for c in self._chunk_cache[t])
+            ]
+            if want_imp
+            else []
+        )
         for t in terms:
-            if t not in missing and t in self._chunk_cache:
+            if t not in need_full and t not in need_upgrade:
                 out[t] = self._chunk_cache[t]
-        if not missing:
+        if not need_full and not need_upgrade:
             return out
-        terms = missing
+
+        if need_full:
+            columns = list(self._BASE_COLUMNS)
+            if want_imp:
+                columns += self._IMPACT_COLUMNS
+            fetched = self._fetch_term_rows(need_full, columns)
+            for t in need_full:
+                out[t] = fetched.get(t, [])
+        if need_upgrade:
+            # imp-only read merged into the cached base chunks: the upgrade
+            # costs the impact bytes alone, never a second base-blob read
+            # (re-reading a hot term's doc/tf/dl streams doubled cold
+            # latency at small corpora).  Row order is deterministic —
+            # same files, filter, sort, (wave, gen) append order — so rows
+            # align positionally with the cache; any mismatch (manifest
+            # changed between fetches) falls back to a full impact read.
+            imp_cols = ["th", "term", "salt", "n_postings"] + self._IMPACT_COLUMNS
+            fetched = self._fetch_term_rows(need_upgrade, imp_cols)
+            for t in need_upgrade:
+                cached = self._chunk_cache[t]
+                rows = fetched.get(t, [])
+                if len(rows) != len(cached) or any(
+                    r["salt"] != c["salt"] or r["n_postings"] != c["n_postings"]
+                    for r, c in zip(rows, cached)
+                ):
+                    full = self._fetch_term_rows(
+                        [t], list(self._BASE_COLUMNS) + self._IMPACT_COLUMNS
+                    )
+                    out[t] = full.get(t, [])
+                    continue
+                merged = []
+                for r, c in zip(rows, cached):
+                    u = dict(c)
+                    for k in self._IMPACT_COLUMNS:
+                        u[k] = r[k]
+                    merged.append(u)
+                out[t] = merged
+
+        touched = need_full + need_upgrade
+        if len(self._chunk_cache) + len(touched) > self._chunk_cache_cap:
+            self._chunk_cache.clear()
+        for t in touched:
+            self._chunk_cache[t] = out[t]
+        return out
+
+    def _fetch_term_rows(
+        self, terms: list[str], columns: list[str]
+    ) -> dict[str, list[dict]]:
+        """Pruned segment read of ``columns`` for ``terms`` → per-term chunk
+        dicts in deterministic (wave, gen, salt) order."""
+        out: dict[str, list[dict]] = {t: [] for t in terms}
         by_wave: dict[int, list[str]] = {}
         if self.num_waves > 1:
             waves = hash_terms(np.asarray(terms, dtype=object)) % np.uint64(
@@ -389,9 +468,7 @@ class Searcher:
                 by_wave.setdefault(int(w), []).append(t)
         else:
             by_wave[0] = list(terms)
-        columns = list(self._BASE_COLUMNS)
-        if with_impact and self._impact:
-            columns += self._IMPACT_COLUMNS
+        has_base = "doc_blob" in columns
 
         def read_gen(gen: dict, ths: np.ndarray, wave_terms: list[str], flt):
             """One (wave, generation) segment read → [(term, chunk)]."""
@@ -420,9 +497,14 @@ class Searcher:
             tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
             scale = gen["ub_scale"]
             found = []
-            for term, chunk in _chunks_from_table(tbl, self._block_size):
+            if has_base:
+                rows = _chunks_from_table(tbl, self._block_size)
+            else:
+                rows = _imp_rows_from_table(tbl)
+            for term, chunk in rows:
                 if scale != 1.0:
-                    chunk["block_ub"] = chunk["block_ub"] * np.float32(scale)
+                    if "block_ub" in chunk:
+                        chunk["block_ub"] = chunk["block_ub"] * np.float32(scale)
                     if "imp_cmax" in chunk:
                         # same conservative stale-avgdl rescale as block_ub
                         chunk["imp_cmax"] = chunk["imp_cmax"] * np.float32(scale)
@@ -460,10 +542,6 @@ class Searcher:
         ):
             for term, chunk in found:
                 out[term].append(chunk)
-        if len(self._chunk_cache) + len(terms) > self._chunk_cache_cap:
-            self._chunk_cache.clear()
-        for t in terms:
-            self._chunk_cache[t] = out[t]
         return out
 
     def warm_hot_terms(self, max_terms: int = 64) -> int:
@@ -832,7 +910,10 @@ class Searcher:
         terms = self.preprocess_query(query)
         if not terms or self.doc_count == 0 or self.avg_doc_len <= 0:
             return []
-        chunks_by_term = self.term_chunks(terms)
+        # explicit method="impact" fetches the companion columns in the ONE
+        # read; only auto-routing pays the (imp-only) upgrade fetch after a
+        # base-column read decided the route
+        chunks_by_term = self.term_chunks(terms, with_impact=(method == "impact"))
         if method == "auto":
             total = sum(
                 c["n_postings"] for cl in chunks_by_term.values() for c in cl
