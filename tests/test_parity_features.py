@@ -199,3 +199,41 @@ def test_cli_build_and_search(ray_session, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [l for l in r.stdout.splitlines() if l.strip()]
     assert lines and lines[0].split("\t")[0] == "1"
+
+
+def test_cli_positions_phrase_expand(ray_session, tmp_path):
+    """New CLI surfaces: positions build, phrase/NEAR queries, dictionary
+    expansion (suggest/prefix/fuzzy) — each prints parseable output."""
+    pages = write_pages(tmp_path / "pages", 120, seed=42, rows_per_file=60)
+    idx = tmp_path / "idx_cli2"
+    pos = tmp_path / "pos_cli"
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+
+    def run(*args, timeout=300):
+        r = subprocess.run(
+            [sys.executable, "-m", "vexor_ray", *args],
+            capture_output=True, text=True, env=env, timeout=timeout,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    run("--num-cpus", "2", "build", "--input", str(pages), "--out", str(idx),
+        "--waves", "1")
+    out = run("--num-cpus", "2", "positions", "--input", str(pages),
+              "--out", str(pos))
+    gens = json.loads(out.strip().splitlines()[-1])["pos_wave_gens"]
+    assert gens == {"0": [0]}
+
+    out = run("phrase", "--positions", str(pos), "--phrase", "body html",
+              timeout=120)
+    assert "n_occ" in out and len(out.splitlines()) > 1
+    out = run("phrase", "--positions", str(pos), "--near", "head", "title",
+              "--window", "4", timeout=120)
+    assert "min_dist" in out
+
+    out = run("expand", "--index", str(idx), "--term", "htmk", timeout=120)
+    assert json.loads(out)["result"] == "html"
+    out = run("expand", "--index", str(idx), "--term", "needledf",
+              "--mode", "prefix", timeout=120)
+    assert "needledfone" in json.loads(out)["result"]

@@ -202,6 +202,62 @@ def test_positions_incremental_delta_generation(ray_session, tmp_path_factory):
         ).to_pydict(), ph
 
 
+def test_positions_compose_with_streaming_ingestion(ray_session, tmp_path):
+    """The positions sidecar rides along a streaming-ingested corpus with no
+    extra machinery: each micro-batch appends one pages shard, so a
+    post-batch build_positions_index call appends one delta generation per
+    wave — and the result equals a from-scratch build over the shards."""
+    import pyarrow as pa
+
+    from vexor_ray.index.build import BuildConfig
+    from vexor_ray.streaming import StreamingIngestor
+
+    bm25_cfg = BuildConfig(
+        pre_extracted=True, doc_builder="text", num_waves=1,
+        partitions_per_wave=2, shard_group_size=1, tokenize_concurrency=2,
+    )
+
+    def pos_cfg():
+        return PositionsConfig(
+            pre_extracted=True, text_only=True, num_waves=1,
+            shard_group_size=1, tokenize_concurrency=2,
+        )
+
+    def batch(tag, n, ts0):
+        return pa.table(
+            {
+                "url": pa.array([f"{tag}/{i:04d}.html" for i in range(n)]),
+                "text": pa.array(
+                    [f"{tag} shared phrase here item {i}" for i in range(n)]
+                ),
+                "warc_ts": pa.array(
+                    [(ts0 + i) * 1_000_000 for i in range(n)], pa.timestamp("us")
+                ),
+            }
+        )
+
+    ing = StreamingIngestor(tmp_path / "s", bm25_cfg)
+    pos_dir = tmp_path / "pos"
+    gens_seen = []
+    for i, tag in enumerate(["one", "two", "three"]):
+        ing.ingest_batch(batch(tag, 15, 1000 * (i + 1)))
+        man = build_positions_index(ing.pages_dir, pos_dir, pos_cfg())
+        gens_seen.append(
+            [g["gen"] for g in man["pos_wave_gens"]["0"]]
+        )
+    assert gens_seen == [[0], [0, 1], [0, 1, 2]]  # one delta per batch
+
+    fresh = tmp_path / "pos_fresh"
+    build_positions_index(ing.pages_dir, fresh, pos_cfg())
+    inc, batch_idx = PositionsIndex(pos_dir), PositionsIndex(fresh)
+    for ph in ["shared phrase here", "one shared", "three shared", "absent words"]:
+        assert (
+            inc.phrase_occurrences(ph).to_pydict()
+            == batch_idx.phrase_occurrences(ph).to_pydict()
+        ), ph
+    assert inc.phrase_occurrences("shared phrase here").num_rows == 45
+
+
 def test_positions_shrunk_input_forces_full_rebuild(ray_session, tmp_path_factory):
     """Removing a trailing input file must trigger a full-rebuild generation
     — a delta gen only covers CURRENT files, so the dropped file's old

@@ -43,12 +43,19 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="route .pdf/.docx/.pptx urls through the built-in extractors",
     )
+    b.add_argument(
+        "--impact",
+        action="store_true",
+        help="store the impact-ordered companion layout (TA scorer)",
+    )
 
     s = sub.add_parser("search", help="BM25 top-k over a built index")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
-    s.add_argument("--method", default="auto", choices=["auto", "exact", "wand"])
+    s.add_argument(
+        "--method", default="auto", choices=["auto", "exact", "wand", "impact"]
+    )
     s.add_argument("--porcelain", action="store_true", help="TSV output")
 
     c = sub.add_parser("chunk", help="materialize a sliding-window chunk corpus")
@@ -88,6 +95,34 @@ def main(argv: list[str] | None = None) -> int:
     cl = sub.add_parser("clear", help="delete a persisted index directory")
     cl.add_argument("--index", required=True)
 
+    po = sub.add_parser(
+        "positions", help="build (resume/compact) the positional sidecar"
+    )
+    po.add_argument("--input", required=True, help="pages parquet dir")
+    po.add_argument("--out", required=True, help="sidecar output directory")
+    po.add_argument("--pre-extracted", action="store_true")
+    po.add_argument("--waves", type=int, default=None)
+    po.add_argument(
+        "--compact", action="store_true", help="merge delta generations"
+    )
+
+    ph = sub.add_parser(
+        "phrase", help="exact phrase / NEAR proximity over the sidecar"
+    )
+    ph.add_argument("--positions", required=True, dest="positions_dir")
+    ph.add_argument("--phrase", help="consecutive-token phrase")
+    ph.add_argument("--near", nargs=2, metavar=("A", "B"), help="proximity pair")
+    ph.add_argument("--window", type=int, default=5)
+
+    sg = sub.add_parser(
+        "expand", help="term-dictionary expansion: prefix / fuzzy / suggest"
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--term", required=True)
+    sg.add_argument(
+        "--mode", default="suggest", choices=["suggest", "prefix", "fuzzy"]
+    )
+
     args = parser.parse_args(argv)
 
     if args.cmd == "clear":
@@ -126,6 +161,8 @@ def main(argv: list[str] | None = None) -> int:
             from vexor_ray.stages.extract import register_default_extractors
 
             register_default_extractors()
+        if args.impact:
+            kw["impact_postings"] = True
         manifest = build_index(args.input, args.out, BuildConfig(**kw))
         print(
             json.dumps(
@@ -164,6 +201,59 @@ def main(argv: list[str] | None = None) -> int:
         import ray
 
         ray.shutdown()
+        return 0
+
+    if args.cmd == "positions":
+        _init_ray(args.num_cpus)
+        from vexor_ray.index.positions import (
+            PositionsConfig,
+            build_positions_index,
+            compact_positions_index,
+        )
+
+        kw = {}
+        if args.pre_extracted:
+            kw["pre_extracted"] = True
+            kw["text_only"] = True
+        if args.waves is not None:
+            kw["num_waves"] = args.waves
+        fn = compact_positions_index if args.compact else build_positions_index
+        cfg = PositionsConfig(**kw) if kw else None
+        manifest = fn(args.input, args.out, cfg)
+        gens = {
+            w: [g["gen"] for g in gs]
+            for w, gs in manifest["pos_wave_gens"].items()
+        }
+        print(json.dumps({"pos_wave_gens": gens, "out": args.out}))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "phrase":
+        from vexor_ray.index.positions import PositionsIndex
+
+        idx = PositionsIndex(args.positions_dir)
+        if args.near:
+            tbl = idx.near_occurrences(args.near[0], args.near[1], args.window)
+        elif args.phrase:
+            tbl = idx.phrase_occurrences(args.phrase)
+        else:
+            parser.error("phrase requires --phrase or --near A B")
+        print(tbl.to_pandas().to_string(index=False))
+        return 0
+
+    if args.cmd == "expand":
+        from vexor_ray.query.searcher import Searcher
+
+        searcher = Searcher(args.index)
+        if args.mode == "suggest":
+            out = searcher.suggest(args.term)
+        elif args.mode == "prefix":
+            out = searcher.expand_prefix(args.term, max_terms=64)
+        else:
+            out = searcher.expand_fuzzy(args.term, max_terms=64)
+        print(json.dumps({"term": args.term, "mode": args.mode, "result": out}))
         return 0
 
     if args.cmd == "fsearch":
