@@ -274,3 +274,61 @@ def test_streaming_ingest_on_object_store(ray_session, object_store):
     assert r3 is not None and r3["adopted_orphans"] == 1
     s.refresh()
     assert s.doc_count == 45 and s.search("needlethree", 3)
+
+
+def test_positions_sidecar_on_object_store(ray_session, tmp_path, object_store):
+    """The positional sidecar shares the Store/manifest plumbing, so the
+    whole lifecycle — build → kill → resume → query → incremental delta →
+    compact — must run on the no-rename filesystem too."""
+    from vexor_ray.index.positions import (
+        PositionsConfig,
+        PositionsIndex,
+        build_positions_index,
+        compact_positions_index,
+    )
+
+    local_pages = write_pages(tmp_path / "pages", 300, seed=42, rows_per_file=100)
+    pages = _upload(local_pages, Store(object_store, "pages"))
+    pos = Store(object_store, "pos")
+
+    def cfg(**kw):
+        return PositionsConfig(
+            shard_group_size=1, num_waves=2, tokenize_concurrency=2, **kw
+        )
+
+    with pytest.raises(InjectedFault):
+        build_positions_index(pages, pos, cfg(fail_after_partitions=2))
+    with pytest.raises(FileNotFoundError):
+        PositionsIndex(pos)
+
+    man = BuildManifest(pos)
+    before = {k: r.committed_at for k, r in man.load_partitions().items()}
+    build_positions_index(pages, pos, cfg())
+    after = {k: r.committed_at for k, r in man.load_partitions().items()}
+    for k, ts in before.items():
+        assert after[k] == ts, f"partition {k} was recomputed"
+
+    ref_dir = tmp_path / "pos_ref"
+    build_positions_index(local_pages, ref_dir, cfg())
+    idx_os, idx_ref = PositionsIndex(pos), PositionsIndex(ref_dir)
+    for ph in ["body html", "head title", "batch batch", "absent words"]:
+        assert (
+            idx_os.phrase_occurrences(ph).to_pydict()
+            == idx_ref.phrase_occurrences(ph).to_pydict()
+        ), ph
+
+    # incremental delta on the object store: overwrite one shard object
+    other_tbl = pq.read_table(sorted(local_pages.glob("part-*.parquet"))[0])
+    shard1 = pages.list_files(suffix=".parquet")[1]
+    with pages.fs.open_output_stream(shard1) as out:
+        pq.write_table(other_tbl.slice(10, 50), out)
+    man2 = build_positions_index(pages, pos, cfg())
+    for w, gens in man2["pos_wave_gens"].items():
+        assert [g["gen"] for g in gens] == [0, 1], w
+
+    # compaction on the no-rename fs: one full generation, results stable
+    want = PositionsIndex(pos).phrase_occurrences("body html").to_pydict()
+    man3 = compact_positions_index(pages, pos)
+    for w, gens in man3["pos_wave_gens"].items():
+        assert len(gens) == 1 and gens[0]["full"], w
+    assert PositionsIndex(pos).phrase_occurrences("body html").to_pydict() == want
