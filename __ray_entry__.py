@@ -110,6 +110,22 @@ def _q_snippets(sf_dir: str):
     return snippets_table(sf_dir, _TOPK_QUERY, k=10, width=80)
 
 
+def _q_temperature_sample(sf_dir: str):
+    """Temperature-balanced (T=2) language sampling: keep-rate per language
+    = sqrt(N_min / N_lang) via md5 thresholds (multilingual data mixing)."""
+    from vexor_ray.pipelines.relational import temperature_sample_documents
+
+    return temperature_sample_documents(sf_dir)
+
+
+def _q_quality_buckets(sf_dir: str):
+    """NTILE(4) quality-quantile buckets over the sketched-LM score
+    (CCNet-style perplexity bucketing) — exact global ranks, no global sort."""
+    from vexor_ray.pipelines.relational import quality_buckets
+
+    return quality_buckets(sf_dir)
+
+
 def _q_doc_term_tf(sf_dir: str):
     from vexor_ray.pipelines.corpus import doc_term_tf
 
@@ -1036,14 +1052,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round 3 (source_stats … streaming_ingest, judge-verified green then)
     # are driver-hashed at least once; 14 relational rows green since
     # rounds 1-2 (agg_lineitem-class) moved to the tail in exchange.
-    # Late round 4: the twelve operators added this round (export_resumable,
-    # dsir_scores, sample_n, dedup_keep_best, pq_topk, bm25_topk_impact,
-    # phrase_match, near_match, boolean_topk, prefix_topk, fuzzy_topk,
-    # snippets) swap in for twelve rows driver-hashed green in r1-r3
-    # (token_count, quality, langid, fingerprint, rolling_fp, simhash,
-    # minhash_pairs, ann_lsh, multimodal_decode, sample_frames,
-    # doc_keywords, hybrid_rrf), so every query has been driver-checked at
-    # least once by end of round 4.
+    # Late round 4: the fourteen operators added this round
+    # (export_resumable, dsir_scores, sample_n, dedup_keep_best, pq_topk,
+    # bm25_topk_impact, phrase_match, near_match, boolean_topk,
+    # prefix_topk, fuzzy_topk, snippets, temperature_sample,
+    # quality_buckets) swap in for fourteen rows driver-hashed green in
+    # r1-r3 (token_count, quality, langid, fingerprint, rolling_fp,
+    # simhash, minhash_pairs, ann_lsh, multimodal_decode, sample_frames,
+    # doc_keywords, hybrid_rrf, chunked_bm25, simhash_pairs), so every
+    # query has been driver-checked at least once by end of round 4.
     return {
         "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
@@ -1063,9 +1080,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_topk": _q_prefix_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "snippets": _q_snippets,
+        "temperature_sample": _q_temperature_sample,
+        "quality_buckets": _q_quality_buckets,
         "knn_cosine": _q_knn_cosine,
-        "chunked_bm25": _q_chunked_bm25,
-        "simhash_pairs": _q_simhash_pairs,
         "hash_embed": _q_hash_embed,
         "federated_bm25": _q_federated_bm25,
         "doc_term_tf_bert": _q_doc_term_tf_bert,
@@ -1105,6 +1122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_frames": _q_sample_frames,
         "doc_keywords": _q_keywords,
         "hybrid_rrf": _q_hybrid_rrf,
+        "chunked_bm25": _q_chunked_bm25,
+        "simhash_pairs": _q_simhash_pairs,
         "token_count": _q_token_count,
         "quality": _q_quality,
         "langid": _q_langid,
@@ -1291,6 +1310,33 @@ SELECT doc_id, ROUND(s, 6) AS score,
        CAST(row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS INT) AS rank
 FROM flt ORDER BY ROUND(s, 6) DESC, doc_id LIMIT {k}"""
     )
+
+
+_LMQ_SQL = f"""
+WITH occ AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM occ GROUP BY doc_id, tok),
+cnts AS (SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok),
+tt AS (SELECT SUM(c) AS t FROM cnts),
+js AS (SELECT unnest(range(0, 4)) AS j),
+cells AS (SELECT js.j,
+                 md5_number_lower('cms|' || CAST(js.j AS VARCHAR) || '|' || tok)
+                   % 1024 AS cell,
+                 SUM(c) AS cnt
+          FROM cnts CROSS JOIN js GROUP BY js.j, cell),
+est AS (SELECT v.tok, MIN(cells.cnt) AS e
+        FROM cnts v CROSS JOIN js
+        JOIN cells ON cells.j = js.j
+          AND cells.cell = md5_number_lower(
+                'cms|' || CAST(js.j AS VARCHAR) || '|' || v.tok) % 1024
+        GROUP BY v.tok),
+q AS (SELECT est.tok,
+             floor(ln(est.e * 1.0 / tt.t) * 1048576 + 0.5) / 1048576 AS lq
+      FROM est CROSS JOIN tt),
+per AS (SELECT tf.doc_id, SUM(tf.c) AS n_tokens, SUM(tf.c * q.lq) AS s
+        FROM tf JOIN q ON q.tok = tf.tok GROUP BY tf.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(s / n_tokens, 6) AS avg_logp
+FROM per ORDER BY doc_id"""
 
 
 def _rolling_fp_sql() -> str:
@@ -1965,31 +2011,22 @@ c AS (SELECT doc_id, n_tokens,
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(start // 2048 AS BIGINT) AS bin_id
 FROM c ORDER BY doc_id""",
-        "lm_quality": f"""
-WITH occ AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
-tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM occ GROUP BY doc_id, tok),
-cnts AS (SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok),
-tt AS (SELECT SUM(c) AS t FROM cnts),
-js AS (SELECT unnest(range(0, 4)) AS j),
-cells AS (SELECT js.j,
-                 md5_number_lower('cms|' || CAST(js.j AS VARCHAR) || '|' || tok)
-                   % 1024 AS cell,
-                 SUM(c) AS cnt
-          FROM cnts CROSS JOIN js GROUP BY js.j, cell),
-est AS (SELECT v.tok, MIN(cells.cnt) AS e
-        FROM cnts v CROSS JOIN js
-        JOIN cells ON cells.j = js.j
-          AND cells.cell = md5_number_lower(
-                'cms|' || CAST(js.j AS VARCHAR) || '|' || v.tok) % 1024
-        GROUP BY v.tok),
-q AS (SELECT est.tok,
-             floor(ln(est.e * 1.0 / tt.t) * 1048576 + 0.5) / 1048576 AS lq
-      FROM est CROSS JOIN tt),
-per AS (SELECT tf.doc_id, SUM(tf.c) AS n_tokens, SUM(tf.c * q.lq) AS s
-        FROM tf JOIN q ON q.tok = tf.tok GROUP BY tf.doc_id)
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       ROUND(s / n_tokens, 6) AS avg_logp
-FROM per ORDER BY doc_id""",
+        "lm_quality": _LMQ_SQL,
+        "temperature_sample": """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS nmin FROM c),
+thr AS (SELECT c.lang,
+               CAST(FLOOR(1e12 * sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE)))
+                    AS BIGINT) AS t
+        FROM c CROSS JOIN m)
+SELECT d.doc_id, d.lang FROM documents d JOIN thr ON thr.lang = d.lang
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000000000 < thr.t
+ORDER BY d.doc_id""",
+        "quality_buckets": f"""
+SELECT doc_id, avg_logp,
+       CAST(NTILE(4) OVER (ORDER BY avg_logp, doc_id) AS INT) AS bucket
+FROM ({_LMQ_SQL})
+ORDER BY doc_id""",
         "decontaminate": f"""
 WITH tl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 w0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i

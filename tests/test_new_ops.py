@@ -778,3 +778,43 @@ def test_events_json_agg_parses_and_combines(ray_session, tmp_path):
     out = events_json_agg(str(tmp_path)).to_pandas().set_index("event_type")
     assert out.loc["a", "sum_k"] == 10 and out.loc["a", "max_k"] == 7
     assert out.loc["a", "n"] == 2 and out.loc["b", "n"] == 1
+
+
+def test_temperature_sample_rates(ray_session):
+    """T=2 language balancing: rarest language kept in full; realized
+    per-language keep counts track floor(1e12*sqrt(nmin/n))/1e12 rates."""
+    from vexor_ray.pipelines.relational import _read, temperature_sample_documents
+
+    sf = "/root/testdata/sf0.001"
+    before = (
+        _read(sf, "documents", ["doc_id", "lang"]).to_pandas()["lang"].value_counts()
+    )
+    after = (
+        temperature_sample_documents(sf).to_pandas()["lang"].value_counts()
+    )
+    nmin = int(before.min())
+    rarest = before.idxmin()
+    assert after.get(rarest, 0) == nmin  # rate exactly 1.0 for the rarest
+    for lang, n in before.items():
+        exp_rate = np.floor(1e12 * np.sqrt(np.float64(nmin) / np.float64(int(n)))) / 1e12
+        got_rate = after.get(lang, 0) / n
+        assert abs(got_rate - exp_rate) < 0.35  # md5 noise at 500-doc scale
+    # flattening: post-sample spread strictly narrower than pre-sample
+    assert after.max() / max(after.min(), 1) < before.max() / before.min()
+
+
+def test_quality_buckets_ntile_semantics(ray_session):
+    """Bucket sizes differ by <=1, the first (N % n) buckets carry the
+    extra row, and bucket order is consistent with (score, doc_id) order."""
+    from vexor_ray.pipelines.relational import quality_buckets
+
+    df = quality_buckets("/root/testdata/sf0.001").to_pandas()
+    n = len(df)
+    sizes = df["bucket"].value_counts().sort_index()
+    assert list(sizes.index) == [1, 2, 3, 4]
+    lo, rem = n // 4, n % 4
+    assert all(
+        s == lo + (1 if b <= rem else 0) for b, s in sizes.items()
+    )
+    ordered = df.sort_values(["avg_logp", "doc_id"])["bucket"].to_numpy()
+    assert (np.diff(ordered) >= 0).all()  # buckets non-decreasing in order

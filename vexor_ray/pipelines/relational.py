@@ -898,3 +898,156 @@ def events_json_agg(sf_dir: str) -> pa.Table:
     out["max_k"] = out["max_k"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("event_type"), preserve_index=False)
+
+
+def temperature_sample_documents(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-balanced language sampling (the multilingual data-mixing
+    standard, T=2): per-language keep-rate ``sqrt(N_min / N_lang)`` — the
+    rarest language is kept in full, common languages are downsampled by
+    the square-root of their over-representation, flattening the language
+    distribution toward ``p^(1/2)``.
+
+    Scale story: pass 1 is a map-side per-batch language count reduced to a
+    handful of driver rows (never a corpus-sized aggregate); pass 2 is a
+    shuffle-free md5-threshold filter — any worker decides membership
+    locally.  Rates use only IEEE-correctly-rounded ops (divide, sqrt,
+    multiply, floor), so DuckDB reproduces the thresholds bit-for-bit and
+    the membership exactly.
+    """
+    import numpy as np
+
+    from ..functions.dedup import md5_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"]).materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        langs, counts = np.unique(
+            np.asarray(batch.column("lang").to_pylist(), dtype=object),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "lang": pa.array(list(langs), type=pa.string()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # ~(#blocks x #languages) rows: tiny at any corpus size
+    totals = parts.groupby("lang")["n"].sum()
+    n_min = np.float64(int(totals.min()))
+    # threshold grid 1e12: md5 % 1e12 < floor(1e12 * sqrt(n_min/n_lang))
+    thr = {
+        lang: int(np.floor(np.float64(1e12) * np.sqrt(n_min / np.float64(int(n)))))
+        for lang, n in totals.items()
+    }
+    mod = 10**12
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        keep = [
+            md5_u64(str(d).encode()) % mod < thr[lg]
+            for d, lg in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_buckets(
+    sf_dir: str, n_buckets: int = 4, n_ranges: int = 64
+) -> ray.data.Dataset:
+    """NTILE(n)-style quality quantile buckets over the sketched-LM score
+    (``functions/sketch.lm_quality``): bucket 1 = worst quartile, bucket n
+    = best — the CCNet-style perplexity-bucket partition of a corpus.
+
+    Exact global ranks WITHOUT a global sort: score space is cut into
+    ``n_ranges`` value intervals (monotone in score, so global order =
+    (interval, score, doc_id) order); pass 1 counts rows per interval (a
+    tiny table → driver exclusive offsets), pass 2 co-locates each
+    interval, sorts it locally by (score, doc_id) and adds its offset —
+    the pack_sequences prefix-sum discipline applied to ranking.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import coarse_grouped, int_pid
+    from ..functions.sketch import lm_quality
+
+    scores = lm_quality(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).materialize()
+    total = scores.count()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "avg_logp": pa.array([], type=pa.float64()),
+            "bucket": pa.array([], type=pa.int32()),
+        }
+    )
+    if total == 0:
+        return ray.data.from_arrow(empty)
+    lo = float(scores.min("avg_logp"))
+    hi = float(scores.max("avg_logp"))
+    width = (hi - lo) / n_ranges if hi > lo else 1.0
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        s = batch.column("avg_logp").to_numpy()
+        rid = np.clip(((s - lo) / width).astype(np.int64), 0, n_ranges - 1)
+        return batch.append_column("range_id", pa.array(rid, type=pa.int64()))
+
+    ranged = scores.map_batches(
+        add_range, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def range_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("range_id", as_index=False).agg(n=("doc_id", "count"))
+
+    counts = coarse_grouped(
+        ranged.select_columns(["doc_id", "range_id"]),
+        lambda b: int_pid(b, ["range_id"], 64),
+        range_counts,
+    ).to_pandas()
+    counts = counts.sort_values("range_id")
+    offsets = dict(
+        zip(
+            counts["range_id"].tolist(),
+            np.concatenate(
+                ([0], np.cumsum(counts["n"].to_numpy())[:-1])
+            ).tolist(),
+        )
+    )
+
+    size_lo = total // n_buckets
+    rem = total % n_buckets
+    boundary = rem * (size_lo + 1)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["range_id", "avg_logp", "doc_id"], kind="mergesort"
+        )
+        within = df.groupby("range_id").cumcount().to_numpy()
+        rank = within + np.array(
+            [offsets[r] for r in df["range_id"].tolist()], dtype=np.int64
+        )
+        # NTILE semantics: the first (total % n) buckets hold one extra row
+        bucket = np.where(
+            rank < boundary,
+            rank // (size_lo + 1),
+            rem + (rank - boundary) // max(size_lo, 1),
+        ).astype(np.int32) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "avg_logp": df["avg_logp"].to_numpy(),
+                "bucket": bucket,
+            }
+        )
+
+    return coarse_grouped(
+        ranged.select_columns(["doc_id", "avg_logp", "range_id"]),
+        lambda b: int_pid(b, ["range_id"], 64),
+        assign,
+    )
