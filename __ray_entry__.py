@@ -63,6 +63,16 @@ def _q_bm25_topk_impact(sf_dir: str):
     return bm25_topk_impact_table(sf_dir, _TOPK_QUERY, k=10)
 
 
+def _q_bm25_after_delete(sf_dir: str):
+    """Tombstone deletion (index/deletes.py): docs with doc_id % 17 == 3 are
+    DELETED from the index (no rebuild) and the query is scored under live
+    stats — the oracle builds BM25 over the complement corpus from scratch,
+    so the hash match proves delete-then-query ≡ filter-then-build."""
+    from vexor_ray.pipelines.corpus import bm25_after_delete_table
+
+    return bm25_after_delete_table(sf_dir, _BM25_QUERY)
+
+
 def _q_phrase_match(sf_dir: str):
     """Exact consecutive-token phrase matching over the positional sidecar
     (beyond-reference: the reference's bag-of-words index cannot do this)."""
@@ -1073,7 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_n": _q_sample_n,
         "dedup_keep_best": _q_dedup_keep_best,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
-        "dedup_exact": _q_dedup_exact,
+        "bm25_after_delete": _q_bm25_after_delete,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1143,18 +1153,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "group_quantiles": _q_group_quantiles,
         "user_moving_avg": _q_user_moving_avg,
+        # moved to the tail in round 4 (driver-hashed green in r1-r3) to
+        # free a first-50 slot for bm25_after_delete
+        "dedup_exact": _q_dedup_exact,
     }
 
 
-def _bm25_cte(query_terms: list[str]) -> str:
-    """Shared CTE block computing BM25 ``scores(doc_id, s)`` over documents."""
+def _bm25_cte(query_terms: list[str], src: str = "documents") -> str:
+    """Shared CTE block computing BM25 ``scores(doc_id, s)`` over ``src``
+    (a table name or a parenthesized subquery — the deletion twin scores
+    the complement corpus)."""
     terms_values = ", ".join(f"('{t}')" for t in query_terms)
     return f"""toks AS (
-  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+  SELECT doc_id, unnest({_TOKS}) AS term FROM {src} AS src_docs
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, AVG(dl) AS avgdl FROM dl),
+stats AS (SELECT (SELECT COUNT(*) FROM {src} AS src_n) AS n, AVG(dl) AS avgdl FROM dl),
 qt(term) AS (VALUES {terms_values}),
 df AS (SELECT term, COUNT(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
 scores AS (
@@ -1722,6 +1737,17 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(_TOPK_QUERY.split(), 10),
         # same SQL twin: the TA scorer must reproduce the exact ranking
         "bm25_topk_impact": _bm25_sql(_TOPK_QUERY.split(), 10),
+        # tombstone deletion: the engine deletes doc_id % 17 == 3 from the
+        # INDEX (no rebuild, live stats); the oracle scores the complement
+        # corpus from scratch — delete-then-query ≡ filter-then-build
+        "bm25_after_delete": (
+            "\nWITH "
+            + _bm25_cte(
+                _BM25_QUERY.split(),
+                src="(SELECT * FROM documents WHERE (doc_id % 17) <> 3)",
+            )
+            + "\nSELECT doc_id, ROUND(s, 6) AS score FROM scores ORDER BY doc_id"
+        ),
         "phrase_match": _phrase_sql(["hash", "join"]),
         "near_match": _near_sql("spark", "join", 5),
         "prefix_topk": _prefix_bm25_sql("s", 10),

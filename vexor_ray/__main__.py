@@ -87,6 +87,22 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--input", required=True, help="the index's pages input")
     cp.add_argument("--index", required=True)
 
+    dl = sub.add_parser(
+        "delete", help="delete documents (by url) from an index — no rebuild"
+    )
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--url", action="append", default=[], dest="urls")
+    dl.add_argument(
+        "--urls-file", help="newline-delimited url list (joins --url entries)"
+    )
+
+    pg = sub.add_parser(
+        "purge",
+        help="physically remove deleted documents (rewrite checkpoint + compact)",
+    )
+    pg.add_argument("--input", required=True, help="the index's pages input")
+    pg.add_argument("--index", required=True)
+
     f = sub.add_parser("fsearch", help="federated BM25 over several indexes")
     f.add_argument("--index", action="append", required=True, dest="indexes")
     f.add_argument("--query", required=True)
@@ -198,6 +214,33 @@ def main(argv: list[str] | None = None) -> int:
         manifest = compact_index(args.input, args.index)
         gens = {w: [g["gen"] for g in gs] for w, gs in manifest["wave_gens"].items()}
         print(json.dumps({"stats": manifest["stats"], "wave_gens": gens}))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "delete":
+        from vexor_ray.index.deletes import delete_docs
+
+        urls = list(args.urls)
+        if args.urls_file:
+            with open(args.urls_file, encoding="utf-8") as fh:
+                urls += [line.strip() for line in fh if line.strip()]
+        if not urls:
+            parser.error("delete needs --url and/or --urls-file")
+        print(json.dumps(delete_docs(args.index, urls)))
+        return 0
+
+    if args.cmd == "purge":
+        _init_ray(args.num_cpus)
+        from vexor_ray.index.deletes import purge_deletes
+
+        manifest = purge_deletes(args.input, args.index)
+        print(
+            json.dumps(
+                {"stats": manifest["stats"], "deletes": manifest.get("deletes")}
+            )
+        )
         import ray
 
         ray.shutdown()

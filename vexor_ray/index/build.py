@@ -594,8 +594,16 @@ def _attempt_dir_write(
 
 
 def _record_dirs(rec: PartitionRecord) -> set[str]:
-    """Attempt directories referenced by a committed record's file list."""
-    return {f.rsplit("/", 1)[0] for f in rec.output_files}
+    """Attempt directories referenced by a committed record's file list.
+
+    ``lineage["pinned_dirs"]`` additionally protects directories whose files
+    the record no longer lists but the still-committed manifest does — the
+    purge protocol (``deletes.purge_deletes``) pins the pre-purge checkpoint
+    dirs until the post-purge manifest commits, so a kill at any instant
+    leaves the old index fully readable."""
+    dirs = {f.rsplit("/", 1)[0] for f in rec.output_files}
+    dirs.update(rec.lineage.get("pinned_dirs", []))
+    return dirs
 
 
 def _parquet_rows(files: list[str], fs=None) -> int:
@@ -620,6 +628,23 @@ def _th_bounds(files: list[str], fs=None) -> list[list[int]]:
             hi = st.max if hi is None else max(hi, st.max)
         out.append([int(lo or 0), int(hi if hi is not None else (1 << 64) - 1)])
     return out
+
+
+def _drop_deleted_urls(batch: pa.Table, deleted_urls: list[str]) -> pa.Table:
+    """Filter ledger-deleted urls out of a freshly-read source batch.
+
+    Applied to every group being (re-)tokenized when the index carries a
+    deletion ledger (``index/deletes.py``), so a takedown can never
+    resurrect through an incremental update, compaction, or streaming
+    append.  Lineage docIDs were already assigned from source row positions
+    upstream, so dropping rows does not shift surviving docIDs."""
+    mask = pc.invert(
+        pc.is_in(
+            batch.column("url"),
+            value_set=pa.array(deleted_urls, type=batch.column("url").type),
+        )
+    )
+    return batch.filter(mask)
 
 
 def _normalize_pre_extracted(batch: pa.Table) -> pa.Table:
@@ -682,6 +707,24 @@ def build_index(
     if not files:
         raise ValueError(f"no parquet input files under {source}")
 
+    # permanent deleted-urls ledger (index/deletes.py): any group this run
+    # (re-)tokenizes drops ledger urls at the read, and the tombstone set is
+    # re-resolved against the final checkpoint at finalize — deletions
+    # survive incremental updates, compaction, and streaming appends
+    from .manifest import manifest_exists
+
+    ledger_urls: list[str] = []
+    prior_deletes: dict | None = None
+    if manifest_exists(store):
+        from .deletes import read_ledger
+        from .manifest import load_manifest as _load_man
+
+        try:
+            prior_deletes = _load_man(store).get("deletes")
+            ledger_urls = read_ledger(store, prior_deletes)
+        except FileNotFoundError:
+            pass
+
     # ---- stage 1: extract + tokenize, one partition per shard group -------
     groups = [
         files[i : i + cfg.shard_group_size]
@@ -725,6 +768,13 @@ def build_index(
             ),
             filesystem=src_fs,
         )
+        if ledger_urls:
+            ds = ds.map_batches(
+                _drop_deleted_urls,
+                fn_kwargs={"deleted_urls": ledger_urls},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         if not cfg.pre_extracted:
             ds = ds.map_batches(
                 make_extract_fn(cfg.char_limit),
@@ -835,6 +885,24 @@ def build_index(
     avg_doc_len = total_len / doc_count if doc_count else 0.0
 
     # ---- stage 3: per-wave posting shuffle + encode + segment write --------
+    # Generation planning fingerprints the group's CHECKPOINT OUTPUT, not
+    # just the source content: a purge (index/deletes.py) rewrites docs_tok
+    # files without touching the source, and the posting generations must
+    # notice — otherwise a compacting build would skip "already full" waves
+    # whose segments still carry the purged docs' postings.
+    parts_after_tok = manifest.load_partitions()
+    seg_fp_now: dict[str, str] = {
+        pid: hashlib.sha1(
+            (
+                group_fp_now[pid]
+                + "|"
+                + "|".join(
+                    sorted(parts_after_tok[f"docs_tok--{pid}"].output_files)
+                )
+            ).encode()
+        ).hexdigest()
+        for pid in current_pids
+    }
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
@@ -882,7 +950,7 @@ def build_index(
             incremental = (
                 bool(gens)
                 and all(r.lineage.get("cfg_fp") == cfg_fp for r in gens)
-                and set(prev_cover) <= set(group_fp_now)
+                and set(prev_cover) <= set(seg_fp_now)
                 and all(
                     store.exists_abs(f) for r in gens for f in r.output_files
                 )
@@ -890,7 +958,7 @@ def build_index(
             if incremental:
                 dirty = sorted(
                     gid
-                    for gid, fp in group_fp_now.items()
+                    for gid, fp in seg_fp_now.items()
                     if prev_cover.get(gid) != fp
                 )
                 last_full = gens[-1].lineage.get("full") or (
@@ -899,7 +967,7 @@ def build_index(
                 if compact:
                     if not dirty and last_full:
                         continue  # newest gen already covers everything
-                    dirty = sorted(group_fp_now)  # full cover into a new gen
+                    dirty = sorted(seg_fp_now)  # full cover into a new gen
                 elif not dirty:
                     continue  # wave fully up to date
                 next_gen = gens[-1].lineage.get("gen", 0) + 1
@@ -910,12 +978,12 @@ def build_index(
                     manifest.delete_partition(r.key())
                     for d in _record_dirs(r):
                         store.delete_dir_abs(d)
-                dirty = sorted(group_fp_now)
+                dirty = sorted(seg_fp_now)
                 next_gen = 0
             pid = f"wave-{wave:04d}-gen-{next_gen:04d}"
             wave_fp = hashlib.sha1(
                 (
-                    "|".join(f"{g}:{group_fp_now[g]}" for g in dirty)
+                    "|".join(f"{g}:{seg_fp_now[g]}" for g in dirty)
                     + f"|{wave}|{cfg.num_waves}|{cfg.salt_shift}|"
                     f"{cfg.block_size}|{cfg.k1}|{cfg.b}|{avg_doc_len!r}"
                 ).encode()
@@ -927,8 +995,8 @@ def build_index(
                 "avgdl": avg_doc_len,
                 # a FULL generation covers every group and supersedes all
                 # earlier generations (gen 0 is implicitly full)
-                "full": next_gen == 0 or set(dirty) == set(group_fp_now),
-                "group_fps": {g: group_fp_now[g] for g in dirty},
+                "full": next_gen == 0 or set(dirty) == set(seg_fp_now),
+                "group_fps": {g: seg_fp_now[g] for g in dirty},
                 "covers_files": sorted(
                     fi for g in dirty for fi in group_file_indices[g]
                 ),
@@ -1132,23 +1200,36 @@ def build_index(
             (i for i, g in enumerate(gens) if g["full"]), default=0
         )
         wave_gens[w] = gens[base:]
-    return manifest.finalize(
+    extra = {
+        "input_files": files,
+        "input_fingerprint": file_fingerprint(files, src_fs),
+        "docs_files": docs_files,
+        "waves": {
+            str(w): [f for g in gens for f in g["files"]]
+            for w, gens in sorted(wave_gens.items())
+        },
+        "wave_gens": {
+            str(w): gens for w, gens in sorted(wave_gens.items())
+        },
+    }
+    if ledger_urls:
+        # re-resolve the deletion ledger against the final checkpoint: docs
+        # physically absent (ledger-filtered or purged) drop out, so the
+        # tombstone set always covers exactly the deleted docs still present
+        from .deletes import gc_delete_objects, refresh_resolution
+
+        extra["deletes"] = refresh_resolution(
+            store, prior_deletes, docs_files, ledger_urls
+        )
+    result = manifest.finalize(
         config=cfg.public_dict(),
         stats={
             "doc_count": doc_count,
             "total_doc_len": total_len,
             "avg_doc_len": avg_doc_len,
         },
-        extra={
-            "input_files": files,
-            "input_fingerprint": file_fingerprint(files, src_fs),
-            "docs_files": docs_files,
-            "waves": {
-                str(w): [f for g in gens for f in g["files"]]
-                for w, gens in sorted(wave_gens.items())
-            },
-            "wave_gens": {
-                str(w): gens for w, gens in sorted(wave_gens.items())
-            },
-        },
+        extra=extra,
     )
+    if ledger_urls:
+        gc_delete_objects(store, extra["deletes"])
+    return result

@@ -112,6 +112,62 @@ def documents_index(sf_dir: str, impact: bool = False) -> Path:
     return idx_dir
 
 
+def documents_index_deleted(sf_dir: str, mod: int = 17, resid: int = 3) -> Path:
+    """``documents_index`` variant with docs ``doc_id % mod == resid``
+    DELETED via the tombstone ledger (``index/deletes.py``) — cached
+    separately; the shared plain index is never mutated."""
+    from ..index.deletes import delete_docs
+    from ..index.manifest import load_manifest, manifest_exists
+    from ..spec import INDEX_FORMAT_VERSION
+
+    src = f"{sf_dir}/documents.parquet"
+    fp = file_fingerprint([src])
+    key = hashlib.sha1(
+        f"del{mod}.{resid}|{fp}|v{INDEX_FORMAT_VERSION}".encode()
+    ).hexdigest()[:16]
+    idx_dir = _CACHE_ROOT / f"docs_index_{key}"
+    done = False
+    if manifest_exists(idx_dir):
+        done = bool(load_manifest(idx_dir).get("deletes"))
+    if not done:
+        tmp_pages = idx_dir.parent / (idx_dir.name + "_pages")
+        files = write_pages_shards(documents_as_pages(sf_dir), tmp_pages)
+        cfg = BuildConfig(
+            pre_extracted=True,
+            text_only=True,
+            num_waves=1,
+            partitions_per_wave=4,
+            shard_group_size=8,
+            tokenize_concurrency=2,
+        )
+        build_index(files, idx_dir, cfg)
+        ids = pq.read_table(src, columns=["doc_id"]).column("doc_id").to_pylist()
+        victims = [f"{i:020d}" for i in ids if i % mod == resid]
+        delete_docs(idx_dir, victims)
+    return idx_dir
+
+
+def bm25_after_delete_table(
+    sf_dir: str, query: str, mod: int = 17, resid: int = 3
+) -> pa.Table:
+    """(doc_id, score) for every doc matching ``query`` AFTER deleting the
+    docs with ``doc_id % mod == resid`` from the index (tombstone masking +
+    live stats — no rebuild).  The SQL twin scores the complement corpus
+    from scratch, so a hash match proves delete-then-query ≡
+    filter-then-build."""
+    idx_dir = documents_index_deleted(sf_dir, mod, resid)
+    searcher = Searcher(idx_dir)
+    res = searcher.search(query, k=searcher.live_doc_count)
+    urls = searcher.lookup_urls([d for d, _ in res])
+    pairs = sorted((int(urls[d]), round(sc, 6)) for d, sc in res)
+    return pa.table(
+        {
+            "doc_id": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "score": pa.array([p[1] for p in pairs], type=pa.float64()),
+        }
+    )
+
+
 def documents_positions_index(sf_dir: str) -> Path:
     """Build (or reuse) the positional sidecar over the documents corpus.
 

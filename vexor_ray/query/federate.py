@@ -53,10 +53,12 @@ class FederatedSearcher:
                         f"federated indexes disagree on {key!r}: "
                         f"{cfg.get(key)!r} vs {cfg0.get(key)!r}"
                     )
-        self.doc_count = sum(s.doc_count for s in self.searchers)
-        total_len = sum(
-            s.manifest["stats"]["total_doc_len"] for s in self.searchers
-        )
+        # LIVE member stats: a member with pending deletions contributes its
+        # complement counts, so the union scores equal one physical index
+        # over the union of live corpora
+        self._any_tombs = any(s._has_tombs for s in self.searchers)
+        self.doc_count = sum(s.live_doc_count for s in self.searchers)
+        total_len = sum(s.live_total_doc_len for s in self.searchers)
         self.avg_doc_len = total_len / self.doc_count if self.doc_count else 0.0
 
     def preprocess_query(self, query: str) -> list[str]:
@@ -65,14 +67,27 @@ class FederatedSearcher:
     def _global_dfs(
         self, terms: list[str], chunks_per_index: list[dict]
     ) -> dict[str, int]:
-        return {
-            t: sum(
-                c["n_postings"]
-                for chunks in chunks_per_index
-                for c in chunks.get(t, [])
-            )
-            for t in terms
-        }
+        out: dict[str, int] = {}
+        for t in terms:
+            n = 0
+            for s, chunks in zip(self.searchers, chunks_per_index):
+                cl = chunks.get(t, [])
+                if not cl:
+                    continue
+                if s._has_tombs:
+                    # live df needs the decode-time tombstone mask; the
+                    # decoded payload is cached, so the exact arm (forced
+                    # below for tombstoned members) reuses it for free
+                    if s._sharded:
+                        n += sum(
+                            int(p[1].size) for p in s._term_postings_raw(cl, t)
+                        )
+                    else:
+                        n += int(s._term_postings(cl, t)[0].size)
+                else:
+                    n += sum(c["n_postings"] for c in cl)
+            out[t] = n
+        return out
 
     def df(self, term: str) -> int:
         return sum(s.df(term) for s in self.searchers)
@@ -90,6 +105,16 @@ class FederatedSearcher:
             return []
         chunks_per_index = [s.term_chunks(terms) for s in self.searchers]
         dfs = self._global_dfs(terms, chunks_per_index)
+        if self._any_tombs:
+            # pending deletions: only the exact arm masks tombstoned
+            # postings (same rule as Searcher.search)
+            if method == "wand":
+                raise ValueError(
+                    "a federated member has pending deletions; WAND needs "
+                    "physical indexes — purge/compact the member, or use "
+                    "method='exact'"
+                )
+            method = "exact"
         if method == "auto":
             total = sum(dfs.values())
             method = (

@@ -166,6 +166,31 @@ class Searcher:
         stats = self.manifest["stats"]
         self.doc_count: int = stats["doc_count"]
         self.avg_doc_len: float = stats["avg_doc_len"]
+        # pending deletions (index/deletes.py): physical stats above stay as
+        # built; every scoring decision uses the LIVE statistics below, so
+        # results equal a fresh build over the complement corpus exactly
+        # (same integer totals -> same float avgdl; postings of tombstoned
+        # docs are masked at decode).  n_deleted == 0 makes live == physical.
+        self._deletes: dict | None = self.manifest.get("deletes")
+        self._tomb_ids_arr: np.ndarray | None = None
+        _n_del = int(self._deletes.get("n_deleted", 0)) if self._deletes else 0
+        self._has_tombs = _n_del > 0
+        if self._has_tombs:
+            self.live_doc_count: int = self.doc_count - _n_del
+            _live_total = stats["total_doc_len"] - int(
+                self._deletes.get("deleted_total_len", 0)
+            )
+            self.live_total_doc_len: int = _live_total
+            self.live_avg_doc_len: float = (
+                _live_total / self.live_doc_count if self.live_doc_count else 0.0
+            )
+        else:
+            self.live_doc_count = self.doc_count
+            self.live_total_doc_len = int(
+                stats.get("total_doc_len")
+                or round(self.avg_doc_len * self.doc_count)
+            )
+            self.live_avg_doc_len = self.avg_doc_len
         cfg = self.manifest["config"]
         self.k1: float = cfg["k1"]
         self.b: float = cfg["b"]
@@ -586,7 +611,36 @@ class Searcher:
 
     def df(self, term: str) -> int:
         chunks = self.term_chunks([term])[term]
+        if self._has_tombs and chunks:
+            # live df: postings of tombstoned docs don't count (decode-time
+            # mask; the decoded payload is cached so repeats are free)
+            if self._sharded:
+                return sum(p[1].size for p in self._term_postings_raw(chunks, term))
+            return int(self._term_postings(chunks, term)[0].size)
         return sum(c["n_postings"] for c in chunks)
+
+    # -- tombstones (pending deletions) -------------------------------------
+    def _tombstones(self) -> np.ndarray | None:
+        """Sorted uint64 tombstoned docIDs (lazy), or None when none exist."""
+        if not self._has_tombs:
+            return None
+        if self._tomb_ids_arr is None:
+            from ..index.deletes import load_tombstones
+
+            ids = load_tombstones(self._store, self._deletes)
+            self._tomb_ids_arr = (
+                ids if ids is not None else np.zeros(0, dtype=np.uint64)
+            )
+        return self._tomb_ids_arr
+
+    @staticmethod
+    def _live_mask(doc_ids: np.ndarray, tomb: np.ndarray) -> np.ndarray:
+        """Boolean mask: True where ``doc_ids`` is NOT tombstoned.
+
+        ``tomb`` is sorted non-empty uint64; membership by searchsorted."""
+        pos = np.searchsorted(tomb, doc_ids)
+        pos[pos >= tomb.size] = tomb.size - 1
+        return tomb[pos] != doc_ids
 
     # -- scoring -----------------------------------------------------------
     def _doc_id_index(self) -> np.ndarray:
@@ -621,11 +675,19 @@ class Searcher:
         doc_ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         dls = np.concatenate([p[2] for p in parts])
+        tomb = self._tombstones()
+        if tomb is not None and tomb.size and doc_ids.size:
+            # decode-time tombstone mask: postings of deleted docs never
+            # enter the dense coordinate space, df, or the cache — exactly
+            # what a fresh build over the complement corpus would decode
+            live = self._live_mask(doc_ids, tomb)
+            if not live.all():
+                doc_ids, tfs, dls = doc_ids[live], tfs[live], dls[live]
         idx = np.searchsorted(self._doc_id_index(), doc_ids)
         tf_f = tfs.astype(np.float64)
         dl_f = dls.astype(np.float64)
         k1, b = self.k1, self.b
-        denom_base = k1 * ((1.0 - b) + (b * dl_f) / self.avg_doc_len)
+        denom_base = k1 * ((1.0 - b) + (b * dl_f) / self.live_avg_doc_len)
         out = (idx, tf_f, denom_base, dl_f)
         self._postings_cache_put(term, int(idx.size), out)
         return out
@@ -675,13 +737,18 @@ class Searcher:
         from ..index.codec import decode_chunk
 
         k1, b = self.k1, self.b
+        tomb = self._tombstones()
         parts = []
         n = 0
         for c in chunks:
             doc_ids, tfs, dls = decode_chunk(c)
+            if tomb is not None and tomb.size and doc_ids.size:
+                live = self._live_mask(doc_ids, tomb)
+                if not live.all():
+                    doc_ids, tfs, dls = doc_ids[live], tfs[live], dls[live]
             tf_f = tfs.astype(np.float64)
             dl_f = dls.astype(np.float64)
-            denom_base = k1 * ((1.0 - b) + (b * dl_f) / self.avg_doc_len)
+            denom_base = k1 * ((1.0 - b) + (b * dl_f) / self.live_avg_doc_len)
             parts.append((int(c.get("salt", 0)), doc_ids, tf_f, denom_base, dl_f))
             n += int(doc_ids.size)
         self._postings_cache_put(key, n, parts)
@@ -746,9 +813,13 @@ class Searcher:
                 df_by_term=df_by_term,
             )
         k1, b = self.k1, self.b
-        avgdl = self.avg_doc_len if avg_doc_len is None else avg_doc_len
-        n_docs = self.doc_count if doc_count is None else doc_count
-        override_avg = avg_doc_len is not None and avg_doc_len != self.avg_doc_len
+        avgdl = self.live_avg_doc_len if avg_doc_len is None else avg_doc_len
+        n_docs = self.live_doc_count if doc_count is None else doc_count
+        # decoded denom_base is cached under the LIVE avgdl; recompute only
+        # when a federation layer scores under different (union) stats
+        override_avg = (
+            avg_doc_len is not None and avg_doc_len != self.live_avg_doc_len
+        )
         all_ids = self._doc_id_index()
         self._peak_dense_docs = max(self._peak_dense_docs, int(all_ids.size))
         # Per-term bincount accumulated into one dense scores vector.  Each
@@ -765,13 +836,16 @@ class Searcher:
             chunks = chunks_by_term.get(term, [])
             if not chunks:
                 continue
-            df = (
-                df_by_term[term]
-                if df_by_term is not None
-                else sum(c["n_postings"] for c in chunks)
-            )
-            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
             idx, tf, denom_base, dl = self._term_postings(chunks, term)
+            if df_by_term is not None:
+                df = df_by_term[term]
+            elif self._has_tombs:
+                df = int(idx.size)  # live df: decode-time mask already applied
+            else:
+                df = sum(c["n_postings"] for c in chunks)
+            if df == 0:
+                continue
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
             if override_avg:
                 # federation scores under the union avgdl, not the cached one
                 denom_base = k1 * ((1.0 - b) + (b * dl) / avgdl)
@@ -811,9 +885,11 @@ class Searcher:
         ``tests/test_build_and_search.py::test_sharded_scorer_*``).
         """
         k1, b = self.k1, self.b
-        avgdl = self.avg_doc_len if avg_doc_len is None else avg_doc_len
-        n_docs = self.doc_count if doc_count is None else doc_count
-        override_avg = avg_doc_len is not None and avg_doc_len != self.avg_doc_len
+        avgdl = self.live_avg_doc_len if avg_doc_len is None else avg_doc_len
+        n_docs = self.live_doc_count if doc_count is None else doc_count
+        override_avg = (
+            avg_doc_len is not None and avg_doc_len != self.live_avg_doc_len
+        )
         span = self._shard_span_salts
         idf_by_term: dict[str, float] = {}
         decoded: dict[str, list] = {}
@@ -822,14 +898,18 @@ class Searcher:
             chunks = chunks_by_term.get(term, [])
             if not chunks:
                 continue
-            # df is GLOBAL (all shards), so idf is shard-independent
-            df = (
-                df_by_term[term]
-                if df_by_term is not None
-                else sum(c["n_postings"] for c in chunks)
-            )
-            idf_by_term[term] = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
             parts = self._term_postings_raw(chunks, term)
+            # df is GLOBAL (all shards), so idf is shard-independent; with
+            # pending deletions it counts the decode-time-masked postings
+            if df_by_term is not None:
+                df = df_by_term[term]
+            elif self._has_tombs:
+                df = sum(int(p[1].size) for p in parts)
+            else:
+                df = sum(c["n_postings"] for c in chunks)
+            if df == 0:
+                continue
+            idf_by_term[term] = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
             decoded[term] = parts
             shard_ids.update(p[0] // span for p in parts)
         if not decoded:
@@ -908,8 +988,22 @@ class Searcher:
         cold selective queries when the index carries the layout).
         """
         terms = self.preprocess_query(query)
-        if not terms or self.doc_count == 0 or self.avg_doc_len <= 0:
+        if not terms or self.live_doc_count == 0 or self.live_avg_doc_len <= 0:
             return []
+        if self._has_tombs:
+            # pending deletions: only the exact scorer masks tombstoned
+            # postings and recomputes live df/idf; WAND block bounds and
+            # impact frontiers were encoded over the physical postings and
+            # cannot be made tight under deletion, so those arms require a
+            # physical index (purge_deletes / compact_index)
+            if method == "auto":
+                method = "exact"
+            elif method in ("wand", "impact"):
+                raise ValueError(
+                    f"index has {self._deletes.get('n_deleted')} pending "
+                    f"deletions; method={method!r} needs a physical index — "
+                    "run purge_deletes()/compact_index, or use method='exact'"
+                )
         # explicit method="impact" fetches the companion columns in the ONE
         # read; only auto-routing pays the (imp-only) upgrade fetch after a
         # base-column read decided the route
@@ -1061,7 +1155,7 @@ class Searcher:
         the expanded term list in lexicographic order, so results are
         deterministic and SQL-checkable."""
         terms = self.expand_prefix(prefix, max_terms)
-        if not terms or self.doc_count == 0 or self.avg_doc_len <= 0:
+        if not terms or self.live_doc_count == 0 or self.live_avg_doc_len <= 0:
             return []
         chunks_by_term = self.term_chunks(terms)
         doc_ids, scores = self._exact_scores(terms, chunks_by_term)
@@ -1202,7 +1296,7 @@ class Searcher:
         for t in tokens:
             expanded.update(self.expand_fuzzy(t, max_terms_per_token))
         terms = sorted(expanded)
-        if not terms or self.doc_count == 0 or self.avg_doc_len <= 0:
+        if not terms or self.live_doc_count == 0 or self.live_avg_doc_len <= 0:
             return []
         chunks_by_term = self.term_chunks(terms)
         doc_ids, scores = self._exact_scores(terms, chunks_by_term)
@@ -1230,7 +1324,7 @@ class Searcher:
         should = [t for t in (should or []) if t]
         must_not = [t for t in (must_not or []) if t]
         scoring = list(dict.fromkeys(must + should))[:MAX_QUERY_TERMS]
-        if not scoring or self.doc_count == 0 or self.avg_doc_len <= 0:
+        if not scoring or self.live_doc_count == 0 or self.live_avg_doc_len <= 0:
             return []
         all_terms = list(dict.fromkeys(scoring + must + must_not))
         chunks_by_term = self.term_chunks(all_terms)
@@ -1351,6 +1445,7 @@ class Searcher:
         if qn == 0:
             return []
         q = q / qn
+        tomb = self._tombstones()
         cand: list[tuple[float, int]] = []  # (-cos, docID)
         for rb in self._docs_ds.to_batches(
             columns=["doc_id", "embedding"], batch_size=8192
@@ -1361,6 +1456,12 @@ class Searcher:
             from ..functions.ann import embedding_matrix
 
             mat = embedding_matrix(rb.column("embedding"))
+            if tomb is not None and tomb.size:
+                live = self._live_mask(ids.astype(np.uint64), tomb)
+                if not live.all():
+                    ids, mat = ids[live], mat[live]
+                    if ids.size == 0:
+                        continue
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             sims = np.round((mat / norms[:, None]) @ q, 6)
