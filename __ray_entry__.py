@@ -73,6 +73,17 @@ def _q_bm25_after_delete(sf_dir: str):
     return bm25_after_delete_table(sf_dir, _BM25_QUERY)
 
 
+def _q_prf_topk(sf_dir: str):
+    """Pseudo-relevance-feedback query expansion (RM3-flavored,
+    beyond-reference): integer rank-weighted tf over the top-10 feedback
+    docs picks 5 expansion terms; the expanded query re-scores via plain
+    BM25.  The SQL twin derives the same expansion set and final ranking
+    end-to-end in DuckDB."""
+    from vexor_ray.pipelines.corpus import prf_topk_table
+
+    return prf_topk_table(sf_dir, _TOPK_QUERY, k=10, fb_docs=10, fb_terms=5)
+
+
 def _q_phrase_match(sf_dir: str):
     """Exact consecutive-token phrase matching over the positional sidecar
     (beyond-reference: the reference's bag-of-words index cannot do this)."""
@@ -1084,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "bm25_after_delete": _q_bm25_after_delete,
+        "prf_topk": _q_prf_topk,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1092,7 +1104,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
-        "knn_cosine": _q_knn_cosine,
         "hash_embed": _q_hash_embed,
         "federated_bm25": _q_federated_bm25,
         "doc_term_tf_bert": _q_doc_term_tf_bert,
@@ -1154,8 +1165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "user_moving_avg": _q_user_moving_avg,
         # moved to the tail in round 4 (driver-hashed green in r1-r3) to
-        # free a first-50 slot for bm25_after_delete
+        # free first-50 slots for bm25_after_delete / prf_topk
         "dedup_exact": _q_dedup_exact,
+        "knn_cosine": _q_knn_cosine,
     }
 
 
@@ -1190,6 +1202,38 @@ def _bm25_sql(query_terms: list[str], topk: int | None) -> str:
         f" CAST(row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS INT) AS rank"
         f" FROM scores ORDER BY ROUND(s, 6) DESC, doc_id LIMIT {topk}"
     )
+
+
+def _prf_sql(query_terms: list[str], k: int, fb_docs: int, fb_terms: int) -> str:
+    """SQL twin of PRF expansion: top-fb_docs by rounded BM25 → integer
+    rank-weighted tf term weights (order-independent SUM) → top-fb_terms
+    non-query expansion terms → re-score the expanded term set."""
+    return f"""
+WITH {_bm25_cte(query_terms)},
+fb AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS INT) AS r
+  FROM scores ORDER BY ROUND(s, 6) DESC, doc_id LIMIT {fb_docs}
+),
+w AS (
+  SELECT tf.term, SUM(tf.tf * ({fb_docs} - fb.r + 1)) AS wt
+  FROM tf JOIN fb USING(doc_id)
+  WHERE tf.term NOT IN (SELECT term FROM qt)
+  GROUP BY tf.term
+),
+exp_t AS (SELECT term FROM w ORDER BY wt DESC, term LIMIT {fb_terms}),
+qt2 AS (SELECT term FROM qt UNION SELECT term FROM exp_t),
+df2 AS (SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt2) GROUP BY term),
+scores2 AS (
+  SELECT tf.doc_id,
+         SUM( ln((stats.n - df2.df + 0.5)/(df2.df + 0.5) + 1.0) * tf.tf * 2.5
+              / (tf.tf + 1.5*(1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df2 USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS score,
+ CAST(row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS INT) AS rank
+FROM scores2 ORDER BY ROUND(s, 6) DESC, doc_id LIMIT {k}"""
 
 
 def _phrase_sql(terms: list[str]) -> str:
@@ -1748,6 +1792,7 @@ def oracle_sql() -> dict[str, str]:
             )
             + "\nSELECT doc_id, ROUND(s, 6) AS score FROM scores ORDER BY doc_id"
         ),
+        "prf_topk": _prf_sql(_TOPK_QUERY.split(), 10, 10, 5),
         "phrase_match": _phrase_sql(["hash", "join"]),
         "near_match": _near_sql("spark", "join", 5),
         "prefix_topk": _prefix_bm25_sql("s", 10),

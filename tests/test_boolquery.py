@@ -186,3 +186,58 @@ def test_near_matches_oracle(pos_index, pos_oracle):
         assert got_d == exp, (a, b, w)
         n_nonempty += bool(exp)
     assert n_nonempty >= 3
+
+
+def _prf_oracle(oracle, query, fb_docs, fb_terms, k):
+    """Pure-python PRF twin: rounded-score feedback cut, integer
+    rank-weighted tf expansion, plain re-score of the expanded set."""
+    from vexor_ray.refimpl.bm25 import preprocess_query
+
+    terms = preprocess_query(query)
+    base = oracle_search(oracle, query, k=oracle.doc_count)
+    fb = sorted(((round(s, 6), d) for d, s in base), key=lambda p: (-p[0], p[1]))
+    fb_ids = [d for _, d in fb[:fb_docs]]
+    rank_w = {d: fb_docs - r for r, d in enumerate(fb_ids)}
+    weights: dict[str, int] = {}
+    for t, plist in oracle.postings.items():
+        if t in set(terms):
+            continue
+        for doc_id, tf, _dl in plist:
+            if doc_id in rank_w:
+                weights[t] = weights.get(t, 0) + tf * rank_w[doc_id]
+    expansion = [
+        t for t, _ in sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:fb_terms]
+    expanded = list(dict.fromkeys(terms + expansion))[:32]
+    full = oracle_search(oracle, " ".join(expanded), k=oracle.doc_count)
+    ranked = sorted(((round(s, 6), d) for d, s in full), key=lambda p: (-p[0], p[1]))
+    return [(d, s) for s, d in ranked[:k]], expansion
+
+
+@pytest.mark.parametrize("query", ["needledfhundred retrieval", "engine index"])
+def test_prf_expansion_matches_oracle(built_index, oracle_1k, query):
+    out, _ = built_index
+    s = Searcher(out)
+    terms = s.preprocess_query(query)
+    exp_engine = s.expansion_terms(terms, fb_docs=10, fb_terms=5)
+    exp_want, exp_oracle = None, None
+    want, exp_oracle = _prf_oracle(oracle_1k, query, 10, 5, 20)
+    assert exp_engine == exp_oracle, query
+    got = s.search_prf(query, k=20, fb_docs=10, fb_terms=5)
+    # engine ranks by exact score; compare the rounded ranking like the twin
+    got_rounded = sorted(
+        ((round(sc, 6), d) for d, sc in s.search_prf(query, k=oracle_1k.doc_count, fb_docs=10, fb_terms=5)),
+        key=lambda p: (-p[0], p[1]),
+    )[:20]
+    assert [d for _, d in got_rounded] == [d for d, _ in want], query
+    for (gs, _), (_, es) in zip(got_rounded, want):
+        assert math.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_prf_expansion_excludes_query_terms(built_index):
+    out, _ = built_index
+    s = Searcher(out)
+    terms = s.preprocess_query("retrieval engine")
+    exp = s.expansion_terms(terms, fb_docs=10, fb_terms=8)
+    assert len(exp) <= 8
+    assert not set(exp) & set(terms)

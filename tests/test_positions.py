@@ -283,3 +283,31 @@ def test_positions_shrunk_input_forces_full_rebuild(ray_session, tmp_path_factor
     assert not any((d >> 32) == 2 for d in after["doc_id"])  # no phantoms
     kept = {d for d in before["doc_id"] if (d >> 32) != 2}
     assert set(after["doc_id"]) == kept
+
+
+def test_phrase_and_near_respect_deleted_doc_ids(pos_index, pos_oracle):
+    """deleted_doc_ids filtering (companion of index/deletes.py tombstones):
+    deleted docs vanish from phrase/NEAR results, others are untouched."""
+    from vexor_ray.index.positions import PositionsIndex
+
+    from collections import Counter
+
+    counts = Counter(t for toks in pos_oracle.values() for t in toks)
+    (w1, _), (w2, _) = counts.most_common(2)
+    idx = PositionsIndex(pos_index)
+    base = idx.phrase_occurrences(w1)
+    assert base.num_rows >= 3
+    docs = base.column("doc_id").to_pylist()
+    victims = docs[:2]
+    got = idx.phrase_occurrences(w1, deleted_doc_ids=victims)
+    assert got.column("doc_id").to_pylist() == docs[2:]
+    assert (
+        got.column("n_occ").to_pylist()
+        == base.column("n_occ").to_pylist()[2:]
+    )
+    near = idx.near_occurrences(w1, w2, 5)
+    if near.num_rows:
+        v2 = [near.column("doc_id")[0].as_py()]
+        got2 = idx.near_occurrences(w1, w2, 5, deleted_doc_ids=v2)
+        assert v2[0] not in got2.column("doc_id").to_pylist()
+        assert got2.num_rows == near.num_rows - 1

@@ -772,7 +772,29 @@ class PositionsIndex:
         out.sort()  # salt chunks are docID-disjoint; sort is near-free merge
         return out
 
-    def phrase_occurrences(self, phrase: str) -> pa.Table:
+    @staticmethod
+    def _drop_deleted(tbl: pa.Table, deleted_doc_ids) -> pa.Table:
+        """Filter tombstoned docs out of a per-doc result table.
+
+        Per-doc values (occurrence counts, min distances) are independent
+        across docs, so result-level filtering equals querying an index
+        built without the deleted docs.  ``deleted_doc_ids`` is any uint64
+        iterable — typically ``Searcher._tombstones()`` of the companion
+        BM25 index (the sidecar shares its lineage docID space)."""
+        if deleted_doc_ids is None or tbl.num_rows == 0:
+            return tbl
+        d = np.asarray(deleted_doc_ids, dtype=np.uint64)
+        if d.size == 0:
+            return tbl
+        d = np.sort(d)
+        ids = tbl.column("doc_id").to_numpy().astype(np.uint64)
+        pos = np.searchsorted(d, ids)
+        pos[pos >= d.size] = d.size - 1
+        return tbl.filter(pa.array(d[pos] != ids))
+
+    def phrase_occurrences(
+        self, phrase: str, *, deleted_doc_ids=None
+    ) -> pa.Table:
         """(doc_id, n_occ) for docs containing the exact token phrase."""
         terms = self._tokenize(phrase)  # NO dedup, NO cap: order is semantics
         empty = pa.table(
@@ -817,14 +839,17 @@ class PositionsIndex:
         occ_idx = (cur // _POS_BASE).astype(np.int64)
         counts = np.bincount(occ_idx, minlength=base.size)
         nz = np.flatnonzero(counts)
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": pa.array(base[nz], type=pa.uint64()),
                 "n_occ": pa.array(counts[nz].astype(np.uint64), type=pa.uint64()),
             }
         )
+        return self._drop_deleted(out, deleted_doc_ids)
 
-    def near_occurrences(self, term_a: str, term_b: str, window: int) -> pa.Table:
+    def near_occurrences(
+        self, term_a: str, term_b: str, window: int, *, deleted_doc_ids=None
+    ) -> pa.Table:
         """(doc_id, min_dist) for docs where ``term_a`` and ``term_b`` occur
         within ``window`` tokens of each other (unordered proximity).
 
@@ -879,9 +904,10 @@ class PositionsIndex:
         best = np.full(base.size, np.iinfo(np.uint64).max, dtype=np.uint64)
         np.minimum.at(best, idxs, diffs)
         hit = np.flatnonzero(best <= np.uint64(window))
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": pa.array(base[hit], type=pa.uint64()),
                 "min_dist": pa.array(best[hit], type=pa.uint64()),
             }
         )
+        return self._drop_deleted(out, deleted_doc_ids)

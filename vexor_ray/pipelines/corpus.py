@@ -112,6 +112,39 @@ def documents_index(sf_dir: str, impact: bool = False) -> Path:
     return idx_dir
 
 
+def prf_topk_table(
+    sf_dir: str, query: str, k: int = 10, fb_docs: int = 10, fb_terms: int = 5
+) -> pa.Table:
+    """Top-k after pseudo-relevance-feedback query expansion
+    (``Searcher.expansion_terms``): integer rank-weighted tf over the top
+    ``fb_docs`` feedback docs picks ``fb_terms`` expansion terms, then the
+    expanded query is scored by the plain exact scorer.  Ranking (like
+    ``bm25_topk``) is by 6-decimal-rounded score then doc_id so the SQL
+    twin's unspecified SUM order cannot flip the cut."""
+    from ..spec import MAX_QUERY_TERMS
+
+    s = DocumentsSearcher(sf_dir)
+    searcher = s.searcher
+    terms = searcher.preprocess_query(query)
+    expansion = searcher.expansion_terms(
+        terms, fb_docs=fb_docs, fb_terms=fb_terms
+    )
+    expanded = list(dict.fromkeys(terms + expansion))[:MAX_QUERY_TERMS]
+    chunks = searcher.term_chunks(expanded)
+    ids, sc = searcher._exact_scores(expanded, chunks)
+    pairs = [(int(d), round(float(x), 6)) for d, x in zip(ids, sc)]
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    pairs = pairs[:k]
+    urls = searcher.lookup_urls([d for d, _ in pairs])
+    return pa.table(
+        {
+            "doc_id": pa.array([int(urls[d]) for d, _ in pairs], type=pa.int64()),
+            "score": pa.array([sc_ for _, sc_ in pairs], type=pa.float64()),
+            "rank": pa.array(range(1, len(pairs) + 1), type=pa.int32()),
+        }
+    )
+
+
 def documents_index_deleted(sf_dir: str, mod: int = 17, resid: int = 3) -> Path:
     """``documents_index`` variant with docs ``doc_id % mod == resid``
     DELETED via the tombstone ledger (``index/deletes.py``) — cached

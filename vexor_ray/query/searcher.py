@@ -1363,6 +1363,83 @@ class Searcher:
             return []
         return self._top_k(doc_ids[keep], scores[keep], k)
 
+    def expansion_terms(
+        self, terms: list[str], *, fb_docs: int = 10, fb_terms: int = 10
+    ) -> list[str]:
+        """Pseudo-relevance-feedback expansion terms (RM3-flavored).
+
+        Classic PRF (Rocchio / relevance-model family, public literature):
+        take the top ``fb_docs`` BM25 results for the original query, weight
+        each feedback doc by its rank (top doc weight ``fb_docs`` … rank-r
+        doc weight ``fb_docs - r + 1``), score every term by
+        ``sum(tf * doc_weight)`` over the feedback docs, and return the top
+        ``fb_terms`` non-query terms by (weight desc, term asc).  All
+        weights are INTEGER sums, so the ranking is order-independent and
+        exactly reproducible by a SQL oracle; the feedback-doc cut uses the
+        6-decimal-rounded score (stable across engines whose float sums
+        differ in the last bits).
+
+        The per-doc term vectors come from a docID-pruned read of the docs
+        checkpoint — O(fb_docs) rows, never a corpus scan.
+        """
+        if not terms:
+            return []
+        chunks_by_term = self.term_chunks(terms)
+        doc_ids, scores = self._exact_scores(terms, chunks_by_term)
+        if doc_ids.size == 0:
+            return []
+        order = np.lexsort((doc_ids, -np.round(scores, 6)))
+        fb_ids = doc_ids[order[:fb_docs]]
+        rank_w = {int(d): fb_docs - r for r, d in enumerate(fb_ids)}
+        schema = self._docs_ds.schema.names
+        tok_cols = (
+            ["terms"] if "terms" in schema
+            else sorted(c for c in schema if c.startswith("terms_w"))
+        )
+        tf_cols = [c.replace("terms", "tfs") for c in tok_cols]
+        tbl = self._docs_ds.to_table(
+            columns=["doc_id"] + tok_cols + tf_cols,
+            filter=pc.field("doc_id").isin(pa.array(fb_ids, type=pa.uint64())),
+        )
+        qset = set(terms)
+        weights: dict[str, int] = {}
+        for row in tbl.to_pylist():
+            w = rank_w[int(row["doc_id"])]
+            for tc, fc in zip(tok_cols, tf_cols):
+                for t, f in zip(row[tc] or [], row[fc] or []):
+                    if t in qset:
+                        continue
+                    weights[t] = weights.get(t, 0) + int(f) * w
+        ranked = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [t for t, _ in ranked[:fb_terms]]
+
+    def search_prf(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        fb_docs: int = 10,
+        fb_terms: int = 10,
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k with pseudo-relevance-feedback query expansion
+        (beyond-reference: the reference scores literal query tokens only).
+
+        The expanded query = original terms + :meth:`expansion_terms`,
+        order-preserving dedup, capped like ``preprocess_query``; scoring
+        is the plain exact scorer over the expanded term list."""
+        from ..spec import MAX_QUERY_TERMS
+
+        terms = self.preprocess_query(query)
+        if not terms or self.live_doc_count == 0 or self.live_avg_doc_len <= 0:
+            return []
+        expansion = self.expansion_terms(
+            terms, fb_docs=fb_docs, fb_terms=fb_terms
+        )
+        expanded = list(dict.fromkeys(terms + expansion))[:MAX_QUERY_TERMS]
+        chunks_by_term = self.term_chunks(expanded)
+        doc_ids, scores = self._exact_scores(expanded, chunks_by_term)
+        return self._top_k(doc_ids, scores, k)
+
     # -- hybrid (RRF fusion with a dense ranking) --------------------------
     def search_hybrid(
         self,
