@@ -84,6 +84,23 @@ def _q_prf_topk(sf_dir: str):
     return prf_topk_table(sf_dir, _TOPK_QUERY, k=10, fb_docs=10, fb_terms=5)
 
 
+def _q_facet_counts(sf_dir: str):
+    """Search-result faceting (lang × source counts over every doc matching
+    ≥1 query term) — streamed membership mask against the source table, no
+    corpus-sized value_set broadcast."""
+    from vexor_ray.pipelines.corpus import facet_counts_table
+
+    return facet_counts_table(sf_dir, _BM25_QUERY)
+
+
+def _q_event_gaps(sf_dir: str):
+    """LAG window function: per-user µs gap to the previous event (first
+    event of a user = -1, the twin's COALESCE sentinel)."""
+    from vexor_ray.pipelines.relational import event_gaps
+
+    return event_gaps(sf_dir)
+
+
 def _q_phrase_match(sf_dir: str):
     """Exact consecutive-token phrase matching over the positional sidecar
     (beyond-reference: the reference's bag-of-words index cannot do this)."""
@@ -1096,6 +1113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "bm25_after_delete": _q_bm25_after_delete,
         "prf_topk": _q_prf_topk,
+        "facet_counts": _q_facet_counts,
+        "event_gaps": _q_event_gaps,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1104,8 +1123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
-        "hash_embed": _q_hash_embed,
-        "federated_bm25": _q_federated_bm25,
         "doc_term_tf_bert": _q_doc_term_tf_bert,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "repetition": _q_repetition,
@@ -1168,6 +1185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # free first-50 slots for bm25_after_delete / prf_topk
         "dedup_exact": _q_dedup_exact,
         "knn_cosine": _q_knn_cosine,
+        "hash_embed": _q_hash_embed,
+        "federated_bm25": _q_federated_bm25,
     }
 
 
@@ -1793,6 +1812,31 @@ def oracle_sql() -> dict[str, str]:
             + "\nSELECT doc_id, ROUND(s, 6) AS score FROM scores ORDER BY doc_id"
         ),
         "prf_topk": _prf_sql(_TOPK_QUERY.split(), 10, 10, 5),
+        # facet counts over every doc matching >=1 query term (score > 0
+        # <=> >=1 term match: BM25 contributions are strictly positive)
+        "facet_counts": (
+            "\nWITH "
+            + _bm25_cte(_BM25_QUERY.split())
+            + """
+, m AS (SELECT doc_id FROM scores)
+SELECT f.facet, f.value, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT 'lang' AS facet, d.lang AS value, d.doc_id FROM documents d
+  UNION ALL
+  SELECT 'source' AS facet, d.source AS value, d.doc_id FROM documents d
+) f JOIN m USING(doc_id)
+GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
+        ),
+        "event_gaps": """
+WITH g AS (
+  SELECT event_id, user_id,
+         COALESCE(date_diff('microsecond',
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts),
+           -1) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, CAST(gap_us AS BIGINT) AS gap_us
+FROM g ORDER BY event_id""",
         "phrase_match": _phrase_sql(["hash", "join"]),
         "near_match": _near_sql("spark", "join", 5),
         "prefix_topk": _prefix_bm25_sql("s", 10),

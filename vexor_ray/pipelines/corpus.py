@@ -145,6 +145,54 @@ def prf_topk_table(
     )
 
 
+def facet_counts_table(
+    sf_dir: str, query: str, facets: tuple[str, ...] = ("lang", "source")
+) -> pa.Table:
+    """Search-result faceting: (facet, value, n_docs) over every doc
+    matching ≥1 query term (BM25's OR semantics — exactly the docs with a
+    positive score, since per-term contributions are strictly positive).
+
+    The match set streams against the source table in batches with a
+    sorted-array membership mask (searchsorted, no value_set broadcast of
+    a giant is_in), then per-batch Arrow group-counts merge driver-side —
+    facet cardinality is tiny even when the match set is corpus-sized."""
+    import numpy as np
+
+    s = DocumentsSearcher(sf_dir)
+    res = s.searcher.search(query, k=s.searcher.live_doc_count)
+    urls = s.searcher.lookup_urls([d for d, _ in res])
+    match = np.sort(np.asarray([int(urls[d]) for d, _ in res], dtype=np.int64))
+    counts: dict[tuple[str, str], int] = {}
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(f"{sf_dir}/documents.parquet")
+    for rb in ds.to_batches(columns=["doc_id", *facets], batch_size=65536):
+        ids = rb.column("doc_id").to_numpy()
+        if ids.size == 0 or match.size == 0:
+            continue
+        pos = np.searchsorted(match, ids)
+        pos[pos >= match.size] = match.size - 1
+        live = match[pos] == ids
+        if not live.any():
+            continue
+        tbl = pa.Table.from_batches([rb]).filter(pa.array(live))
+        for f in facets:
+            g = pa.TableGroupBy(tbl.select([f]), f).aggregate([([], "count_all")])
+            for v, n in zip(
+                g.column(f).to_pylist(), g.column("count_all").to_pylist()
+            ):
+                key = (f, str(v))
+                counts[key] = counts.get(key, 0) + int(n)
+    rows = sorted(counts.items())
+    return pa.table(
+        {
+            "facet": pa.array([k[0] for k, _ in rows], type=pa.string()),
+            "value": pa.array([k[1] for k, _ in rows], type=pa.string()),
+            "n_docs": pa.array([n for _, n in rows], type=pa.int64()),
+        }
+    )
+
+
 def documents_index_deleted(sf_dir: str, mod: int = 17, resid: int = 3) -> Path:
     """``documents_index`` variant with docs ``doc_id % mod == resid``
     DELETED via the tombstone ledger (``index/deletes.py``) — cached

@@ -540,6 +540,48 @@ def user_moving_avg(sf_dir: str, window: int = 3) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def event_gaps(sf_dir: str) -> pa.Table:
+    """LAG window function: per-user gap (µs) to the previous event.
+
+    Same coarse-hash-partition shape as ``user_moving_avg`` (each user's
+    ordered history co-locates once; the gap is one vectorized diff with
+    per-user boundary masking — first event of a user gets gap = -1, the
+    SQL twin's COALESCE sentinel for LAG's NULL).  Deterministic order:
+    (ts, event_id)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def part(df):
+        import pandas as pd
+
+        if df.empty:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "gap_us": []}
+            ).astype({"event_id": "int64", "user_id": "int64", "gap_us": "int64"})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[0] = -1
+        if len(df) > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+            gap[1:][user[1:] != user[:-1]] = -1
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": user,
+                "gap_us": gap,
+            }
+        )
+
+    from ..functions.groups import coarse_grouped, int_pid
+
+    out = coarse_grouped(ds, lambda b: int_pid(b, ["user_id"], 64), part).to_pandas()
+    out = out.sort_values("event_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 _STRATA_PCT = {"en": 5, "de": 10, "zh": 20, "fr": 30, "es": 40}
 
 
