@@ -87,6 +87,12 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--input", required=True, help="the index's pages input")
     cp.add_argument("--index", required=True)
 
+    cn = sub.add_parser(
+        "clone", help="replicate a committed index to another store (resumable)"
+    )
+    cn.add_argument("--src", required=True, help="source index dir or URI")
+    cn.add_argument("--dst", required=True, help="destination dir or URI")
+
     dl = sub.add_parser(
         "delete", help="delete documents (by url) from an index — no rebuild"
     )
@@ -217,6 +223,17 @@ def main(argv: list[str] | None = None) -> int:
         import ray
 
         ray.shutdown()
+        return 0
+
+    if args.cmd == "clone":
+        from vexor_ray.index.clone import clone_index
+
+        stats = clone_index(args.src, args.dst)
+        print(
+            json.dumps(
+                {k: stats[k] for k in ("files_total", "files_copied", "bytes_copied")}
+            )
+        )
         return 0
 
     if args.cmd == "delete":
