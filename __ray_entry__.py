@@ -84,6 +84,14 @@ def _q_prf_topk(sf_dir: str):
     return prf_topk_table(sf_dir, _TOPK_QUERY, k=10, fb_docs=10, fb_terms=5)
 
 
+def _q_autocomplete(sf_dir: str):
+    """Search-box autocomplete: prefix suggestions ranked by df from the
+    term-dictionary sidecar (df == COUNT(DISTINCT doc_id) per term)."""
+    from vexor_ray.pipelines.corpus import autocomplete_table
+
+    return autocomplete_table(sf_dir, "s", k=10)
+
+
 def _q_facet_counts(sf_dir: str):
     """Search-result faceting (lang × source counts over every doc matching
     ≥1 query term) — streamed membership mask against the source table, no
@@ -1115,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prf_topk": _q_prf_topk,
         "facet_counts": _q_facet_counts,
         "event_gaps": _q_event_gaps,
+        "autocomplete": _q_autocomplete,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1123,7 +1132,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
-        "doc_term_tf_bert": _q_doc_term_tf_bert,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "repetition": _q_repetition,
         "quality_filter": _q_quality_filter,
@@ -1187,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "hash_embed": _q_hash_embed,
         "federated_bm25": _q_federated_bm25,
+        "doc_term_tf_bert": _q_doc_term_tf_bert,
     }
 
 
@@ -1827,6 +1836,11 @@ FROM (
 ) f JOIN m USING(doc_id)
 GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         ),
+        "autocomplete": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+       WHERE term LIKE 's%' GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df FROM df ORDER BY df DESC, term LIMIT 10""",
         "event_gaps": """
 WITH g AS (
   SELECT event_id, user_id,

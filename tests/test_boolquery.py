@@ -241,3 +241,20 @@ def test_prf_expansion_excludes_query_terms(built_index):
     exp = s.expansion_terms(terms, fb_docs=10, fb_terms=8)
     assert len(exp) <= 8
     assert not set(exp) & set(terms)
+
+
+def test_autocomplete_ranked_by_df(built_index, oracle_1k):
+    out, _ = built_index
+    s = Searcher(out)
+    got = s.autocomplete("needledf", k=10)
+    want = sorted(
+        (
+            (t, len(pl))
+            for t, pl in oracle_1k.postings.items()
+            if t.startswith("needledf")
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert got == want
+    with pytest.raises(ValueError):
+        s.autocomplete("")

@@ -87,6 +87,12 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--input", required=True, help="the index's pages input")
     cp.add_argument("--index", required=True)
 
+    st = sub.add_parser(
+        "stats",
+        help="index introspection: corpus stats, generations, deletions, stage metrics",
+    )
+    st.add_argument("--index", required=True)
+
     cn = sub.add_parser(
         "clone", help="replicate a committed index to another store (resumable)"
     )
@@ -223,6 +229,41 @@ def main(argv: list[str] | None = None) -> int:
         import ray
 
         ray.shutdown()
+        return 0
+
+    if args.cmd == "stats":
+        from vexor_ray.index.manifest import load_manifest
+
+        man = load_manifest(args.index)
+        waves = {
+            w: {
+                "generations": len(gens),
+                "files": sum(len(g["files"]) for g in gens),
+                "compacted": all(g.get("full") for g in gens[-1:]) and len(gens) == 1,
+            }
+            for w, gens in man.get("wave_gens", {}).items()
+        }
+        stages: dict[str, dict] = {}
+        for p in man.get("partitions", []):
+            s = stages.setdefault(
+                p["stage"], {"partitions": 0, "wall_s": 0.0, "bytes": 0}
+            )
+            s["partitions"] += 1
+            s["wall_s"] = round(s["wall_s"] + p["metrics"].get("wall_s", 0.0), 3)
+            s["bytes"] += p["metrics"].get("bytes", 0)
+        print(
+            json.dumps(
+                {
+                    "stats": man["stats"],
+                    "format_version": man.get("format_version"),
+                    "tokenizer": man["config"].get("tokenizer"),
+                    "impact_postings": man["config"].get("impact_postings"),
+                    "waves": waves,
+                    "deletes": man.get("deletes"),
+                    "stages": stages,
+                }
+            )
+        )
         return 0
 
     if args.cmd == "clone":

@@ -193,6 +193,20 @@ def facet_counts_table(
     )
 
 
+def autocomplete_table(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
+    """(term, df) prefix suggestions by (df desc, term asc) — exact SQL
+    twin: df == COUNT(DISTINCT doc_id) because each doc contributes one
+    posting per distinct term."""
+    s = DocumentsSearcher(sf_dir)
+    rows = s.searcher.autocomplete(prefix, k)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in rows], type=pa.string()),
+            "df": pa.array([d for _, d in rows], type=pa.int64()),
+        }
+    )
+
+
 def documents_index_deleted(sf_dir: str, mod: int = 17, resid: int = 3) -> Path:
     """``documents_index`` variant with docs ``doc_id % mod == resid``
     DELETED via the tombstone ledger (``index/deletes.py``) — cached

@@ -1272,6 +1272,21 @@ class Searcher:
             hits.sort()
         return hits
 
+    def autocomplete(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Prefix suggestions ranked by document frequency (df desc, term
+        asc) — the search-box "suggest as you type" surface, served from
+        the term-dictionary sidecar (beyond-reference).  df is physical
+        (pending deletions shift it only until a purge/compaction; ranking
+        quality, not correctness, is at stake here)."""
+        if not prefix:
+            raise ValueError("empty prefix")
+        cand = self._dictionary_terms()
+        rows = sorted(
+            ((t, d) for t, d in cand.items() if t.startswith(prefix)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        return rows[:k]
+
     def suggest(self, term: str) -> str | None:
         """Spell-suggestion: the highest-df term within edit distance 1
         (the term itself wins when present — df order, tie term asc)."""
