@@ -121,6 +121,13 @@ def bench_queries(index_dir: str, n: int | None = None) -> dict:
         out[f"query_{method}_p99_ms"] = round(
             1000 * warm[min(len(warm) - 1, int(0.99 * len(warm)))], 2
         )
+    # serving throughput: warm auto-routed queries back to back (the QPS a
+    # single warm searcher process sustains; a pool scales it per actor)
+    t0 = time.perf_counter()
+    for q in queries:
+        s.search(q["query"], q["k"], method="auto")
+    wall = time.perf_counter() - t0
+    out["query_qps_warm"] = round(len(queries) / wall, 1)
     return out
 
 

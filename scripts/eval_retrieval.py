@@ -150,12 +150,16 @@ def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
         pq_by_q.setdefault(qi, []).append(vid)
 
     arms: dict[str, list[list[int]]] = {
-        "bm25_exact": [], "bm25_wand": [], "dense": [], "dense_idf": [],
-        "dense_idf_pq": [], "hybrid": [], "hybrid_idf": [], "rerank_bm25l": [],
+        "bm25_exact": [], "bm25_wand": [], "bm25_prf": [], "dense": [],
+        "dense_idf": [], "dense_idf_pq": [], "hybrid": [], "hybrid_idf": [],
+        "rerank_bm25l": [],
     }
     for qi, qtext in enumerate(qtexts):
         exact = s.search(qtext, k=10, method="exact")
         arms["bm25_exact"].append([d for d, _ in exact])
+        arms["bm25_prf"].append(
+            [d for d, _ in s.search_prf(qtext, k=10, fb_docs=10, fb_terms=5)]
+        )
         arms["bm25_wand"].append(
             [d for d, _ in s.search(qtext, k=10, method="wand")]
         )
