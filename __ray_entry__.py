@@ -92,6 +92,15 @@ def _q_autocomplete(sf_dir: str):
     return autocomplete_table(sf_dir, "s", k=10)
 
 
+def _q_boosted_topk(sf_dir: str):
+    """Static-rank fusion: 6dp-rounded BM25 x a dyadic document prior
+    (1 + n_chars/4096) — web search's query-score x document-prior shape;
+    the dyadic factor makes the product bit-identical to the SQL twin."""
+    from vexor_ray.pipelines.corpus import boosted_topk_table
+
+    return boosted_topk_table(sf_dir, _BM25_QUERY, k=10)
+
+
 def _q_facet_counts(sf_dir: str):
     """Search-result faceting (lang × source counts over every doc matching
     ≥1 query term) — streamed membership mask against the source table, no
@@ -1124,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _q_facet_counts,
         "event_gaps": _q_event_gaps,
         "autocomplete": _q_autocomplete,
+        "boosted_topk": _q_boosted_topk,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1132,7 +1142,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
-        "embedding_dup_pairs": _q_embedding_dup_pairs,
         "repetition": _q_repetition,
         "quality_filter": _q_quality_filter,
         "dup_clusters": _q_dup_clusters,
@@ -1196,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed": _q_hash_embed,
         "federated_bm25": _q_federated_bm25,
         "doc_term_tf_bert": _q_doc_term_tf_bert,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
     }
 
 
@@ -1835,6 +1845,17 @@ FROM (
   SELECT 'source' AS facet, d.source AS value, d.doc_id FROM documents d
 ) f JOIN m USING(doc_id)
 GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
+        ),
+        "boosted_topk": (
+            "\nWITH "
+            + _bm25_cte(_BM25_QUERY.split())
+            + """
+SELECT s.doc_id, ROUND(ROUND(s.s, 6) * (1.0 + d.n_chars / 4096.0), 6) AS fused,
+ CAST(row_number() OVER (
+   ORDER BY ROUND(ROUND(s.s, 6) * (1.0 + d.n_chars / 4096.0), 6) DESC, s.doc_id
+ ) AS INT) AS rank
+FROM scores s JOIN documents d USING(doc_id)
+ORDER BY fused DESC, s.doc_id LIMIT 10"""
         ),
         "autocomplete": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),

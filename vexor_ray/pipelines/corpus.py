@@ -207,6 +207,52 @@ def autocomplete_table(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
     )
 
 
+def boosted_topk_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
+    """Static-rank fusion: BM25 × a per-document boost (web search's
+    "query score × document prior" shape — PageRank, freshness, quality).
+
+    The prior here is ``1 + n_chars/4096`` — a DYADIC rational, so the
+    multiplication is bit-identical between numpy and the SQL twin; the
+    BM25 factor is 6-decimal-rounded first (the established cross-engine
+    stabilization).  The boost column streams against the match set with
+    the same sorted-membership mask as ``facet_counts_table`` — at scale
+    the prior would live in the docs checkpoint, fetched the same way."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    s = DocumentsSearcher(sf_dir)
+    res = s.searcher.search(query, k=s.searcher.live_doc_count)
+    urls = s.searcher.lookup_urls([d for d, _ in res])
+    ids = np.asarray([int(urls[d]) for d, _ in res], dtype=np.int64)
+    sc = np.round(np.asarray([x for _, x in res], dtype=np.float64), 6)
+    order = np.argsort(ids)
+    ids, sc = ids[order], sc[order]
+    best: list[tuple[float, int]] = []  # (-fused, doc_id)
+    ds = pads.dataset(f"{sf_dir}/documents.parquet")
+    for rb in ds.to_batches(columns=["doc_id", "n_chars"], batch_size=65536):
+        bid = rb.column("doc_id").to_numpy()
+        if bid.size == 0 or ids.size == 0:
+            continue
+        pos = np.searchsorted(ids, bid)
+        pos[pos >= ids.size] = ids.size - 1
+        live = ids[pos] == bid
+        if not live.any():
+            continue
+        nch = rb.column("n_chars").to_numpy()[live].astype(np.float64)
+        fused = np.round(sc[pos[live]] * (1.0 + nch / 4096.0), 6)
+        for d, f in zip(bid[live], fused):
+            best.append((-float(f), int(d)))
+    best.sort()
+    best = best[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for _, d in best], type=pa.int64()),
+            "fused": pa.array([-f for f, _ in best], type=pa.float64()),
+            "rank": pa.array(range(1, len(best) + 1), type=pa.int32()),
+        }
+    )
+
+
 def documents_index_deleted(sf_dir: str, mod: int = 17, resid: int = 3) -> Path:
     """``documents_index`` variant with docs ``doc_id % mod == resid``
     DELETED via the tombstone ledger (``index/deletes.py``) — cached
