@@ -92,6 +92,17 @@ def _q_autocomplete(sf_dir: str):
     return autocomplete_table(sf_dir, "s", k=10)
 
 
+def _q_query_language(sf_dir: str):
+    """Mini query language capstone: '+hash "hash join" sca* joi~ -slow'
+    composes a must filter, an exact-phrase clause (positions sidecar),
+    prefix + fuzzy dictionary expansion, and a must-not filter onto the
+    exact scorer; the SQL twin derives the same expansion sets, phrase
+    containment, and filters end-to-end in DuckDB."""
+    from vexor_ray.pipelines.corpus import query_language_table
+
+    return query_language_table(sf_dir, '+hash "hash join" sca* joi~ -slow', k=10)
+
+
 def _q_boosted_topk(sf_dir: str):
     """Static-rank fusion: 6dp-rounded BM25 x a dyadic document prior
     (1 + n_chars/4096) — web search's query-score x document-prior shape;
@@ -1134,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "autocomplete": _q_autocomplete,
         "boosted_topk": _q_boosted_topk,
+        "query_language": _q_query_language,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1142,7 +1154,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
-        "repetition": _q_repetition,
         "quality_filter": _q_quality_filter,
         "dup_clusters": _q_dup_clusters,
         "clean_corpus": _q_clean_corpus,
@@ -1206,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "federated_bm25": _q_federated_bm25,
         "doc_term_tf_bert": _q_doc_term_tf_bert,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "repetition": _q_repetition,
     }
 
 
@@ -1846,6 +1858,39 @@ FROM (
 ) f JOIN m USING(doc_id)
 GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         ),
+        "query_language": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, AVG(dl) AS avgdl FROM dl),
+qe(term) AS (VALUES ('hash'), ('join')),
+qp AS (SELECT DISTINCT term FROM tf WHERE term LIKE 'sca%'),
+qf AS (SELECT DISTINCT term FROM tf WHERE levenshtein(term, 'joi') <= 1),
+qt AS (SELECT term FROM qe UNION SELECT term FROM qp UNION SELECT term FROM qf),
+df AS (SELECT term, COUNT(*) AS df FROM tf
+       WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         SUM( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) * tf.tf * 2.5
+              / (tf.tf + 1.5*(1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+d2 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ix AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d2),
+ptoks AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS term FROM ix),
+m0 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'hash'),
+m AS (SELECT DISTINCT m0.doc_id FROM m0
+  JOIN ptoks t1 ON t1.doc_id = m0.doc_id AND t1.pos = m0.pos + 1 AND t1.term = 'join'),
+flt AS (SELECT s.doc_id, s.s FROM scores s
+  WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = s.doc_id AND t.term = 'hash')
+    AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = s.doc_id AND t.term = 'slow')
+    AND s.doc_id IN (SELECT doc_id FROM m))
+SELECT doc_id, ROUND(s, 6) AS score,
+       CAST(row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS INT) AS rank
+FROM flt ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 10""",
         "boosted_topk": (
             "\nWITH "
             + _bm25_cte(_BM25_QUERY.split())

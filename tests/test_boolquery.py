@@ -258,3 +258,72 @@ def test_autocomplete_ranked_by_df(built_index, oracle_1k):
     assert got == want
     with pytest.raises(ValueError):
         s.autocomplete("")
+
+
+def test_parse_query_clauses():
+    from vexor_ray.query.qlang import parse_query
+
+    p = parse_query('+hash "hash join" sca* joi~ -slow  "  " bare')
+    assert p.must == ["hash"] and p.must_not == ["slow"]
+    assert p.phrases == ["hash join"] and p.should == ["bare"]
+    assert p.prefixes == ["sca"] and p.fuzzies == ["joi"]
+
+
+def test_query_language_composes_primitives(built_index, oracle_1k):
+    """A must+prefix+fuzzy query (no phrase) must equal composing the
+    primitives by hand: boolean filter over the union-expanded scoring set."""
+    from vexor_ray.query.qlang import search_query
+
+    out, _ = built_index
+    s = Searcher(out)
+    got = search_query(s, "+needledfhundred needledf* engine~", k=15)
+    scoring = list(
+        dict.fromkeys(
+            ["needledfhundred"]
+            + s.expand_prefix("needledf", 64)
+            + s.expand_fuzzy("engine", 64)
+        )
+    )
+    want = s.search_boolean(
+        must=["needledfhundred"],
+        should=[t for t in scoring if t != "needledfhundred"],
+        k=15,
+    )
+    assert got == want
+
+
+def test_query_language_phrase_requires_positions(built_index):
+    from vexor_ray.query.qlang import search_query
+
+    out, _ = built_index
+    s = Searcher(out)
+    with pytest.raises(ValueError, match="positions"):
+        search_query(s, '"retrieval engine"', k=5)
+
+
+def test_query_language_phrase_filter(built_index, pos_index, pos_oracle):
+    """Phrase clause filters the boolean result to phrase-containing docs
+    (built_index and pos_index share pages_1k, so lineage docIDs agree)."""
+    from collections import Counter
+
+    from vexor_ray.index.positions import PositionsIndex
+    from vexor_ray.query.qlang import search_query
+
+    # the corpus's most common bigram is guaranteed to occur somewhere
+    bigrams = Counter(
+        (a, b)
+        for toks in pos_oracle.values()
+        for a, b in zip(toks, toks[1:])
+    )
+    (w1, w2), _n = bigrams.most_common(1)[0]
+    phrase = f"{w1} {w2}"
+    idx, _ = built_index
+    s = Searcher(idx)
+    pos = PositionsIndex(pos_index)
+    base = search_query(s, phrase, k=s.live_doc_count)
+    got = search_query(s, f'{phrase} "{phrase}"', k=s.live_doc_count, positions=pos)
+    phrase_docs = set(
+        pos.phrase_occurrences(phrase).column("doc_id").to_pylist()
+    )
+    assert got == [r for r in base if r[0] in phrase_docs]
+    assert len(got) >= 1

@@ -253,6 +253,32 @@ def boosted_topk_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     )
 
 
+def query_language_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
+    """Mini query language (query/qlang.py): must / must-not filters,
+    exact-phrase clauses (positions sidecar), prefix and fuzzy expansion,
+    all composed onto the exact scorer in one call.  Ranking is by
+    6-decimal-rounded score then doc_id (twin-stable)."""
+    from ..index.positions import PositionsIndex
+    from ..query.qlang import search_query
+
+    s = DocumentsSearcher(sf_dir)
+    pos = PositionsIndex(documents_positions_index(sf_dir))
+    res = search_query(
+        s.searcher, query, k=s.searcher.live_doc_count, positions=pos
+    )
+    pairs = [(int(d), round(float(x), 6)) for d, x in res]
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    pairs = pairs[:k]
+    urls = s.searcher.lookup_urls([d for d, _ in pairs])
+    return pa.table(
+        {
+            "doc_id": pa.array([int(urls[d]) for d, _ in pairs], type=pa.int64()),
+            "score": pa.array([x for _, x in pairs], type=pa.float64()),
+            "rank": pa.array(range(1, len(pairs) + 1), type=pa.int32()),
+        }
+    )
+
+
 def documents_index_deleted(sf_dir: str, mod: int = 17, resid: int = 3) -> Path:
     """``documents_index`` variant with docs ``doc_id % mod == resid``
     DELETED via the tombstone ledger (``index/deletes.py``) — cached
