@@ -92,6 +92,18 @@ def _q_autocomplete(sf_dir: str):
     return autocomplete_table(sf_dir, "s", k=10)
 
 
+def _q_bulk_search(sf_dir: str):
+    """Bulk retrieval as a Dataset stage: a query batch streams through a
+    warm Searcher actor pool (query/server.py::search_dataset) and lands
+    as a flat hits table; the twin scores all three queries in one SQL
+    pass grouped by (query_id, doc_id)."""
+    from vexor_ray.pipelines.corpus import bulk_search_table
+
+    return bulk_search_table(
+        sf_dir, ["table query join", "spark hash join", "hash scan"], k=10
+    )
+
+
 def _q_query_language(sf_dir: str):
     """Mini query language capstone: '+hash "hash join" sca* joi~ -slow'
     composes a must filter, an exact-phrase clause (positions sidecar),
@@ -1146,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocomplete": _q_autocomplete,
         "boosted_topk": _q_boosted_topk,
         "query_language": _q_query_language,
+        "bulk_search": _q_bulk_search,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1154,7 +1167,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
-        "quality_filter": _q_quality_filter,
         "dup_clusters": _q_dup_clusters,
         "clean_corpus": _q_clean_corpus,
         "events_session_agg": _q_session_agg,
@@ -1218,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_tf_bert": _q_doc_term_tf_bert,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "repetition": _q_repetition,
+        "quality_filter": _q_quality_filter,
     }
 
 
@@ -1858,6 +1871,28 @@ FROM (
 ) f JOIN m USING(doc_id)
 GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         ),
+        "bulk_search": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, AVG(dl) AS avgdl FROM dl),
+qt(query_id, term) AS (VALUES (1, 'table'), (1, 'query'), (1, 'join'), (2, 'spark'), (2, 'hash'), (2, 'join'), (3, 'hash'), (3, 'scan')),
+df AS (SELECT term, COUNT(*) AS df FROM tf
+       WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) * tf.tf * 2.5
+              / (tf.tf + 1.5*(1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM qt JOIN tf USING(term) JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY ROUND(s, 6) DESC, doc_id) AS INT) AS rank,
+       doc_id, ROUND(s, 6) AS score
+FROM scores QUALIFY rank <= 10 ORDER BY query_id, rank""",
         "query_language": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents

@@ -279,6 +279,37 @@ def query_language_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     )
 
 
+def bulk_search_table(sf_dir: str, queries: list[str], k: int = 10) -> pa.Table:
+    """(query_id, rank, doc_id, score) for a query BATCH streamed through
+    the ``search_dataset`` actor-pool stage (query/server.py) — retrieval
+    as a composable Ray Data pipeline stage, not a driver loop.  Rounded
+    ranking (twin-stable); internal docIDs map back to originals through
+    one pruned url lookup of the ≤ n_queries x k hit set."""
+    import ray.data
+
+    from ..query.server import search_dataset
+
+    idx = documents_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"query_id": i + 1, "query": q} for i, q in enumerate(queries)]
+    )
+    hits = search_dataset(
+        qds, str(idx), k=k, rounded=True, concurrency=2
+    ).to_pandas()
+    s = Searcher(idx)
+    urls = s.lookup_urls(sorted(set(int(d) for d in hits["doc_id"])))
+    hits["doc_id"] = [int(urls[int(d)]) for d in hits["doc_id"]]
+    hits = hits.sort_values(["query_id", "rank"])
+    return pa.table(
+        {
+            "query_id": pa.array(hits["query_id"].to_numpy(), type=pa.int64()),
+            "rank": pa.array(hits["rank"].to_numpy(), type=pa.int32()),
+            "doc_id": pa.array(hits["doc_id"].to_numpy(), type=pa.int64()),
+            "score": pa.array(hits["score"].to_numpy(), type=pa.float64()),
+        }
+    )
+
+
 def documents_index_deleted(sf_dir: str, mod: int = 17, resid: int = 3) -> Path:
     """``documents_index`` variant with docs ``doc_id % mod == resid``
     DELETED via the tombstone ledger (``index/deletes.py``) — cached

@@ -63,3 +63,78 @@ class QueryPool:
         for w in self.workers:
             ray.kill(w)
         self.workers = []
+
+
+def search_dataset(
+    queries,
+    index_dir: str,
+    k: int = 10,
+    *,
+    method: str = "auto",
+    concurrency: int = 4,
+    rounded: bool = False,
+    filesystem=None,
+):
+    """Bulk retrieval as a Ray Data stage: queries stream through a warm
+    Searcher actor pool and come out as a flat hits dataset.
+
+    Input rows: ``(query_id, query[, k])``; output rows:
+    ``(query_id, rank, doc_id, score)``.  This is retrieval composed INTO
+    a pipeline (eval harnesses, decontamination-by-search, mining hard
+    negatives over a 100 TB corpus): the query set itself can be
+    arbitrarily large — it streams with backpressure, each actor holding
+    one warm Searcher (pruned reads + decoded-postings cache) built once.
+
+    ``rounded=True`` ranks by (6-decimal-rounded score desc, docID asc) —
+    the cross-engine-stable contract the SQL twins use (it scores the full
+    match set per query; the default exact top-k path does not).
+    """
+    import pyarrow as pa
+
+    class BulkSearch:
+        def __init__(self):
+            self.s = Searcher(index_dir, filesystem=filesystem)
+            self.s.warm_hot_terms(64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qids_out, ranks, docs, scores = [], [], [], []
+            kcol = (
+                batch.column("k").to_pylist()
+                if "k" in batch.schema.names
+                else [k] * batch.num_rows
+            )
+            for qid, qtext, kq in zip(
+                batch.column("query_id").to_pylist(),
+                batch.column("query").to_pylist(),
+                kcol,
+            ):
+                if rounded:
+                    res = self.s.search(
+                        qtext, k=self.s.live_doc_count, method=method
+                    )
+                    pairs = [(int(d), round(float(x), 6)) for d, x in res]
+                    pairs.sort(key=lambda p: (-p[1], p[0]))
+                    res = pairs[:kq]
+                else:
+                    res = self.s.search(qtext, k=kq, method=method)
+                for r, (d, sc) in enumerate(res, start=1):
+                    qids_out.append(qid)
+                    ranks.append(r)
+                    docs.append(int(d))
+                    scores.append(float(sc))
+            return pa.table(
+                {
+                    "query_id": pa.array(qids_out, type=pa.int64()),
+                    "rank": pa.array(ranks, type=pa.int32()),
+                    "doc_id": pa.array(docs, type=pa.uint64()),
+                    "score": pa.array(scores, type=pa.float64()),
+                }
+            )
+
+    return queries.map_batches(
+        BulkSearch,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
