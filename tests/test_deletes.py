@@ -299,3 +299,26 @@ def test_purge_kill_injection_resumes(ray_session, tmp_path):
     assert _url_results(s1, s1.search("retrieval engine", k=50)) == pre_hits
     got = set(s1._docs_ds.to_table(columns=["url"]).column("url").to_pylist())
     assert not got & set(victims)
+
+
+def test_live_searcher_picks_up_deletes_on_refresh(ray_session, tmp_path):
+    """A long-lived searcher serves the pre-delete view until refresh();
+    after refresh it excludes the deleted docs (compaction-style hot swap)."""
+    pages = write_pages(tmp_path / "pages", 120, seed=7, rows_per_file=60)
+    idx = tmp_path / "idx"
+    build_index(pages, idx, _cfg())
+    s = Searcher(idx)
+    # query by the corpus's highest-df term so matches are guaranteed
+    vocab = s._dictionary_terms()
+    qterm = max(vocab, key=lambda t: (vocab[t], t))
+    before = s.search(qterm, k=s.doc_count)
+    assert before
+    victim = before[0][0]
+    victim_url = s.lookup_urls([victim])[victim]
+    delete_docs(idx, [victim_url])
+    # stale view until refresh (searcher state is immutable per manifest)
+    assert s.search(qterm, k=s.doc_count) == before
+    s.refresh()
+    after = s.search(qterm, k=s.live_doc_count)
+    assert victim not in {d for d, _ in after}
+    assert s.live_doc_count == s.doc_count - 1

@@ -87,6 +87,17 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--input", required=True, help="the index's pages input")
     cp.add_argument("--index", required=True)
 
+    qs = sub.add_parser(
+        "qsearch",
+        help='mini query language: +must -not "phrase" prefix* fuzzy~ term',
+    )
+    qs.add_argument("--index", required=True)
+    qs.add_argument("--query", required=True)
+    qs.add_argument("-k", type=int, default=10)
+    qs.add_argument(
+        "--positions", help="positional sidecar dir (needed for phrase clauses)"
+    )
+
     st = sub.add_parser(
         "stats",
         help="index introspection: corpus stats, generations, deletions, stage metrics",
@@ -229,6 +240,28 @@ def main(argv: list[str] | None = None) -> int:
         import ray
 
         ray.shutdown()
+        return 0
+
+    if args.cmd == "qsearch":
+        from vexor_ray.query.qlang import search_query
+        from vexor_ray.query.searcher import Searcher
+
+        s = Searcher(args.index)
+        pos = None
+        if args.positions:
+            from vexor_ray.index.positions import PositionsIndex
+
+            pos = PositionsIndex(args.positions)
+        res = search_query(s, args.query, k=args.k, positions=pos)
+        urls = s.lookup_urls([d for d, _ in res])
+        print(
+            json.dumps(
+                [
+                    {"doc_id": d, "url": urls[d], "score": round(sc, 6)}
+                    for d, sc in res
+                ]
+            )
+        )
         return 0
 
     if args.cmd == "stats":
