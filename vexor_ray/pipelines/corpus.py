@@ -159,9 +159,10 @@ def facet_counts_table(
     import numpy as np
 
     s = DocumentsSearcher(sf_dir)
-    res = s.searcher.search(query, k=s.searcher.live_doc_count)
-    urls = s.searcher.lookup_urls([d for d, _ in res])
-    match = np.sort(np.asarray([int(urls[d]) for d, _ in res], dtype=np.int64))
+    sr = s.searcher
+    terms = sr.preprocess_query(query)
+    ids, _sc = sr._exact_scores(terms, sr.term_chunks(terms))  # docID-asc
+    match = np.sort(orig_ids_streamed(sr, ids))
     counts: dict[tuple[str, str], int] = {}
     import pyarrow.dataset as pads
 
@@ -221,12 +222,11 @@ def boosted_topk_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     import pyarrow.dataset as pads
 
     s = DocumentsSearcher(sf_dir)
-    res = s.searcher.search(query, k=s.searcher.live_doc_count)
-    urls = s.searcher.lookup_urls([d for d, _ in res])
-    ids = np.asarray([int(urls[d]) for d, _ in res], dtype=np.int64)
-    sc = np.round(np.asarray([x for _, x in res], dtype=np.float64), 6)
-    order = np.argsort(ids)
-    ids, sc = ids[order], sc[order]
+    sr = s.searcher
+    terms = sr.preprocess_query(query)
+    iid, raw = sr._exact_scores(terms, sr.term_chunks(terms))  # docID-asc
+    ids = orig_ids_streamed(sr, iid)  # ascending too (url order ≡ id order)
+    sc = np.round(raw, 6)
     best: list[tuple[float, int]] = []  # (-fused, doc_id)
     ds = pads.dataset(f"{sf_dir}/documents.parquet")
     for rb in ds.to_batches(columns=["doc_id", "n_chars"], batch_size=65536):
@@ -538,6 +538,38 @@ def snippets_table(sf_dir: str, query: str, k: int = 10, width: int = 80) -> pa.
     )
 
 
+def orig_ids_streamed(searcher: Searcher, internal_sorted) -> "np.ndarray":
+    """internal docIDs (SORTED uint64) → original doc_ids, streamed.
+
+    One pass over the docs checkpoint with a sorted-array membership mask
+    per batch — no match-set-sized ``is_in`` value set ever enters an Arrow
+    filter expression, so the mapping stays bounded-memory even when a
+    stop-word query matches most of the corpus."""
+    import numpy as np
+
+    out = np.empty(len(internal_sorted), dtype=np.int64)
+    found = 0
+    for rb in searcher._docs_ds.to_batches(
+        columns=["doc_id", "url"], batch_size=65536
+    ):
+        ids = rb.column("doc_id").to_numpy().astype(np.uint64)
+        if ids.size == 0:
+            continue
+        pos = np.searchsorted(internal_sorted, ids)
+        pos[pos >= len(internal_sorted)] = len(internal_sorted) - 1
+        hit = internal_sorted[pos] == ids
+        if not hit.any():
+            continue
+        urls = rb.column("url").take(
+            pa.array(np.flatnonzero(hit), type=pa.int64())
+        ).to_pylist()
+        out[pos[hit]] = [int(u) for u in urls]
+        found += len(urls)
+    if found != len(internal_sorted):
+        raise KeyError("some internal docIDs are absent from the docs checkpoint")
+    return out
+
+
 class DocumentsSearcher:
     """Searcher over the documents corpus, reporting ORIGINAL doc_ids.
 
@@ -551,6 +583,17 @@ class DocumentsSearcher:
         self.searcher = Searcher(self.index_dir)
 
     def _to_orig(self, results: list[tuple[int, float]]) -> list[tuple[int, float]]:
+        if len(results) > 10_000:
+            # match-set-sized hit lists (stop-word queries): streamed
+            # sorted-membership mapping instead of a giant is_in value set
+            import numpy as np
+
+            ids = np.asarray([d for d, _ in results], dtype=np.uint64)
+            order = np.argsort(ids)
+            orig_sorted = orig_ids_streamed(self.searcher, ids[order])
+            orig = np.empty_like(orig_sorted)
+            orig[order] = orig_sorted
+            return [(int(o), s) for o, (_, s) in zip(orig, results)]
         urls = self.searcher.lookup_urls([d for d, _ in results])
         return [(int(urls[d]), s) for d, s in results]
 
