@@ -92,6 +92,15 @@ def _q_autocomplete(sf_dir: str):
     return autocomplete_table(sf_dir, "s", k=10)
 
 
+def _q_collapsed_topk(sf_dir: str):
+    """SERP host collapse: at most one result per source/site, keeping each
+    site's best-ranked doc — source cardinality in the fixture is small, so
+    the collapse visibly reshapes the ranking vs plain bm25."""
+    from vexor_ray.pipelines.corpus import collapsed_topk_table
+
+    return collapsed_topk_table(sf_dir, _BM25_QUERY, k=10, group_col="source")
+
+
 def _q_bulk_search(sf_dir: str):
     """Bulk retrieval as a Dataset stage: a query batch streams through a
     warm Searcher actor pool (query/server.py::search_dataset) and lands
@@ -1159,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosted_topk": _q_boosted_topk,
         "query_language": _q_query_language,
         "bulk_search": _q_bulk_search,
+        "collapsed_topk": _q_collapsed_topk,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1167,7 +1177,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
-        "dup_clusters": _q_dup_clusters,
         "clean_corpus": _q_clean_corpus,
         "events_session_agg": _q_session_agg,
         "bigram_counts": _q_bigram_counts,
@@ -1231,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "repetition": _q_repetition,
         "quality_filter": _q_quality_filter,
+        "dup_clusters": _q_dup_clusters,
     }
 
 
@@ -1870,6 +1880,19 @@ FROM (
   SELECT 'source' AS facet, d.source AS value, d.doc_id FROM documents d
 ) f JOIN m USING(doc_id)
 GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
+        ),
+        "collapsed_topk": (
+            "\nWITH "
+            + _bm25_cte(_BM25_QUERY.split())
+            + """,
+h AS (SELECT doc_id, source AS g FROM documents),
+r AS (SELECT s.doc_id, ROUND(s.s, 6) AS score, h.g,
+        row_number() OVER (PARTITION BY h.g
+          ORDER BY ROUND(s.s, 6) DESC, s.doc_id) AS gr
+      FROM scores s JOIN h USING(doc_id))
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM r WHERE gr = 1 ORDER BY score DESC, doc_id LIMIT 10"""
         ),
         "bulk_search": f"""
 WITH toks AS (

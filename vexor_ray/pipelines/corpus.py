@@ -310,6 +310,63 @@ def bulk_search_table(sf_dir: str, queries: list[str], k: int = 10) -> pa.Table:
     )
 
 
+def collapsed_topk_table(
+    sf_dir: str, query: str, k: int = 10, group_col: str = "source"
+) -> pa.Table:
+    """Group-collapsed top-k (SERP host collapse): at most ONE result per
+    ``group_col`` value (default: the document's source/site), keeping each
+    group's best-ranked doc (rounded score desc, doc_id asc — the same
+    order as the final ranking).
+
+    Group keys are fetched ONLY for matched docs via the streamed
+    membership mask — never a corpus-wide materialization driver-side.
+    Pass ``group_col="text"`` hashed upstream for exact-dup collapse; the
+    mechanism is group-agnostic."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    s = DocumentsSearcher(sf_dir)
+    sr = s.searcher
+    terms = sr.preprocess_query(query)
+    iid, raw = sr._exact_scores(terms, sr.term_chunks(terms))  # docID-asc
+    ids = orig_ids_streamed(sr, iid)  # ascending (url order ≡ id order)
+    sc = np.round(raw, 6)
+    fps = np.empty(ids.size, dtype=object)
+    ds = pads.dataset(f"{sf_dir}/documents.parquet")
+    for rb in ds.to_batches(columns=["doc_id", group_col], batch_size=65536):
+        bid = rb.column("doc_id").to_numpy()
+        if bid.size == 0 or ids.size == 0:
+            continue
+        pos = np.searchsorted(ids, bid)
+        pos[pos >= ids.size] = ids.size - 1
+        live = ids[pos] == bid
+        if not live.any():
+            continue
+        keys = rb.column(group_col).take(
+            pa.array(np.flatnonzero(live), type=pa.int64())
+        ).to_pylist()
+        for p, g in zip(pos[live], keys):
+            fps[p] = g
+    order = np.lexsort((ids, -sc))
+    seen: set[str] = set()
+    out: list[tuple[int, float]] = []
+    for i in order:
+        g = fps[i]
+        if g in seen:
+            continue
+        seen.add(g)
+        out.append((int(ids[i]), float(sc[i])))
+        if len(out) == k:
+            break
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in out], type=pa.int64()),
+            "score": pa.array([x for _, x in out], type=pa.float64()),
+            "rank": pa.array(range(1, len(out) + 1), type=pa.int32()),
+        }
+    )
+
+
 def documents_index_deleted(sf_dir: str, mod: int = 17, resid: int = 3) -> Path:
     """``documents_index`` variant with docs ``doc_id % mod == resid``
     DELETED via the tombstone ledger (``index/deletes.py``) — cached
