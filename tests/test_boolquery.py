@@ -327,3 +327,27 @@ def test_query_language_phrase_filter(built_index, pos_index, pos_oracle):
     )
     assert got == [r for r in base if r[0] in phrase_docs]
     assert len(got) >= 1
+
+
+def test_search_dataset_matches_driver_searcher(built_index):
+    """Bulk retrieval as a Dataset stage == per-query driver-side search."""
+    import ray.data
+
+    from vexor_ray.query.server import search_dataset
+
+    out, _ = built_index
+    s = Searcher(out)
+    queries = ["needledften retrieval", "needledfhundred", "engine index"]
+    qds = ray.data.from_items(
+        [{"query_id": i + 1, "query": q} for i, q in enumerate(queries)]
+    )
+    hits = search_dataset(qds, str(out), k=7, concurrency=2).to_pandas()
+    for i, q in enumerate(queries, start=1):
+        got = [
+            (int(d), float(sc))
+            for d, sc in zip(
+                hits[hits.query_id == i].sort_values("rank")["doc_id"],
+                hits[hits.query_id == i].sort_values("rank")["score"],
+            )
+        ]
+        assert got == [(int(d), float(x)) for d, x in s.search(q, k=7)], q
