@@ -92,6 +92,15 @@ def _q_autocomplete(sf_dir: str):
     return autocomplete_table(sf_dir, "s", k=10)
 
 
+def _q_regex_scan(sf_dir: str):
+    """Distributed grep: non-indexed regex scan (a cross-token pattern no\n    tokenized index can answer) through a
+    compiled-once-per-actor pool — the complement to the inverted index
+    for queries tokens cannot express."""
+    from vexor_ray.pipelines.corpus import regex_scan_table
+
+    return regex_scan_table(sf_dir, "(hash|join) [a-z]+")
+
+
 def _q_collapsed_topk(sf_dir: str):
     """SERP host collapse: at most one result per source/site, keeping each
     site's best-ranked doc — source cardinality in the fixture is small, so
@@ -1169,6 +1178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_language": _q_query_language,
         "bulk_search": _q_bulk_search,
         "collapsed_topk": _q_collapsed_topk,
+        "regex_scan": _q_regex_scan,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1177,7 +1187,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
-        "clean_corpus": _q_clean_corpus,
         "events_session_agg": _q_session_agg,
         "bigram_counts": _q_bigram_counts,
         "pii_scrub": _q_scrub,
@@ -1241,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "quality_filter": _q_quality_filter,
         "dup_clusters": _q_dup_clusters,
+        "clean_corpus": _q_clean_corpus,
     }
 
 
@@ -1881,6 +1891,10 @@ FROM (
 ) f JOIN m USING(doc_id)
 GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         ),
+        "regex_scan": """
+SELECT doc_id, CAST(len(regexp_extract_all(text, '(hash|join) [a-z]+')) AS BIGINT) AS n_matches
+FROM documents WHERE len(regexp_extract_all(text, '(hash|join) [a-z]+')) > 0
+ORDER BY doc_id""",
         "collapsed_topk": (
             "\nWITH "
             + _bm25_cte(_BM25_QUERY.split())

@@ -367,6 +367,61 @@ def collapsed_topk_table(
     )
 
 
+def regex_scan_table(sf_dir: str, pattern: str) -> pa.Table:
+    """Non-indexed regex scan over the corpus ("distributed grep"): the
+    complement to the inverted index for queries tokens cannot express.
+
+    Stateful actor-pool stage: the pattern compiles ONCE per actor
+    (``__init__``), each batch is one vectorized-over-rows findall pass,
+    and only matching rows leave the stage — at 100 TB this is a pure
+    streaming map with nothing driver-side but the match rows.  The fixed
+    patterns used here carry identical semantics in Python ``re`` and
+    DuckDB's RE2 (non-overlapping ``findall``), the pii_scrub precedent."""
+    import ray.data
+
+    class Scan:
+        def __init__(self, pat: str):
+            import re
+
+            self.rx = re.compile(pat)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_id, out_n = [], []
+            for d, t in zip(ids, texts):
+                n = len(self.rx.findall(t or ""))
+                if n:
+                    out_id.append(d)
+                    out_n.append(n)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, type=pa.int64()),
+                    "n_matches": pa.array(out_n, type=pa.int64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    hits = ds.map_batches(
+        Scan,
+        fn_constructor_kwargs={"pat": pattern},
+        batch_format="pyarrow",
+        concurrency=2,
+        zero_copy_batch=True,
+    ).to_pandas()
+    if hits.empty:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_matches": pa.array([], type=pa.int64()),
+            }
+        )
+    hits = hits.sort_values("doc_id")
+    return pa.Table.from_pandas(hits, preserve_index=False)
+
+
 def documents_index_deleted(sf_dir: str, mod: int = 17, resid: int = 3) -> Path:
     """``documents_index`` variant with docs ``doc_id % mod == resid``
     DELETED via the tombstone ledger (``index/deletes.py``) — cached
