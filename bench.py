@@ -131,6 +131,55 @@ def bench_queries(index_dir: str, n: int | None = None) -> dict:
     return out
 
 
+def bench_deletes(pages: Path, index_dir: str) -> dict:
+    """Deletion lifecycle costs on the headline index: clone (replication
+    throughput), delete commit, tombstone-masked warm query overhead, purge
+    wall, post-purge warm latency.  Runs on a CLONE so the main index stays
+    untouched for other arms."""
+    import shutil
+    import statistics as _st
+
+    from vexor_ray.fixtures.pages import generate_queries
+    from vexor_ray.index.clone import clone_index
+    from vexor_ray.index.deletes import delete_docs, purge_deletes
+    from vexor_ray.query.searcher import Searcher
+
+    out: dict = {}
+    work = Path("/tmp/vx_bench_delete_idx")
+    shutil.rmtree(work, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = clone_index(index_dir, work)
+    out["clone_sec"] = round(time.perf_counter() - t0, 3)
+    out["clone_mb"] = round(stats["bytes_copied"] / 1e6, 1)
+
+    s = Searcher(work)
+    urls = s._docs_ds.to_table(columns=["url"]).column("url").to_pylist()
+    victims = sorted(urls)[:: max(1, len(urls) // 100)][:1000]  # ~1%
+    t0 = time.perf_counter()
+    delete_docs(work, victims)
+    out["delete_commit_sec"] = round(time.perf_counter() - t0, 3)
+
+    queries = generate_queries(60, seed=42)
+
+    def warm_p50(searcher) -> float:
+        for q in queries:
+            searcher.search(q["query"], q["k"])
+        lats = []
+        for q in queries:
+            t = time.perf_counter()
+            searcher.search(q["query"], q["k"])
+            lats.append(time.perf_counter() - t)
+        return round(1000 * _st.median(lats), 2)
+
+    out["tombstone_query_p50_ms"] = warm_p50(Searcher(work))
+    t0 = time.perf_counter()
+    purge_deletes(pages, work)
+    out["purge_sec"] = round(time.perf_counter() - t0, 3)
+    out["post_purge_query_p50_ms"] = warm_p50(Searcher(work))
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def bench_impact(pages: Path, num_cpus: int) -> dict:
     """Impact-ordered-layout arm: build the companion-layout index and
     measure COLD selective latency (rare needle + hot companion, fresh
@@ -380,6 +429,7 @@ def run_bench() -> dict:
     else:
         queries = bench_queries(build["index_dir"])
         queries.update(bench_impact(pages, NUM_CPUS))
+        queries.update(bench_deletes(pages, build["index_dir"]))
         ops = bench_operators()
     ray.shutdown()
 
