@@ -508,8 +508,80 @@ def run_scaling(repeats: int = 3) -> dict:
     }
 
 
+def run_serving_scaling(pool_sizes=(2, 8), passes: int = 8) -> dict:
+    """Query-SERVING throughput scaling: one index, a fixed query workload,
+    QueryPool with N vs 4N warm searcher actors (each actor its own
+    process).  Complements the build-scaling arm: serving is decode/compute
+    bound per actor, so it exercises the multi-worker story without the
+    build encoder's shared-memory-bandwidth ceiling (BASELINE.md)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from vexor_ray.fixtures.pages import generate_queries
+    from vexor_ray.index.build import build_index
+    from vexor_ray.index.manifest import manifest_exists
+    from vexor_ray.query.server import QueryPool
+
+    pages = _pages_dir()
+    idx = Path(f"/tmp/vx_bench_idx_{_pages_rows()}")
+    if not manifest_exists(idx):
+        build_index(pages, idx, _build_cfg(NUM_CPUS))
+    workload = generate_queries(120, seed=42) * passes
+    qps: dict[int, float] = {}
+    base_queries = generate_queries(120, seed=42)
+    import ray as _ray
+
+    runs: dict[int, list[float]] = {n: [] for n in pool_sizes}
+    repeats = 3
+    for _ in range(repeats):
+        # interleaved legs: each (lo, hi) pair shares a measurement window,
+        # the same phase-drift discipline as the build-scaling arm
+        for n_workers in pool_sizes:
+            pool = QueryPool(str(idx), num_workers=n_workers, warm_terms=64)
+            # warm EVERY actor over the full distinct-query set: round-robin
+            # warming leaves the bigger pool colder per actor (each sees 1/N
+            # of the repeats), which would bias the ratio against it
+            _ray.get(
+                [w.search_batch.remote(base_queries, "auto") for w in pool.workers]
+            )
+            t0 = time.perf_counter()
+            pool.search_many(workload, batch_size=24)
+            runs[n_workers].append(len(workload) / (time.perf_counter() - t0))
+            pool.shutdown()
+    ray.shutdown()
+    lo, hi = pool_sizes
+    qps = {n: round(statistics.median(v), 1) for n, v in runs.items()}
+    pair_eff = [
+        round((b / a) / (hi / lo), 3) for a, b in zip(runs[lo], runs[hi])
+    ]
+    spread = {
+        str(n): round((max(v) - min(v)) / min(v), 3) for n, v in runs.items()
+    }
+    return {
+        "metric": "serving_scaling",
+        "qps_per_pool": {str(k): v for k, v in qps.items()},
+        "qps_runs": {str(n): [round(x, 1) for x in v] for n, v in runs.items()},
+        "workers": list(pool_sizes),
+        "scaling_efficiency": round((qps[hi] / qps[lo]) / (hi / lo), 3),
+        "pair_efficiencies": pair_eff,
+        "spread": spread,
+        "window_valid": all(s <= 0.3 for s in spread.values()),
+        "n_queries": len(workload),
+        "sf": _sf_name(),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--serving-scaling" in sys.argv:
+        print(json.dumps(run_serving_scaling()))
     else:
         print(json.dumps(run_bench()))
