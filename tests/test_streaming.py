@@ -158,3 +158,40 @@ def test_crash_between_shard_and_build_is_adopted(ray_session, tmp_path):
     assert ing.searcher().doc_count == 50
     seqs = [c["seq"] for c in ing.load_state()["committed"]]
     assert seqs == [0, 1, 2]
+
+
+def test_streaming_append_respects_deletion_ledger(ray_session, tmp_path):
+    """A deleted url arriving AGAIN in a later stream batch stays deleted:
+    build_index re-reads the ledger on every run and filters every newly
+    tokenized group (index/deletes.py — no resurrection through appends)."""
+    from vexor_ray.index.deletes import delete_docs
+
+    ing = StreamingIngestor(tmp_path / "s", _cfg())
+    ing.ingest_batch(_batch("one", 20, 1000))
+    s0 = Searcher(ing.index_dir)
+    n0 = s0.doc_count
+    victim = "one/0003.html"
+    delete_docs(ing.index_dir, [victim])
+    s1 = Searcher(ing.index_dir)
+    assert s1.live_doc_count == n0 - 1
+
+    # the victim url arrives again in a NEW batch (re-crawl): dropped at
+    # tokenize by the ledger filter, while the rest of the batch lands
+    again = _batch("one", 5, 2000, extra="resurrected")
+    ing.ingest_batch(again)
+    # plus an unrelated batch
+    ing.ingest_batch(_batch("two", 10, 3000))
+    s2 = Searcher(ing.index_dir)
+    hits = s2.search("resurrected", k=s2.live_doc_count)
+    urls = s2.lookup_urls([d for d, _ in hits])
+    assert victim not in set(urls.values())
+    assert len(hits) == 4  # the other 4 re-crawled docs landed
+    all_urls = set(
+        s2._docs_ds.to_table(columns=["url"]).column("url").to_pylist()
+    )
+    assert victim not in all_urls or s2._has_tombs  # physically filtered
+    # and still tombstone-consistent: the victim never surfaces
+    for q in ("common words", "needleone"):
+        got = s2.search(q, k=s2.live_doc_count)
+        got_urls = s2.lookup_urls([d for d, _ in got])
+        assert victim not in set(got_urls.values())
