@@ -322,3 +322,43 @@ def test_live_searcher_picks_up_deletes_on_refresh(ray_session, tmp_path):
     after = s.search(qterm, k=s.live_doc_count)
     assert victim not in {d for d, _ in after}
     assert s.live_doc_count == s.doc_count - 1
+
+
+def test_delete_parity_sharded_scorer(del_setup):
+    """The salt-range-SHARDED exact path (max_dense_docs exceeded) applies
+    the same tombstone masks + live stats — bit-equal to the complement."""
+    s1 = Searcher(del_setup["idx"], max_dense_docs=64)
+    assert s1._sharded
+    s2 = Searcher(del_setup["comp_idx"])
+    for q in [r["query"] for r in generate_queries(20, seed=9)]:
+        got = _url_results(s1, s1.search(q, k=100, method="exact"))
+        want = _url_results(s2, s2.search(q, k=100, method="exact"))
+        assert got == want, q
+
+
+def test_federated_with_tombstoned_member(del_setup, tmp_path):
+    """Federation over [tombstoned A, B] equals federation over
+    [complement-of-A, B]: live member stats + masked df feed the union
+    scoring; the wand arm refuses."""
+    from vexor_ray.query.federate import FederatedSearcher
+
+    other_pages = write_pages(tmp_path / "other", 200, seed=99, rows_per_file=100)
+    other_idx = tmp_path / "other_idx"
+    build_index(other_pages, other_idx, _cfg())
+
+    fed_del = FederatedSearcher([del_setup["idx"], other_idx])
+    fed_cmp = FederatedSearcher([del_setup["comp_idx"], other_idx])
+    assert fed_del.doc_count == fed_cmp.doc_count
+    assert fed_del.avg_doc_len == fed_cmp.avg_doc_len
+    for q in [r["query"] for r in generate_queries(15, seed=9)]:
+        got = [
+            (i, fed_del.searchers[i].lookup_urls([d])[d], sc)
+            for i, d, sc in fed_del.search(q, k=30, method="exact")
+        ]
+        want = [
+            (i, fed_cmp.searchers[i].lookup_urls([d])[d], sc)
+            for i, d, sc in fed_cmp.search(q, k=30, method="exact")
+        ]
+        assert got == want, q
+    with pytest.raises(ValueError, match="pending deletions"):
+        fed_del.search("retrieval engine", k=5, method="wand")
