@@ -92,6 +92,21 @@ def _q_autocomplete(sf_dir: str):
     return autocomplete_table(sf_dir, "s", k=10)
 
 
+def _q_pmi_bigrams(sf_dir: str):
+    """Collocation extraction: top adjacent-token bigrams by pointwise
+    mutual information (count >= 5) — tokenizer/vocab-induction territory;
+    counts via partial+coarse-group, one libm ln per bigram mirrored
+    operand-for-operand by the twin."""
+    import ray.data
+
+    from vexor_ray.functions.textstats import pmi_bigrams
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pmi_bigrams(docs, k=50, min_count=5)
+
+
 def _q_regex_scan(sf_dir: str):
     """Distributed grep: non-indexed regex scan (a cross-token pattern no\n    tokenized index can answer) through a
     compiled-once-per-actor pool — the complement to the inverted index
@@ -1179,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bulk_search": _q_bulk_search,
         "collapsed_topk": _q_collapsed_topk,
         "regex_scan": _q_regex_scan,
+        "pmi_bigrams": _q_pmi_bigrams,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1187,7 +1203,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
-        "events_session_agg": _q_session_agg,
         "bigram_counts": _q_bigram_counts,
         "pii_scrub": _q_scrub,
         "hll_distinct": _q_hll_distinct,
@@ -1251,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "dup_clusters": _q_dup_clusters,
         "clean_corpus": _q_clean_corpus,
+        "events_session_agg": _q_session_agg,
     }
 
 
@@ -1891,6 +1907,24 @@ FROM (
 ) f JOIN m USING(doc_id)
 GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         ),
+        "pmi_bigrams": f"""
+WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS t FROM toks),
+uc AS (SELECT t, COUNT(*)::DOUBLE AS c FROM uni GROUP BY t),
+nu AS (SELECT SUM(c) AS n FROM uc),
+bgs AS (SELECT unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        FROM toks),
+bc AS (SELECT bigram, COUNT(*)::DOUBLE AS c FROM bgs
+       GROUP BY bigram HAVING COUNT(*) >= 5),
+nb AS (SELECT SUM(GREATEST(len(ts) - 1, 0))::DOUBLE AS n FROM toks),
+p AS (SELECT bc.bigram, CAST(bc.c AS BIGINT) AS n,
+             ROUND(ln( (bc.c / nb.n)
+                       / ( (ua.c / nu.n) * (ub.c / nu.n) ) ), 6) AS pmi
+      FROM bc CROSS JOIN nb CROSS JOIN nu
+      JOIN uc ua ON ua.t = split_part(bc.bigram, ' ', 1)
+      JOIN uc ub ON ub.t = split_part(bc.bigram, ' ', 2))
+SELECT bigram, n, pmi FROM p ORDER BY pmi DESC, bigram LIMIT 50""",
         "regex_scan": """
 SELECT doc_id, CAST(len(regexp_extract_all(text, '(hash|join) [a-z]+')) AS BIGINT) AS n_matches
 FROM documents WHERE len(regexp_extract_all(text, '(hash|join) [a-z]+')) > 0

@@ -414,6 +414,82 @@ def bigram_counts(
     )
 
 
+def unigram_partial_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-batch partial (term, n) occurrence counts plus
+    one ``__n_bigrams__`` sentinel row carrying the batch's adjacent-pair
+    total (needed UNFILTERED for PMI normalization — ``bigram_counts``
+    drops sub-threshold pairs before they can be summed)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    n_bi = 0
+    for t in batch.column("text").to_pylist():
+        toks = TOKEN_RE.findall(t.lower()) if t else []
+        counts.update(toks)
+        n_bi += max(len(toks) - 1, 0)
+    terms = list(counts.keys()) + ["__n_bigrams__"]
+    ns = list(counts.values()) + [n_bi]
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "n": pa.array(ns, type=pa.int64()),
+        }
+    )
+
+
+def pmi_bigrams(
+    docs: ray.data.Dataset, *, k: int = 50, min_count: int = 5, n_parts: int = 64
+) -> pa.Table:
+    """Collocation extraction: top-k adjacent-token bigrams by pointwise
+    mutual information, ``PMI = ln((c_ab/N_bi) / ((c_a/N_uni)(c_b/N_uni)))``,
+    over bigrams with count ≥ ``min_count``; ranked (rounded PMI desc,
+    bigram asc).
+
+    Counts come from the same partial+coarse-group shape as
+    ``bigram_counts`` (Ray never sees a bigram/term as a group key); the
+    final PMI rank runs driver-side over the min-count-filtered bigram
+    table + the vocabulary-sized unigram table — the term-dictionary size
+    class.  The ln operand order mirrors the SQL twin exactly, so rounded
+    PMIs are bit-stable across engines (exact-integer ratios in, one libm
+    ln out — the idf precedent)."""
+    import numpy as np
+
+    from .groups import coarse_grouped, str_pid
+
+    bi = bigram_counts(docs, min_count=min_count, n_parts=n_parts).to_pandas()
+
+    uni_partials = docs.map_batches(
+        unigram_partial_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final(df):
+        return df.groupby("term", as_index=False, sort=False)["n"].sum()
+
+    uni = coarse_grouped(
+        uni_partials, lambda b: str_pid(b, "term", n_parts), final, n_parts=n_parts
+    ).to_pandas()
+    n_bi = float(uni.loc[uni["term"] == "__n_bigrams__", "n"].sum())
+    uni = uni[uni["term"] != "__n_bigrams__"]
+    n_uni = float(uni["n"].sum())
+    cmap = dict(zip(uni["term"], uni["n"].astype(float)))
+    rows = []
+    for bg, c_ab in zip(bi["bigram"], bi["n"].astype(float)):
+        a, b = bg.split(" ", 1)
+        pmi = float(
+            np.log((c_ab / n_bi) / ((cmap[a] / n_uni) * (cmap[b] / n_uni)))
+        )
+        rows.append((bg, int(c_ab), round(pmi, 6)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "bigram": pa.array([r[0] for r in rows], type=pa.string()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            "pmi": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (vectorized regex redaction)
 
