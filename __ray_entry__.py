@@ -92,6 +92,34 @@ def _q_autocomplete(sf_dir: str):
     return autocomplete_table(sf_dir, "s", k=10)
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """BPE tokenizer induction (functions/bpe.py): one distributed
+    word-count pass -> driver-side merge loop (Sennrich algorithm, pinned
+    vs a naive reference in tests/test_bpe.py) -> actor-pool encode.
+    Iterative, so no SQL twin: rows-only driver check (pq_topk precedent);
+    correctness lives in the 7-test reference-parity suite."""
+    import ray.data
+
+    from vexor_ray.functions.bpe import bpe_encode, bpe_train
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = bpe_train(docs, n_merges=200)
+    enc = bpe_encode(docs, merges).to_pandas()
+    enc = enc.sort_values("doc_id")
+    import pyarrow as _pa
+
+    return _pa.table(
+        {
+            "doc_id": _pa.array(enc["doc_id"].to_numpy(), type=_pa.int64()),
+            "n_bpe_tokens": _pa.array(
+                enc["n_bpe_tokens"].to_numpy(), type=_pa.int64()
+            ),
+        }
+    )
+
+
 def _q_pmi_bigrams(sf_dir: str):
     """Collocation extraction: top adjacent-token bigrams by pointwise
     mutual information (count >= 5) — tokenizer/vocab-induction territory;
@@ -1267,6 +1295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "clean_corpus": _q_clean_corpus,
         "events_session_agg": _q_session_agg,
+        # rows-only (iterative merge loop has no SQL twin; see pq_topk)
+        "bpe_tokens": _q_bpe_tokens,
     }
 
 
