@@ -113,3 +113,33 @@ def test_clone_positions_sidecar(ray_session, tmp_path):
     b = PositionsIndex(dst)
     base = a.phrase_occurrences("retrieval engine")
     assert b.phrase_occurrences("retrieval engine").equals(base)
+
+
+def test_clone_kill_mid_copy_resumes(clone_setup, tmp_path, monkeypatch):
+    """A clone killed mid-transfer leaves NO committed manifest at the
+    destination (invisible), and a rerun finishes from where it stopped."""
+    import vexor_ray.index.clone as clone_mod
+    from vexor_ray.index.manifest import manifest_exists
+
+    real = clone_mod._copy_file
+    calls = {"n": 0}
+
+    def bomb(src, dst, sp, dp):
+        if calls["n"] >= 5:
+            raise RuntimeError("injected kill")
+        calls["n"] += 1
+        return real(src, dst, sp, dp)
+
+    monkeypatch.setattr(clone_mod, "_copy_file", bomb)
+    dst = tmp_path / "mirror_kill"
+    with pytest.raises(RuntimeError, match="injected kill"):
+        clone_index(clone_setup["idx"], dst)
+    assert not manifest_exists(dst)  # partial copy is invisible
+
+    monkeypatch.setattr(clone_mod, "_copy_file", real)
+    stats = clone_index(clone_setup["idx"], dst)
+    assert stats["files_copied"] == stats["files_total"] - 5  # resumed
+    queries = [r["query"] for r in generate_queries(10, seed=5)]
+    assert _results(Searcher(dst), queries) == _results(
+        Searcher(clone_setup["idx"]), queries
+    )
