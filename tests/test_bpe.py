@@ -123,3 +123,77 @@ def test_distributed_train_and_encode(ray_session):
         row = enc[enc.doc_id == i].iloc[0]
         assert list(row["bpe_tokens"]) == want
         assert row["n_bpe_tokens"] == len(want)
+
+
+def test_bpe_index_rank_identity_vs_oracle(ray_session, pages_1k, tmp_path):
+    """A full index built with tokenizer='bpe' (learned merges in the
+    manifest) is rank- and score-identical to the pure-python oracle
+    tokenizing with the same merges — the Tokenizer plug-in seam carrying a
+    LEARNED tokenizer end-to-end (build, manifest, query preprocessing)."""
+    import math
+
+    import ray.data
+
+    from vexor_ray.fixtures.pages import generate_queries
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.query.searcher import Searcher
+    from vexor_ray.refimpl import textnorm
+    from vexor_ray.refimpl.oracle import build_oracle_index
+    from vexor_ray.refimpl.oracle import search as oracle_search
+
+    docs = ray.data.read_parquet(str(pages_1k), columns=["url", "html"])
+
+    def to_text(batch):
+        texts = [
+            textnorm.extract_text(h, 200_000) or ""
+            for h in batch.column("html").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(
+                    [f"{u} {t}" for u, t in zip(batch.column("url").to_pylist(), texts)]
+                ),
+            }
+        )
+
+    merges = bpe_train(
+        docs.map_batches(to_text, batch_format="pyarrow"), n_merges=120
+    )
+    assert len(merges) > 50
+
+    idx = tmp_path / "bpe_idx"
+    cfg = BuildConfig(
+        tokenizer="bpe",
+        bpe_merges=[list(p) for p in merges],
+        num_waves=2,
+        partitions_per_wave=2,
+        shard_group_size=2,
+        tokenize_concurrency=2,
+        salt_shift=8,
+    )
+    build_index(pages_1k, idx, cfg)
+    s = Searcher(idx)
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(pages_1k.glob("*.parquet")):
+        t = pq.read_table(f, columns=["url", "html"])
+        rows.extend(zip(t["url"].to_pylist(), t["html"].to_pylist()))
+    oracle = build_oracle_index(
+        rows,
+        ids=sorted(
+            s._docs_ds.to_table(columns=["doc_id"]).column("doc_id").to_pylist()
+        ),
+        tokenizer="bpe",
+        bpe_merges=merges,
+    )
+    assert s.doc_count == oracle.doc_count
+    assert math.isclose(s.avg_doc_len, oracle.avg_doc_len, rel_tol=1e-12)
+    for q in [r["query"] for r in generate_queries(20, seed=4)]:
+        got = s.search(q, k=20)
+        want = oracle_search(oracle, q, k=20, tokenizer="bpe", bpe_merges=merges)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, es) in zip(got, want):
+            assert math.isclose(gs, es, rel_tol=1e-9)

@@ -68,7 +68,10 @@ class BuildConfig:
     text_only: bool = False  # lexical doc = text alone (no url prefix)
     doc_builder: str = "url_text"  # url_text | text | head (stages/tokenize.py)
     token_pattern: str = TOKEN_PATTERN
-    tokenizer: str = "regex"  # regex | bert_union (stages/berttok.py)
+    tokenizer: str = "regex"  # regex | bert_union | bpe (stages/berttok.py)
+    # learned BPE merge list for tokenizer="bpe" (functions/bpe.py::bpe_train);
+    # JSON-safe, recorded in the manifest so query tokenization matches
+    bpe_merges: list | None = None
     embed_dim: int = 0  # > 0 → store a dense hash-embedding column per doc
     # word_mix (unigrams ∪ bigrams) is the measured-best featurizer: eval
     # MRR@10 0.93 vs 0.29 for pure word bigrams at the same dim budget
@@ -739,6 +742,7 @@ def build_index(
         f"|{cfg.char_limit}|{cfg.pre_extracted}|W{cfg.num_waves}"
         f"|B{int(cfg.wave_bucketed_tok)}"
         f"|E{cfg.embed_dim}:{cfg.embed_mode}"
+        f"|M{hashlib.sha1(_tokfp_json.dumps(cfg.bpe_merges).encode()).hexdigest() if cfg.bpe_merges else ''}"
         f"|P{_tokfp_json.dumps(cfg.embed_provider, sort_keys=True)}"
     )
     group_fp_now: dict[str, str] = {}
@@ -803,6 +807,7 @@ def build_index(
                 "embed_dim": cfg.embed_dim,
                 "embed_mode": cfg.embed_mode,
                 "embed_provider": cfg.embed_provider,
+                "bpe_merges": cfg.bpe_merges,
             },
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,

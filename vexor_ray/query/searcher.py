@@ -271,7 +271,9 @@ class Searcher:
         from ..stages.berttok import make_tokenizer
 
         self._query_tokenize = make_tokenizer(
-            cfg.get("tokenizer", "regex"), cfg.get("token_pattern")
+            cfg.get("tokenizer", "regex"),
+            cfg.get("token_pattern"),
+            bpe_merges=cfg.get("bpe_merges"),
         )
         # small decoded-chunk LRU: repeated query terms skip the parquet read
         # (the analogue of the reference's query cache, scoped per process)

@@ -47,6 +47,7 @@ def build_oracle_index(
     ids: list[int] | None = None,
     doc_builder: str = "url_text",
     tokenizer: str = "regex",
+    bpe_merges: list | None = None,
 ) -> OracleIndex:
     """Index a list of ``(url, html)`` pairs (or ``(key, None, text)`` rows).
 
@@ -83,7 +84,7 @@ def build_oracle_index(
             document = bm25.build_document(url, textnorm.head_snippet(text) or "")
         else:
             document = bm25.build_document(url, text)
-        tokens = _tokenize_fn(tokenizer)(document)
+        tokens = _tokenize_fn(tokenizer, bpe_merges)(document)
         tfs = bm25.term_frequencies(tokens)
         doc_len = len(tokens)
         index.urls[doc_id] = url
@@ -97,20 +98,26 @@ def build_oracle_index(
     return index
 
 
-def _tokenize_fn(tokenizer: str):
+def _tokenize_fn(tokenizer: str, bpe_merges=None):
     """Tokenizer routing for the oracle (same factory as the engine)."""
     from ..stages.berttok import make_tokenizer
 
-    return make_tokenizer(tokenizer)
+    return make_tokenizer(tokenizer, bpe_merges=bpe_merges)
 
 
 def search(
-    index: OracleIndex, query: str, k: int = 10, tokenizer: str = "regex"
+    index: OracleIndex,
+    query: str,
+    k: int = 10,
+    tokenizer: str = "regex",
+    bpe_merges: list | None = None,
 ) -> list[tuple[int, float]]:
     """BM25 top-k over the oracle index: [(doc_id, score)] ranked."""
     from ..spec import MAX_QUERY_TERMS
 
-    terms = list(dict.fromkeys(_tokenize_fn(tokenizer)(query)))[:MAX_QUERY_TERMS]
+    terms = list(
+        dict.fromkeys(_tokenize_fn(tokenizer, bpe_merges)(query))
+    )[:MAX_QUERY_TERMS]
     if not terms:
         return []
     scores = bm25.score_postings(

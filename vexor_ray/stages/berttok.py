@@ -75,17 +75,45 @@ def tokenize_bert_union(text: str) -> list[str]:
     return normalized
 
 
-TOKENIZERS = ("regex", "bert_union")
+TOKENIZERS = ("regex", "bert_union", "bpe")
 
 
-def make_tokenizer(name: str, token_pattern: str | None = None):
+def make_tokenizer(
+    name: str, token_pattern: str | None = None, *, bpe_merges=None
+):
     """Tokenizer factory for the build/query stages.
 
     ``regex``: ``pattern.findall(text.lower())`` (the deterministic default);
-    ``bert_union``: the reference's two-path union above.
+    ``bert_union``: the reference's two-path union above;
+    ``bpe``: regex words re-segmented into learned subword units
+    (``functions/bpe.py`` — pass the merge list via ``bpe_merges``; the
+    manifest carries it so query tokenization always matches the build).
     """
     if name == "bert_union":
         return tokenize_bert_union
+    if name == "bpe":
+        if not bpe_merges:
+            raise ValueError("tokenizer='bpe' requires a bpe_merges list")
+        import re
+
+        from ..functions.bpe import encode_word
+        from ..spec import TOKEN_PATTERN
+
+        rx = re.compile(token_pattern or TOKEN_PATTERN)
+        ranks = {tuple(p): i for i, p in enumerate(bpe_merges)}
+        cache: dict[str, list[str]] = {}
+
+        def _bpe_tokenize(text: str) -> list[str]:
+            out: list[str] = []
+            for w in rx.findall(text.lower()):
+                enc = cache.get(w)
+                if enc is None:
+                    enc = encode_word(w, ranks)
+                    cache[w] = enc
+                out.extend(enc)
+            return out
+
+        return _bpe_tokenize
     if name == "regex":
         import re
 

@@ -46,10 +46,13 @@ class TokenizeDocs:
         embed_dim: int = 0,
         embed_mode: str = "word",
         embed_provider: dict | None = None,
+        bpe_merges: list | None = None,
     ):
         from .berttok import make_tokenizer
 
-        self._tokenize = make_tokenizer(tokenizer, token_pattern)
+        self._tokenize = make_tokenizer(
+            tokenizer, token_pattern, bpe_merges=bpe_merges
+        )
         self._builder = "text" if text_only else doc_builder
         if self._builder not in DOC_BUILDERS:
             raise ValueError(f"unknown doc_builder {self._builder!r}")
