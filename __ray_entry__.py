@@ -891,6 +891,18 @@ def _q_substring_dup(sf_dir: str):
     return substring_dup_stats(_docs_ds(sf_dir), window=8)
 
 
+def _q_span_dedup_rewrite(sf_dir: str):
+    """C4/RefinedWeb-style duplicate-span REMOVAL (functions/dedup.py::
+    span_dedup_rewrite): every corpus-wide duplicated 8-token span keeps
+    only its first (doc_id, start) occurrence; documents are rewritten with
+    covered tokens removed.  Two coarse hash shuffles + one doc_id-keyed
+    rewrite pass; the twin reproduces span keys (md5), first-occurrence
+    selection, and the rebuilt text string exactly."""
+    from vexor_ray.functions.dedup import span_dedup_rewrite
+
+    return span_dedup_rewrite(_docs_ds(sf_dir), window=8)
+
+
 def _q_stratified_sample(sf_dir: str):
     from vexor_ray.pipelines.relational import stratified_sample_documents
 
@@ -1231,7 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
-        "bigram_counts": _q_bigram_counts,
+        "span_dedup_rewrite": _q_span_dedup_rewrite,
         "pii_scrub": _q_scrub,
         "hll_distinct": _q_hll_distinct,
         "cms_counts": _q_cms_counts,
@@ -1295,6 +1307,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "clean_corpus": _q_clean_corpus,
         "events_session_agg": _q_session_agg,
+        # moved to the tail in late round 4 (driver-hashed green in r1-r3)
+        # to free first-50 slots for the session's new operators
+        "bigram_counts": _q_bigram_counts,
         # rows-only (iterative merge loop has no SQL twin; see pq_topk)
         "bpe_tokens": _q_bpe_tokens,
     }
@@ -2312,6 +2327,35 @@ per AS (SELECT win.doc_id, COUNT(*) AS n_windows,
 SELECT doc_id, n_windows, n_dup_windows,
        ROUND(n_dup_windows * 1.0 / n_windows, 6) AS dup_frac
 FROM per ORDER BY doc_id""",
+        "span_dedup_rewrite": f"""
+WITH tl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+       FROM tl WHERE len(toks) >= 8),
+win AS (SELECT doc_id, i,
+               md5_number_lower(array_to_string(toks[i:i+7], ' ')) AS wh
+        FROM w0),
+dup AS (SELECT wh, MIN(doc_id * 4294967296 + i) AS first_pos
+        FROM win GROUP BY wh HAVING COUNT(*) >= 2),
+rem AS (SELECT win.doc_id, win.i
+        FROM win JOIN dup USING (wh)
+        WHERE win.doc_id * 4294967296 + win.i <> dup.first_pos),
+toks AS (SELECT doc_id, unnest(toks) AS term,
+                unnest(generate_series(1, len(toks))) AS pos
+         FROM tl),
+cov AS (SELECT DISTINCT t.doc_id, t.pos
+        FROM toks t JOIN rem r ON t.doc_id = r.doc_id
+                              AND t.pos >= r.i AND t.pos < r.i + 8),
+kept AS (SELECT t.doc_id, t.pos, t.term
+         FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         WHERE c.pos IS NULL),
+agg AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT tl.doc_id,
+       COALESCE(agg.text, '') AS text,
+       CAST(len(tl.toks) AS BIGINT) AS n_tokens,
+       CAST(len(tl.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+FROM tl LEFT JOIN agg USING (doc_id) ORDER BY tl.doc_id""",
         "stratified_sample": """
 WITH r(lang, pct) AS (VALUES ('en', 5), ('de', 10), ('zh', 20),
                              ('fr', 30), ('es', 40))

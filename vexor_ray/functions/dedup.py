@@ -1395,6 +1395,188 @@ def substring_dup_stats(
     )
 
 
+def _explode_window_hashes_pos(
+    batch: pa.Table, window: int, hasher: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(window_hash, doc_id, start) streams for one batch — like
+    ``_explode_window_hashes`` but with the 0-based token offset of each
+    span within its document, which the rewrite op needs to locate covered
+    tokens."""
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    if hasher == "rolling":
+        whs, di = _batch_window_hashes_rolling(texts, window)
+        # windows of one doc come out consecutive and in order, so the
+        # start offset is the rank within the doc's run
+        if di.size:
+            run_breaks = np.flatnonzero(np.diff(di)) + 1
+            run_starts = np.concatenate([[0], run_breaks])
+            run_lens = np.diff(np.concatenate([run_starts, [di.size]]))
+            starts = np.arange(di.size, dtype=np.int64) - np.repeat(
+                run_starts, run_lens
+            )
+        else:
+            starts = np.zeros(0, dtype=np.int64)
+        return whs, ids[di], starts
+    out_wh: list[int] = []
+    out_id: list[int] = []
+    out_s: list[int] = []
+    for d, t in zip(ids.tolist(), texts):
+        whs = _token_window_hashes(t, window)
+        out_wh.extend(whs)
+        out_id.extend([d] * len(whs))
+        out_s.extend(range(len(whs)))
+    return (
+        np.asarray(out_wh, dtype=np.uint64),
+        np.asarray(out_id, dtype=np.int64),
+        np.asarray(out_s, dtype=np.int64),
+    )
+
+
+def span_dedup_rewrite(
+    docs: ray.data.Dataset,
+    *,
+    window: int = 8,
+    n_parts: int = 64,
+    hasher: str = "md5",
+) -> ray.data.Dataset:
+    """C4/RefinedWeb-style duplicate-span REMOVAL: rewrite every document so
+    that of all corpus-wide occurrences of any duplicated ``window``-token
+    span, only the first (smallest ``(doc_id, start)``) survives — the
+    *removal* counterpart of ``substring_dup_stats``'s reporting.
+
+    Semantics (exact, SQL-twinnable): a token at position ``p`` of doc ``d``
+    is removed iff some duplicated span occurrence ``(d, s)`` with
+    ``s <= p < s + window`` is NOT its span key's first occurrence.  Output
+    is one row per input document: ``(doc_id, text, n_tokens, n_removed)``
+    where ``text`` is the surviving tokens of the normalized token stream
+    joined by single spaces ('' when everything was removed or the doc had
+    no tokens) — the token-level rewrite the C4 paper applies at the line
+    level and the suffix-array dedup paper (Lee et al. 2021) applies at the
+    substring level.
+
+    Distributed shape (no corpus-cardinality Ray group keys):
+
+    1. map: explode ``(span_hash, doc_id, start)`` triples
+       (``hasher="rolling"`` = the vectorized polynomial kernel, the 100 TB
+       path; ``"md5"`` = the SQL-reproducible twin the driver oracle pins);
+    2. one coarse hash shuffle on span_hash → per-partition pandas finds
+       keys with >= 2 occurrences and emits every NON-FIRST occurrence as a
+       removal span ``(doc_id, start)`` (all occurrences of one key share a
+       partition by construction);
+    3. one coarse hash shuffle on doc_id of (docs ∪ removal spans) → per
+       partition, a difference-array coverage mask rewrites each doc
+       (vectorized; the only per-doc Python is the final string join, which
+       IS the output).
+
+    Reference analogue: vexor has whole-text dedup only
+    (`vexor/search.py:194-206`); this is the training-data extension the
+    task brief asks for.
+    """
+    if hasher not in ("md5", "rolling"):
+        raise ValueError(f"unknown hasher {hasher!r}")
+    from .groups import coarse_grouped, int_pid
+
+    def explode(batch: pa.Table) -> pa.Table:
+        whs, ids, starts = _explode_window_hashes_pos(batch, window, hasher)
+        return pa.table(
+            {
+                "wh": pa.array(whs),
+                "doc_id": pa.array(ids),
+                "start": pa.array(starts),
+            }
+        )
+
+    spans = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def non_first_dups(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": [], "start": []}).astype("int64")
+        pos_key = df["doc_id"].to_numpy() * (1 << 32) + df["start"].to_numpy()
+        g = df.assign(pos_key=pos_key).groupby("wh")["pos_key"]
+        first = g.transform("min")
+        size = g.transform("size")
+        keep = (size >= 2) & (pos_key != first)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[keep.to_numpy()],
+                "start": df["start"].to_numpy()[keep.to_numpy()],
+            }
+        ).astype("int64")
+
+    removals = coarse_grouped(
+        spans, lambda b: int_pid(b, ["wh"], n_parts), non_first_dups, n_parts=n_parts
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "start": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "text": batch.column("text").cast(pa.string()),
+            }
+        )
+
+    def rem_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "start": batch.column("start").cast(pa.int64()),
+                "text": pa.array([None] * batch.num_rows, type=pa.string()),
+            }
+        )
+
+    unioned = docs.map_batches(
+        doc_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(removals.map_batches(rem_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        doc_part = df[df["start"] < 0]
+        rem = df[df["start"] >= 0]
+        rem_by_doc: dict[int, np.ndarray] = {
+            int(did): grp["start"].to_numpy()
+            for did, grp in rem.groupby("doc_id")
+        }
+        out_id: list[int] = []
+        out_text: list[str] = []
+        out_n: list[int] = []
+        out_rm: list[int] = []
+        for did, text in zip(
+            doc_part["doc_id"].tolist(), doc_part["text"].tolist()
+        ):
+            toks = TOKEN_RE.findall((text or "").lower())
+            n = len(toks)
+            starts = rem_by_doc.get(did)
+            if starts is None or n == 0:
+                out_id.append(did)
+                out_text.append(" ".join(toks))
+                out_n.append(n)
+                out_rm.append(0)
+                continue
+            # difference-array coverage: O(n + #spans), no per-span slicing
+            diff = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(starts + window, n), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            kept_idx = np.flatnonzero(~covered)
+            out_id.append(did)
+            out_text.append(" ".join(toks[i] for i in kept_idx))
+            out_n.append(n)
+            out_rm.append(int(n - kept_idx.size))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(out_id, dtype="int64"),
+                "text": pd.array(out_text, dtype="string[pyarrow]"),
+                "n_tokens": pd.array(out_n, dtype="int64"),
+                "n_removed": pd.array(out_rm, dtype="int64"),
+            }
+        )
+
+    return coarse_grouped(
+        unioned, lambda b: int_pid(b, ["doc_id"], n_parts), rewrite, n_parts=n_parts
+    )
+
+
 def ngram_jaccard(
     texts_a: list[str], texts_b: list[str], n: int = 3
 ) -> list[float]:
