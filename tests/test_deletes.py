@@ -362,3 +362,40 @@ def test_federated_with_tombstoned_member(del_setup, tmp_path):
         assert got == want, q
     with pytest.raises(ValueError, match="pending deletions"):
         fed_del.search("retrieval engine", k=5, method="wand")
+
+
+def test_purge_on_byte_copied_index_never_deletes_source_files(
+    del_setup, tmp_path
+):
+    """A byte-level copy (``cp -r`` instead of ``clone_index``) carries
+    partition records whose absolute paths point into the SOURCE index.
+    GC must treat those as foreign and skip them — purging the copy may
+    not destroy a single file of the original (``Store.owns_abs``)."""
+    import shutil
+
+    from vexor_ray.index.storage import Store
+
+    src = del_setup["idx"]
+    before = {
+        str(p.relative_to(src)) for p in src.rglob("*") if p.is_file()
+    }
+    probes = [r["query"] for r in generate_queries(10, seed=9)]
+    want = [_url_results(Searcher(src), Searcher(src).search(q, k=20)) for q in probes]
+
+    idx = tmp_path / "idx_bytecopy"
+    shutil.copytree(src, idx)
+    purge_deletes(del_setup["pages"], idx, _cfg())
+
+    after = {str(p.relative_to(src)) for p in src.rglob("*") if p.is_file()}
+    assert before - after == set(), "purge of a copy deleted source files"
+
+    # the original index still opens and serves identically
+    s = Searcher(src)
+    got = [_url_results(s, s.search(q, k=20)) for q in probes]
+    assert got == want
+
+    # the guard itself
+    st = Store.resolve(src)
+    assert st.owns_abs(str(src / "docs_tok" / "x.parquet"))
+    assert not st.owns_abs(str(idx / "docs_tok" / "x.parquet"))
+    assert not st.owns_abs(str(src) + "_sibling/x.parquet")

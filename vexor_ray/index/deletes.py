@@ -250,10 +250,7 @@ def _finish_purge_gc(store: Store, manifest: BuildManifest) -> None:
         if any(f in referenced for f in gc_files):
             continue  # purge not committed yet — files still live
         for f in gc_files:
-            try:
-                store.fs.delete_file(f)
-            except (FileNotFoundError, OSError):
-                pass
+            store.delete_file_abs(f)
         for d in rec.lineage.get("pinned_dirs", []):
             if _dir_is_empty(store, d):
                 store.delete_dir_abs(d)

@@ -137,9 +137,35 @@ class Store:
         except (FileNotFoundError, OSError):
             pass
 
+    def owns_abs(self, full_path: str) -> bool:
+        """True when ``full_path`` lies under this store's base.
+
+        The ownership test every GC of a RECORDED path must pass: partition
+        records carry absolute file/dir paths, so a byte-copied index
+        directory (``cp -r`` instead of :func:`vexor_ray.index.clone.clone_index`,
+        which rewrites recorded paths) carries records pointing into the
+        SOURCE index — GC following them verbatim would destroy an index it
+        does not own.  Foreign paths are skipped, never deleted.
+        """
+        base = self.base
+        if not base:
+            return True
+        p = str(full_path)
+        return p == base or p.startswith(base + "/")
+
     def delete_dir_abs(self, full_path: str) -> None:
+        if not self.owns_abs(full_path):
+            return
         try:
             self.fs.delete_dir(full_path)
+        except (FileNotFoundError, OSError):
+            pass
+
+    def delete_file_abs(self, full_path: str) -> None:
+        if not self.owns_abs(full_path):
+            return
+        try:
+            self.fs.delete_file(full_path)
         except (FileNotFoundError, OSError):
             pass
 
