@@ -120,6 +120,18 @@ def _q_bpe_tokens(sf_dir: str):
     )
 
 
+def _q_pagerank(sf_dir: str):
+    """Distributed PageRank over the hash-derived deterministic link graph
+    (page i → md5(i,j) % N, out-degree 4): 5 fixed-point integer iterations
+    (SCALE 2^-58, damping 17/20 — every step is an order-independent
+    integer sum/floor-division, so the unrolled-CTE twin is bit-exact),
+    two coarse shuffles per iteration, per-iteration materialized state.
+    The webtext static-prior computation (vexor_ray/functions/graph.py)."""
+    from vexor_ray.functions.graph import pagerank_topk
+
+    return pagerank_topk(sf_dir, k=100, iters=5)
+
+
 def _q_pmi_bigrams(sf_dir: str):
     """Collocation extraction: top adjacent-token bigrams by pointwise
     mutual information (count >= 5) — tokenizer/vocab-induction territory;
@@ -1235,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapsed_topk": _q_collapsed_topk,
         "regex_scan": _q_regex_scan,
         "pmi_bigrams": _q_pmi_bigrams,
+        "pagerank": _q_pagerank,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1248,7 +1261,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "cms_counts": _q_cms_counts,
         "substring_dup": _q_substring_dup,
-        "stratified_sample": _q_stratified_sample,
         "source_stats": _q_source_stats,
         "anti_join": _q_anti_join,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -1311,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to free first-50 slots for the session's new operators
         "bigram_counts": _q_bigram_counts,
         # rows-only (iterative merge loop has no SQL twin; see pq_topk)
+        "stratified_sample": _q_stratified_sample,
         "bpe_tokens": _q_bpe_tokens,
     }
 
@@ -1916,6 +1929,42 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold} ORDER BY vec_
 _EMB_PAIRS_SQL = _emb_pairs_sql()
 
 
+def _pagerank_sql(iters: int = 5, out_degree: int = 4, k: int = 100) -> str:
+    """Unrolled-CTE twin of ``vexor_ray.functions.graph.pagerank`` — every
+    step integer arithmetic (SCALE 2^58, damping 17/20), so SUM order never
+    matters and the values are bit-exact."""
+    scale = 1 << 58
+    parts = [
+        "WITH n AS (SELECT COUNT(*) AS c FROM documents)",
+        f", e AS (SELECT d.doc_id AS src,"
+        f" CAST(md5_number_lower('pr|' || CAST(d.doc_id AS VARCHAR) || '|' ||"
+        f" CAST(js.j AS VARCHAR)) % CAST((SELECT c FROM n) AS UBIGINT)"
+        f" AS BIGINT) AS dst"
+        f" FROM documents d, (SELECT UNNEST(range({out_degree})) AS j) js)",
+        f", r0 AS (SELECT doc_id,"
+        f" CAST({scale} // (SELECT c FROM n) AS BIGINT) AS rank"
+        f" FROM documents)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f", r{i + 1} AS (SELECT d.doc_id,"
+            f" CAST({3 * scale} // (20 * (SELECT c FROM n))"
+            f" + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS rank"
+            f" FROM documents d LEFT JOIN ("
+            f"SELECT e.dst AS doc_id, SUM(r{i}.rank // {out_degree}) AS s"
+            f" FROM e JOIN r{i} ON e.src = r{i}.doc_id GROUP BY e.dst"
+            f") s ON d.doc_id = s.doc_id)"
+        )
+    parts.append(
+        f" SELECT doc_id, rank FROM r{iters}"
+        f" ORDER BY rank DESC, doc_id LIMIT {k}"
+    )
+    return "".join(parts)
+
+
+_PAGERANK_SQL = _pagerank_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     en = "('the','a','of','and','to','in','is','that','for','it')"
     de = "('der','die','das','und','ist','ein','eine','zu','mit','von')"
@@ -1952,6 +2001,7 @@ FROM (
 ) f JOIN m USING(doc_id)
 GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         ),
+        "pagerank": _PAGERANK_SQL,
         "pmi_bigrams": f"""
 WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
 uni AS (SELECT unnest(ts) AS t FROM toks),
