@@ -132,6 +132,16 @@ def _q_pagerank(sf_dir: str):
     return pagerank_topk(sf_dir, k=100, iters=5)
 
 
+def _q_pagerank_boosted(sf_dir: str):
+    """BM25 × PageRank static-rank fusion — the web-search query-score ×
+    link-authority composition (pipelines/corpus.py::pagerank_boosted_table);
+    fused = ROUND(bm25,6) * CAST(rank AS DOUBLE), twin-exact by IEEE
+    product identity."""
+    from vexor_ray.pipelines.corpus import pagerank_boosted_table
+
+    return pagerank_boosted_table(sf_dir, _BM25_QUERY, k=10)
+
+
 def _q_pmi_bigrams(sf_dir: str):
     """Collocation extraction: top adjacent-token bigrams by pointwise
     mutual information (count >= 5) — tokenizer/vocab-induction territory;
@@ -1248,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_scan": _q_regex_scan,
         "pmi_bigrams": _q_pmi_bigrams,
         "pagerank": _q_pagerank,
+        "pagerank_boosted": _q_pagerank_boosted,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1257,7 +1268,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
         "span_dedup_rewrite": _q_span_dedup_rewrite,
-        "pii_scrub": _q_scrub,
         "hll_distinct": _q_hll_distinct,
         "cms_counts": _q_cms_counts,
         "substring_dup": _q_substring_dup,
@@ -1324,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": _q_bigram_counts,
         # rows-only (iterative merge loop has no SQL twin; see pq_topk)
         "stratified_sample": _q_stratified_sample,
+        "pii_scrub": _q_scrub,
         "bpe_tokens": _q_bpe_tokens,
     }
 
@@ -1929,13 +1940,14 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold} ORDER BY vec_
 _EMB_PAIRS_SQL = _emb_pairs_sql()
 
 
-def _pagerank_sql(iters: int = 5, out_degree: int = 4, k: int = 100) -> str:
-    """Unrolled-CTE twin of ``vexor_ray.functions.graph.pagerank`` — every
-    step integer arithmetic (SCALE 2^58, damping 17/20), so SUM order never
-    matters and the values are bit-exact."""
+def _pagerank_ctes(iters: int = 5, out_degree: int = 4) -> str:
+    """CTE body (no WITH, no final SELECT) producing ``r{iters}(doc_id,
+    rank)`` — the unrolled twin of ``vexor_ray.functions.graph.pagerank``.
+    Every step is integer arithmetic (SCALE 2^58, damping 17/20), so SUM
+    order never matters and the values are bit-exact."""
     scale = 1 << 58
     parts = [
-        "WITH n AS (SELECT COUNT(*) AS c FROM documents)",
+        "n AS (SELECT COUNT(*) AS c FROM documents)",
         f", e AS (SELECT d.doc_id AS src,"
         f" CAST(md5_number_lower('pr|' || CAST(d.doc_id AS VARCHAR) || '|' ||"
         f" CAST(js.j AS VARCHAR)) % CAST((SELECT c FROM n) AS UBIGINT)"
@@ -1955,11 +1967,39 @@ def _pagerank_sql(iters: int = 5, out_degree: int = 4, k: int = 100) -> str:
             f" FROM e JOIN r{i} ON e.src = r{i}.doc_id GROUP BY e.dst"
             f") s ON d.doc_id = s.doc_id)"
         )
-    parts.append(
-        f" SELECT doc_id, rank FROM r{iters}"
-        f" ORDER BY rank DESC, doc_id LIMIT {k}"
-    )
     return "".join(parts)
+
+
+def _pagerank_sql(iters: int = 5, out_degree: int = 4, k: int = 100) -> str:
+    return (
+        "WITH "
+        + _pagerank_ctes(iters, out_degree)
+        + f" SELECT doc_id, rank FROM r{iters}"
+        + f" ORDER BY rank DESC, doc_id LIMIT {k}"
+    )
+
+
+def _pagerank_boosted_sql(
+    query_terms: list[str], iters: int = 5, k: int = 10
+) -> str:
+    """BM25 × PageRank static-rank fusion twin.  ``ROUND(s,6)`` and
+    ``CAST(rank AS DOUBLE)`` are both computed identically by numpy
+    (round-half-even on the same doubles; int64→double is correctly
+    rounded in both engines), and the IEEE product of identical doubles
+    is identical — so ``fused`` hashes exactly."""
+    return (
+        "\nWITH "
+        + _bm25_cte(query_terms)
+        + ", "
+        + _pagerank_ctes(iters)
+        + f"""
+SELECT s.doc_id, ROUND(s.s, 6) * CAST(r.rank AS DOUBLE) AS fused,
+ CAST(row_number() OVER (
+   ORDER BY ROUND(s.s, 6) * CAST(r.rank AS DOUBLE) DESC, s.doc_id
+ ) AS INT) AS rank
+FROM scores s JOIN r{iters} r USING(doc_id)
+ORDER BY fused DESC, s.doc_id LIMIT {k}"""
+    )
 
 
 _PAGERANK_SQL = _pagerank_sql()
@@ -2002,6 +2042,7 @@ FROM (
 GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         ),
         "pagerank": _PAGERANK_SQL,
+        "pagerank_boosted": _pagerank_boosted_sql(_BM25_QUERY.split()),
         "pmi_bigrams": f"""
 WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
 uni AS (SELECT unnest(ts) AS t FROM toks),

@@ -253,6 +253,54 @@ def boosted_topk_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     )
 
 
+def pagerank_boosted_table(
+    sf_dir: str, query: str, k: int = 10, iters: int = 5
+) -> pa.Table:
+    """BM25 × PageRank static-rank fusion: the real web-search "query score
+    × link-authority prior" composition.  Scores are 6dp-rounded BM25; the
+    prior is the fixed-point integer rank from
+    :func:`vexor_ray.functions.graph.pagerank` cast to double (int64→double
+    is correctly rounded in numpy and DuckDB alike, and the IEEE product of
+    identical doubles is identical — so ``fused`` is twin-exact with no
+    extra rounding).  The corpus-sized rank dataset streams against the
+    match set with a sorted-membership mask; only match-set-sized state
+    ever reaches the driver."""
+    import numpy as np
+
+    from ..functions.graph import pagerank
+
+    s = DocumentsSearcher(sf_dir)
+    sr = s.searcher
+    terms = sr.preprocess_query(query)
+    iid, raw = sr._exact_scores(terms, sr.term_chunks(terms))  # docID-asc
+    ids = orig_ids_streamed(sr, iid)  # ascending (url order ≡ id order)
+    sc = np.round(raw, 6)
+    best: list[tuple[float, int]] = []  # (-fused, doc_id)
+    ranks = pagerank(sf_dir, iters=iters)
+    for rb in ranks.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        bid = rb.column("doc_id").to_numpy()
+        if bid.size == 0 or ids.size == 0:
+            continue
+        pos = np.searchsorted(ids, bid)
+        pos[pos >= ids.size] = ids.size - 1
+        live = ids[pos] == bid
+        if not live.any():
+            continue
+        prior = rb.column("rank").to_numpy()[live].astype(np.float64)
+        fused = sc[pos[live]] * prior
+        for d, f in zip(bid[live], fused):
+            best.append((-float(f), int(d)))
+        best.sort()
+        del best[k:]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for _, d in best], type=pa.int64()),
+            "fused": pa.array([-f for f, _ in best], type=pa.float64()),
+            "rank": pa.array(range(1, len(best) + 1), type=pa.int32()),
+        }
+    )
+
+
 def query_language_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     """Mini query language (query/qlang.py): must / must-not filters,
     exact-phrase clauses (positions sidecar), prefix and fuzzy expansion,
