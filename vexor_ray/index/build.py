@@ -84,6 +84,12 @@ class BuildConfig:
     # JSON-safe and secret-free (api keys named by env var, never stored).
     embed_provider: dict | None = None
     block_size: int = POSTING_BLOCK_SIZE
+    # posting-stream codec: "varint" (LEB128, fastest encode) or "pfor"
+    # (patched frame-of-reference bit-packing, codec.pfor_encode_blocks —
+    # 25-75% smaller posting streams at ~1.5x encode cost; decode within
+    # ~2x of varint).  Recorded in the manifest; the query layer dispatches
+    # per chunk, so federation across mixed-codec indexes just works.
+    posting_codec: str = "varint"
     salt_shift: int = DEFAULT_SALT_SHIFT
     num_waves: int = DEFAULT_NUM_WAVES
     # Bucket docs_tok term lists into per-wave columns at tokenize time so
@@ -273,6 +279,7 @@ def encode_runs(
     k1: float,
     b: float,
     impact: bool = False,
+    posting_codec: str = codec.CODEC_VARINT,
 ) -> pa.Table:
     """Encode complete (term, salt) runs of a hash-partitioned, key-sorted block.
 
@@ -340,14 +347,28 @@ def encode_runs(
     comp = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dl_f / avg_doc_len))
     block_ub = codec.ub_float32(np.maximum.reduceat(comp, block_starts))
 
-    # one varint pass per stream; per-run/per-block layout from size prefix sums
+    # one codec pass per stream; per-run/per-block layout from size prefix
+    # sums.  For pfor the sizes are per BLOCK, expanded to a per-value
+    # byte_off that is exact at every block/run boundary — the only indices
+    # _run_relative_offsets reads.
     out_cols: dict[str, pa.Array] = {}
     blob_names = {"doc_blob": deltas, "tf_blob": tf_s, "dl_blob": dl_s}
     off_names = {"doc_blob": "doc_off", "tf_blob": "tf_off", "dl_blob": "dl_off"}
+    block_m = block_ends - block_starts
     for blob_name, stream in blob_names.items():
-        buf, sizes = codec.varint_encode_with_sizes(stream)
-        byte_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(sizes, out=byte_off[1:])
+        if posting_codec == codec.CODEC_PFOR:
+            buf, blk_sizes = codec.pfor_encode_blocks(
+                stream, block_starts, block_ends
+            )
+            blk_off = np.zeros(block_starts.size + 1, dtype=np.int64)
+            np.cumsum(blk_sizes, out=blk_off[1:])
+            byte_off = np.zeros(n + 1, dtype=np.int64)
+            byte_off[:n] = np.repeat(blk_off[:-1], block_m)
+            byte_off[n] = blk_off[-1]
+        else:
+            buf, sizes = codec.varint_encode_with_sizes(stream)
+            byte_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(sizes, out=byte_off[1:])
         run_byte_bounds = byte_off[run_bounds]
         out_cols[blob_name] = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(),
@@ -1072,6 +1093,7 @@ def build_index(
                     "k1": cfg.k1,
                     "b": cfg.b,
                     "impact": cfg.impact_postings,
+                    "posting_codec": cfg.posting_codec,
                 },
                 batch_format="pyarrow",
                 batch_size=None,

@@ -72,7 +72,7 @@ def rrf_fuse_orders(
 
 
 def _chunks_from_table(
-    tbl: pa.Table, block_size: int | None = None
+    tbl: pa.Table, block_size: int | None = None, codec_name: str = "varint"
 ) -> list[tuple[str, dict]]:
     """Chunk dicts from a segment-row table, zero-copy for blobs and lists."""
     tbl = tbl.combine_chunks()
@@ -89,6 +89,7 @@ def _chunks_from_table(
             "salt": int(salts[i]),
             "n_postings": int(n_postings[i]),
             "block_size": block_size,
+            "codec": codec_name,
             "doc_blob": memoryview(cols["doc_blob"][i].as_buffer()),
             "tf_blob": memoryview(cols["tf_blob"][i].as_buffer()),
             "dl_blob": memoryview(cols["dl_blob"][i].as_buffer()),
@@ -200,6 +201,10 @@ class Searcher:
         # fixed-size blocks) — lets the WAND drain map (block, pos) to a
         # global offset into a cached full-chunk decode
         self._block_size: int | None = cfg.get("block_size")
+        # posting-stream codec (manifest config; absent in legacy indexes
+        # → varint).  Decode dispatch is per chunk dict, so federation
+        # over mixed-codec member indexes needs nothing special.
+        self._codec: str = cfg.get("posting_codec") or "varint"
         # impact-ordered companion layout present?  (manifest config flag —
         # cheaper and earlier than probing chunks).  The imp_* columns are
         # only READ when a query actually routes to the TA scorer: on an
@@ -525,7 +530,7 @@ class Searcher:
             scale = gen["ub_scale"]
             found = []
             if has_base:
-                rows = _chunks_from_table(tbl, self._block_size)
+                rows = _chunks_from_table(tbl, self._block_size, self._codec)
             else:
                 rows = _imp_rows_from_table(tbl)
             for term, chunk in rows:
