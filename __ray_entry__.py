@@ -132,6 +132,15 @@ def _q_pagerank(sf_dir: str):
     return pagerank_topk(sf_dir, k=100, iters=5)
 
 
+def _q_more_like_this(sf_dir: str):
+    """Similar-document retrieval: the source doc's top-10 tf·idf terms
+    become a BM25 query, source excluded — the classic index-backed
+    "more like this" (pipelines/corpus.py::more_like_this_table)."""
+    from vexor_ray.pipelines.corpus import more_like_this_table
+
+    return more_like_this_table(sf_dir, doc_id=42, k=10, n_terms=10)
+
+
 def _q_pagerank_boosted(sf_dir: str):
     """BM25 × PageRank static-rank fusion — the web-search query-score ×
     link-authority composition (pipelines/corpus.py::pagerank_boosted_table);
@@ -1259,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "pagerank": _q_pagerank,
         "pagerank_boosted": _q_pagerank_boosted,
+        "more_like_this": _q_more_like_this,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
         "boolean_topk": _q_boolean_topk,
@@ -1268,7 +1278,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
         "span_dedup_rewrite": _q_span_dedup_rewrite,
-        "hll_distinct": _q_hll_distinct,
         "cms_counts": _q_cms_counts,
         "substring_dup": _q_substring_dup,
         "source_stats": _q_source_stats,
@@ -1335,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (iterative merge loop has no SQL twin; see pq_topk)
         "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_scrub,
+        "hll_distinct": _q_hll_distinct,
         "bpe_tokens": _q_bpe_tokens,
     }
 
@@ -2005,6 +2015,37 @@ ORDER BY fused DESC, s.doc_id LIMIT {k}"""
 _PAGERANK_SQL = _pagerank_sql()
 
 
+def _mlt_sql(doc_id: int, k: int = 10, n_terms: int = 10) -> str:
+    """Twin of more_like_this_table: the qt CTE is COMPUTED (top tf·idf
+    terms of the source doc) instead of literal VALUES; scoring reuses the
+    exact _bm25_cte arithmetic."""
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, AVG(dl) AS avgdl FROM dl),
+src AS (SELECT term, tf FROM tf WHERE doc_id = {doc_id}),
+srcdf AS (SELECT tf.term, COUNT(*) AS df FROM tf
+          WHERE tf.term IN (SELECT term FROM src) GROUP BY tf.term),
+w AS (SELECT s.term,
+             s.tf * ln(((SELECT n FROM stats) - d.df + 0.5)/(d.df + 0.5) + 1.0) AS w
+      FROM src s JOIN srcdf d USING(term)),
+qt AS (SELECT term FROM w ORDER BY w DESC, term LIMIT {n_terms}),
+df AS (SELECT term, COUNT(*) AS df FROM tf
+       WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         SUM( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) * tf.tf * 2.5
+              / (tf.tf + 1.5*(1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS score,
+ CAST(row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS INT) AS rank
+FROM scores WHERE doc_id != {doc_id}
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     en = "('the','a','of','and','to','in','is','that','for','it')"
     de = "('der','die','das','und','ist','ein','eine','zu','mit','von')"
@@ -2043,6 +2084,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         ),
         "pagerank": _PAGERANK_SQL,
         "pagerank_boosted": _pagerank_boosted_sql(_BM25_QUERY.split()),
+        "more_like_this": _mlt_sql(42),
         "pmi_bigrams": f"""
 WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
 uni AS (SELECT unnest(ts) AS t FROM toks),

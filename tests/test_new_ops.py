@@ -818,3 +818,25 @@ def test_quality_buckets_ntile_semantics(ray_session):
     )
     ordered = df.sort_values(["avg_logp", "doc_id"])["bucket"].to_numpy()
     assert (np.diff(ordered) >= 0).all()  # buckets non-decreasing in order
+
+
+def test_more_like_this(ray_session):
+    """Index-backed similar-document retrieval: source excluded, ranked by
+    (rounded score desc, doc_id asc), deterministic, missing id raises."""
+    from vexor_ray.pipelines.corpus import more_like_this_table
+
+    sf = "/root/testdata/sf0.001"
+    got = more_like_this_table(sf, doc_id=42, k=10, n_terms=10)
+    ids = got.column("doc_id").to_pylist()
+    sc = got.column("score").to_pylist()
+    assert 42 not in ids
+    assert len(ids) == 10
+    assert sc == sorted(sc, reverse=True)
+    for i in range(len(ids) - 1):
+        if sc[i] == sc[i + 1]:
+            assert ids[i] < ids[i + 1]
+    # determinism
+    again = more_like_this_table(sf, doc_id=42, k=10, n_terms=10)
+    assert got.equals(again)
+    with pytest.raises(KeyError):
+        more_like_this_table(sf, doc_id=10_000_000)

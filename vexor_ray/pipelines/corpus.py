@@ -253,6 +253,66 @@ def boosted_topk_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     )
 
 
+def more_like_this_table(
+    sf_dir: str, doc_id: int, k: int = 10, n_terms: int = 10
+) -> pa.Table:
+    """Similar-document retrieval: the source doc's top tf·idf terms become
+    a BM25 query; the source itself is excluded from the hits.
+
+    Deterministic and SQL-twinnable end to end: term weight = tf *
+    ln((N - df + 0.5)/(df + 0.5) + 1.0) — integer tf, libm ln on identical
+    operands (the PMI twin already pins ln parity on this host), ties
+    broken by term ascending; the final ranking is the established
+    (ROUND(score,6) DESC, doc_id ASC).  Costs: one row-group-pruned read
+    of the source row, one dictionary df lookup per source term, one
+    exact-scorer pass over the expansion — O(k) driver state."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ..spec import TOKEN_RE
+
+    s = DocumentsSearcher(sf_dir)
+    sr = s.searcher
+    ds = pads.dataset(f"{sf_dir}/documents.parquet")
+    tbl = ds.to_table(columns=["text"], filter=pc.field("doc_id") == doc_id)
+    if tbl.num_rows != 1:
+        raise KeyError(f"doc_id {doc_id} not found")
+    toks = TOKEN_RE.findall(tbl.column("text")[0].as_py().lower())
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    n_docs = sr.doc_count
+    chunks_by_term = sr.term_chunks(sorted(tf))
+    weights = []
+    for term in sorted(tf):
+        df = sum(c["n_postings"] for c in chunks_by_term.get(term, []))
+        if df == 0:
+            continue
+        w = tf[term] * math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        weights.append((-w, term))
+    weights.sort()
+    terms = [t for _, t in weights[:n_terms]]
+
+    iid, raw = sr._exact_scores(terms, sr.term_chunks(terms))
+    ids = orig_ids_streamed(sr, iid)
+    sc = np.round(raw, 6)
+    keep = ids != doc_id
+    ids, sc = ids[keep], sc[keep]
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "score": pa.array(sc[order], type=pa.float64()),
+            "rank": pa.array(
+                np.arange(1, order.size + 1, dtype=np.int32), type=pa.int32()
+            ),
+        }
+    )
+
+
 def pagerank_boosted_table(
     sf_dir: str, query: str, k: int = 10, iters: int = 5
 ) -> pa.Table:
