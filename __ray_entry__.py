@@ -151,6 +151,27 @@ def _q_pagerank_boosted(sf_dir: str):
     return pagerank_boosted_table(sf_dir, _BM25_QUERY, k=10)
 
 
+def _q_anchor_terms(sf_dir: str):
+    """Anchor-text aggregation over the hash-derived link graph: per
+    target page, the terms its in-links carry (edge (i,j) samples token
+    md5('anchor|i|j') % n_tokens from the SOURCE doc — the deterministic
+    stand-in for href-surrounding text).  One coarse shuffle keyed on dst
+    (functions/anchors.py)."""
+    from vexor_ray.functions.anchors import anchor_terms
+
+    return anchor_terms(sf_dir)
+
+
+def _q_anchor_boosted(sf_dir: str):
+    """BM25 + anchor-text fusion (BM25F-style anchor field): fused =
+    ROUND(bm25,6) + 0.25 * in-link anchor hits on the query terms; the
+    anchor side is query-filtered inside its map stage
+    (pipelines/corpus.py::anchor_boosted_table)."""
+    from vexor_ray.pipelines.corpus import anchor_boosted_table
+
+    return anchor_boosted_table(sf_dir, _BM25_QUERY, k=10)
+
+
 def _q_pmi_bigrams(sf_dir: str):
     """Collocation extraction: top adjacent-token bigrams by pointwise
     mutual information (count >= 5) — tokenizer/vocab-induction territory;
@@ -1243,6 +1264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # simhash, minhash_pairs, ann_lsh, multimodal_decode, sample_frames,
     # doc_keywords, hybrid_rrf, chunked_bm25, simhash_pairs), so every
     # query has been driver-checked at least once by end of round 4.
+    # Seventh session: anchor_terms + anchor_boosted swap in for
+    # cms_counts + substring_dup (both driver-hashed green in r3).
     return {
         "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
@@ -1268,6 +1291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "pagerank": _q_pagerank,
         "pagerank_boosted": _q_pagerank_boosted,
+        "anchor_terms": _q_anchor_terms,
+        "anchor_boosted": _q_anchor_boosted,
         "more_like_this": _q_more_like_this,
         "phrase_match": _q_phrase_match,
         "near_match": _q_near_match,
@@ -1278,8 +1303,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "quality_buckets": _q_quality_buckets,
         "span_dedup_rewrite": _q_span_dedup_rewrite,
-        "cms_counts": _q_cms_counts,
-        "substring_dup": _q_substring_dup,
         "source_stats": _q_source_stats,
         "anti_join": _q_anti_join,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -1297,6 +1320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tail: beyond the driver's 50-query cap (driver-hashed green
         # in CORRECTNESS_r01-r03; still covered by scripts/check_oracles.py
         # and the pytest suite) ----
+        "cms_counts": _q_cms_counts,
+        "substring_dup": _q_substring_dup,
         "simhash": _q_simhash,
         "minhash_pairs": _q_minhash_pairs,
         "ann_lsh": _q_ann_lsh,
@@ -1980,6 +2005,56 @@ def _pagerank_ctes(iters: int = 5, out_degree: int = 4) -> str:
     return "".join(parts)
 
 
+def _anchor_ctes(out_degree: int = 4) -> str:
+    """CTE body producing ``a(dst, term)`` — one anchor-term row per link
+    edge; the twin of ``vexor_ray.functions.anchors._anchor_edges`` (same
+    md5-derived graph as PageRank, anchor = source token at
+    md5('anchor|src|j') % n_tokens)."""
+    return f"""an AS (SELECT COUNT(*) AS c FROM documents),
+atok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ae AS (SELECT d.doc_id AS src, js.j,
+  CAST(md5_number_lower('pr|' || CAST(d.doc_id AS VARCHAR) || '|' ||
+       CAST(js.j AS VARCHAR)) % CAST((SELECT c FROM an) AS UBIGINT)
+       AS BIGINT) AS dst
+  FROM documents d, (SELECT UNNEST(range({out_degree})) AS j) js),
+a AS (SELECT ae.dst,
+  list_extract(atok.toks,
+    CAST(1 + md5_number_lower('anchor|' || CAST(ae.src AS VARCHAR) || '|' ||
+         CAST(ae.j AS VARCHAR)) % CAST(len(atok.toks) AS UBIGINT)
+         AS BIGINT)) AS term
+  FROM ae JOIN atok ON ae.src = atok.doc_id WHERE len(atok.toks) > 0)"""
+
+
+def _anchor_terms_sql() -> str:
+    return (
+        "WITH "
+        + _anchor_ctes()
+        + "\nSELECT dst, term, COUNT(*) AS cnt FROM a GROUP BY dst, term"
+        + " ORDER BY dst, term"
+    )
+
+
+def _anchor_boosted_sql(query_terms: list[str], k: int = 10) -> str:
+    """BM25 + anchor fusion twin: 0.25 * cnt is exact (dyadic x int) and
+    the single IEEE addition onto the shared ROUND(s,6) double is
+    identical in numpy and DuckDB, so ``fused`` hashes exactly."""
+    return (
+        "\nWITH "
+        + _bm25_cte(query_terms)
+        + ", "
+        + _anchor_ctes()
+        + f""",
+ac AS (SELECT dst AS doc_id, COUNT(*) AS cnt FROM a
+       WHERE term IN (SELECT term FROM qt) GROUP BY dst)
+SELECT s.doc_id, ROUND(s.s, 6) + 0.25 * COALESCE(ac.cnt, 0) AS fused,
+ CAST(row_number() OVER (
+   ORDER BY ROUND(s.s, 6) + 0.25 * COALESCE(ac.cnt, 0) DESC, s.doc_id
+ ) AS INT) AS rank
+FROM scores s LEFT JOIN ac USING(doc_id)
+ORDER BY fused DESC, s.doc_id LIMIT {k}"""
+    )
+
+
 def _pagerank_sql(iters: int = 5, out_degree: int = 4, k: int = 100) -> str:
     return (
         "WITH "
@@ -2084,6 +2159,8 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         ),
         "pagerank": _PAGERANK_SQL,
         "pagerank_boosted": _pagerank_boosted_sql(_BM25_QUERY.split()),
+        "anchor_terms": _anchor_terms_sql(),
+        "anchor_boosted": _anchor_boosted_sql(_BM25_QUERY.split()),
         "more_like_this": _mlt_sql(42),
         "pmi_bigrams": f"""
 WITH toks AS (SELECT {_TOKS} AS ts FROM documents),

@@ -361,6 +361,47 @@ def pagerank_boosted_table(
     )
 
 
+def anchor_boosted_table(
+    sf_dir: str, query: str, k: int = 10, weight: float = 0.25
+) -> pa.Table:
+    """BM25 + anchor-text fusion: pages whose IN-LINK anchor terms match
+    the query get boosted — the BM25F-style anchor field of web ranking
+    (``functions/anchors.py``).
+
+    ``fused = ROUND(bm25, 6) + weight * anchor_cnt`` over the BM25 match
+    set; ``weight`` is dyadic (default 1/4) so ``weight * cnt`` is exact
+    and the single IEEE addition is twin-identical.  The anchor side is
+    query-filtered inside its map stage, so only query-relevant anchors
+    are shuffled and the driver holds match-set-sized state only."""
+    import numpy as np
+
+    from ..functions.anchors import anchor_counts_for_terms
+
+    s = DocumentsSearcher(sf_dir)
+    sr = s.searcher
+    terms = sr.preprocess_query(query)
+    iid, raw = sr._exact_scores(terms, sr.term_chunks(terms))
+    ids = orig_ids_streamed(sr, iid)  # ascending (url order = id order)
+    sc = np.round(raw, 6)
+    fused = sc.copy()
+    a_dst, a_cnt = anchor_counts_for_terms(sf_dir, terms)
+    if a_dst.size and ids.size:
+        pos = np.searchsorted(ids, a_dst)
+        pos[pos >= ids.size] = ids.size - 1
+        live = ids[pos] == a_dst
+        fused[pos[live]] += weight * a_cnt[live].astype(np.float64)
+    order = np.lexsort((ids, -fused))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "fused": pa.array(fused[order], type=pa.float64()),
+            "rank": pa.array(
+                np.arange(1, order.size + 1, dtype=np.int32), type=pa.int32()
+            ),
+        }
+    )
+
+
 def query_language_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     """Mini query language (query/qlang.py): must / must-not filters,
     exact-phrase clauses (positions sidecar), prefix and fuzzy expansion,
