@@ -875,6 +875,17 @@ def _q_cms_counts(sf_dir: str):
     return cms_token_counts(_docs_ds(sf_dir))
 
 
+def _q_lm_bigram_quality(sf_dir: str):
+    """CCNet-style quality filter upgraded to bigram context: per-doc
+    average log-prob under a stupid-backoff bigram LM (Brants 2007)
+    trained on the corpus — exact counts via two coarse shuffles, pruned
+    model broadcast once, dyadic-quantized log-probs so the twin's SUM
+    is bit-exact (functions/lm.py)."""
+    from vexor_ray.functions.lm import lm_bigram_quality
+
+    return lm_bigram_quality(_docs_ds(sf_dir))
+
+
 def _q_lm_quality(sf_dir: str):
     from vexor_ray.functions.sketch import lm_quality
 
@@ -1264,14 +1275,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # simhash, minhash_pairs, ann_lsh, multimodal_decode, sample_frames,
     # doc_keywords, hybrid_rrf, chunked_bm25, simhash_pairs), so every
     # query has been driver-checked at least once by end of round 4.
-    # Seventh session: anchor_terms + anchor_boosted swap in for
-    # cms_counts + substring_dup (both driver-hashed green in r3).
+    # Seventh session: anchor_terms + anchor_boosted + lm_bigram_quality
+    # swap in for cms_counts + substring_dup + doc_df (all driver-hashed
+    # green in r1-r3).
     return {
         "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_impact": _q_bm25_topk_impact,
         "doc_term_tf": _q_doc_term_tf,
-        "doc_df": _q_doc_df,
         "doc_stats": _q_doc_stats,
         "export_resumable": _q_export_resumable,
         "dsir_scores": _q_dsir_scores,
@@ -1311,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "hash_embed_idf": _q_hash_embed_idf,
         "lm_quality": _q_lm_quality,
+        "lm_bigram_quality": _q_lm_bigram_quality,
         "brief_keywords": _q_brief_keywords,
         "training_export": _q_training_export,
         "events_json_agg": _q_events_json_agg,
@@ -1322,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and the pytest suite) ----
         "cms_counts": _q_cms_counts,
         "substring_dup": _q_substring_dup,
+        "doc_df": _q_doc_df,
         "simhash": _q_simhash,
         "minhash_pairs": _q_minhash_pairs,
         "ann_lsh": _q_ann_lsh,
@@ -1573,6 +1586,40 @@ SELECT doc_id, ROUND(s, 6) AS score,
 FROM flt ORDER BY ROUND(s, 6) DESC, doc_id LIMIT {k}"""
     )
 
+
+_LM_Q = 1 << 20  # dyadic log-prob grid shared with vexor_ray.functions.lm
+
+_LM_BIGRAM_SQL = f"""
+WITH tl AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+uni AS (SELECT unnest(l) AS w FROM tl),
+uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uc),
+bgs AS (SELECT unnest(list_transform(range(1, len(l)),
+                                     i -> l[i] || ' ' || l[i+1])) AS p
+        FROM tl),
+bc AS (SELECT p, COUNT(*) AS c FROM bgs GROUP BY p HAVING COUNT(*) >= 2),
+tr AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+              unnest(list_transform(range(1, len(l)), i -> l[i+1])) AS w2
+       FROM tl WHERE len(l) > 1),
+tq AS (SELECT tr.doc_id,
+         CASE WHEN bc.c IS NOT NULL
+              THEN FLOOR(ln(CAST(bc.c AS DOUBLE) / CAST(u1.c AS DOUBLE))
+                         * {_LM_Q} + 0.5) / {_LM_Q}
+              ELSE FLOOR(ln(0.4 * (CAST(u2.c AS DOUBLE) / t.t))
+                         * {_LM_Q} + 0.5) / {_LM_Q} END AS q
+       FROM tr JOIN uc u1 ON u1.w = tr.w1 JOIN uc u2 ON u2.w = tr.w2
+       LEFT JOIN bc ON bc.p = tr.w1 || ' ' || tr.w2 CROSS JOIN tot t),
+fst AS (SELECT tl.doc_id,
+               FLOOR(ln(CAST(uc.c AS DOUBLE) / t.t) * {_LM_Q} + 0.5) / {_LM_Q} AS q
+        FROM tl JOIN uc ON uc.w = tl.l[1] CROSS JOIN tot t
+        WHERE len(tl.l) > 0),
+persum AS (SELECT doc_id, SUM(q) AS s
+           FROM (SELECT * FROM tq UNION ALL SELECT * FROM fst)
+           GROUP BY doc_id),
+nn AS (SELECT doc_id, len(l) AS n FROM tl WHERE len(l) > 0)
+SELECT nn.doc_id, nn.n AS n_tokens, ROUND(p.s / nn.n, 6) AS avg_logp
+FROM nn JOIN persum p USING(doc_id) ORDER BY doc_id"""
 
 _LMQ_SQL = f"""
 WITH occ AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
@@ -2597,6 +2644,7 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(start // 2048 AS BIGINT) AS bin_id
 FROM c ORDER BY doc_id""",
         "lm_quality": _LMQ_SQL,
+        "lm_bigram_quality": _LM_BIGRAM_SQL,
         "temperature_sample": """
 WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
 m AS (SELECT MIN(n) AS nmin FROM c),
