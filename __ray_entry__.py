@@ -151,6 +151,42 @@ def _q_pagerank_boosted(sf_dir: str):
     return pagerank_boosted_table(sf_dir, _BM25_QUERY, k=10)
 
 
+def _q_html_text(sf_dir: str):
+    """Web-native HTML→text extraction (stages/html.py): script/style/
+    comment drop, tag strip, fixed-entity decode, ASCII-ws collapse — every
+    rule a regex/replacement RE2 reproduces, so the twin chains
+    regexp_replace over the SAME pattern constants.  Pages are rendered
+    deterministically from documents (pipelines/web.py::render_page) so the
+    whole path is hash-checked; on a real crawl the render stage is deleted
+    and the extractor consumes the crawl's html column unchanged."""
+    from vexor_ray.pipelines.web import html_text_table
+
+    return html_text_table(sf_dir)
+
+
+def _q_extract_links(sf_dir: str):
+    """Hyperlink extraction + url canonicalization (stages/html.py):
+    double-quoted <a href> values in document order, fragments stripped,
+    scheme/host lowercased, root-relative resolved against the page origin,
+    mailto/protocol-relative/bare-relative dropped — rule-for-rule mirrored
+    in the regexp_extract_all + lambda twin."""
+    from vexor_ray.pipelines.web import extract_links_table
+
+    return extract_links_table(sf_dir)
+
+
+def _q_pagerank_links(sf_dir: str):
+    """PageRank over the REAL extracted link graph: href extraction →
+    canonical-url hash join to page ids (one string-keyed coarse shuffle)
+    → functions/graph.py::pagerank_edges with VARIABLE out-degree counted
+    from the edges themselves (parallel edges carry mass per occurrence,
+    dangling pages shed theirs).  Same 2^-58 integer grid as `pagerank`,
+    so the unrolled-CTE twin is bit-exact."""
+    from vexor_ray.pipelines.web import pagerank_links_topk
+
+    return pagerank_links_topk(sf_dir, k=100, iters=5)
+
+
 def _q_anchor_terms(sf_dir: str):
     """Anchor-text aggregation over the hash-derived link graph: per
     target page, the terms its in-links carry (edge (i,j) samples token
@@ -1277,13 +1313,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # query has been driver-checked at least once by end of round 4.
     # Seventh session: anchor_terms + anchor_boosted + lm_bigram_quality
     # swap in for cms_counts + substring_dup + doc_df (all driver-hashed
-    # green in r1-r3).
+    # green in r1-r3); then html_text + extract_links + pagerank_links
+    # swap in for bm25_scores + doc_term_tf + doc_stats (driver-hashed
+    # green every round r1-r3; bm25_topk stays as the flagship row).
     return {
-        "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_impact": _q_bm25_topk_impact,
-        "doc_term_tf": _q_doc_term_tf,
-        "doc_stats": _q_doc_stats,
+        "html_text": _q_html_text,
+        "extract_links": _q_extract_links,
+        "pagerank_links": _q_pagerank_links,
         "export_resumable": _q_export_resumable,
         "dsir_scores": _q_dsir_scores,
         "sample_n": _q_sample_n,
@@ -1332,6 +1370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tail: beyond the driver's 50-query cap (driver-hashed green
         # in CORRECTNESS_r01-r03; still covered by scripts/check_oracles.py
         # and the pytest suite) ----
+        "bm25_scores": _q_bm25_scores,
+        "doc_term_tf": _q_doc_term_tf,
+        "doc_stats": _q_doc_stats,
         "cms_counts": _q_cms_counts,
         "substring_dup": _q_substring_dup,
         "doc_df": _q_doc_df,
@@ -2137,6 +2178,24 @@ ORDER BY fused DESC, s.doc_id LIMIT {k}"""
 _PAGERANK_SQL = _pagerank_sql()
 
 
+def _html_text_sql() -> str:
+    from vexor_ray.pipelines.web import html_text_sql
+
+    return html_text_sql()
+
+
+def _extract_links_sql() -> str:
+    from vexor_ray.pipelines.web import extract_links_sql
+
+    return extract_links_sql()
+
+
+def _pagerank_links_sql() -> str:
+    from vexor_ray.pipelines.web import pagerank_links_sql
+
+    return pagerank_links_sql(iters=5, k=100)
+
+
 def _mlt_sql(doc_id: int, k: int = 10, n_terms: int = 10) -> str:
     """Twin of more_like_this_table: the qt CTE is COMPUTED (top tf·idf
     terms of the source doc) instead of literal VALUES; scoring reuses the
@@ -2205,6 +2264,9 @@ FROM (
 GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         ),
         "pagerank": _PAGERANK_SQL,
+        "html_text": _html_text_sql(),
+        "extract_links": _extract_links_sql(),
+        "pagerank_links": _pagerank_links_sql(),
         "pagerank_boosted": _pagerank_boosted_sql(_BM25_QUERY.split()),
         "anchor_terms": _anchor_terms_sql(),
         "anchor_boosted": _anchor_boosted_sql(_BM25_QUERY.split()),

@@ -1,18 +1,22 @@
-"""Distributed PageRank over a hash-derived deterministic link graph.
+"""Distributed PageRank over document link graphs.
 
 The webtext workload this engine targets (Common-Crawl-style pages) feeds
 static document priors — PageRank being the canonical one — into ranked
 retrieval (see ``Searcher`` boosted search / ``boosted_topk``).  This module
 implements the iterative computation Ray-Data-first:
 
-- **Link graph**: the sandbox corpus carries no real hyperlinks, so edges
-  are *derived deterministically* from the document ids — page ``i`` links
-  to ``md5_u64(f"pr|{i}|{j}") % N`` for ``j < out_degree``.  Both the Ray
-  engine and the DuckDB oracle regenerate the identical edge set from the
-  same table (``md5_number_lower`` is the SQL twin of :func:`md5_u64`), so
-  the whole iteration is value-checkable end to end.  On a real crawl the
-  edge generator is replaced by an href-extraction ``map_batches`` stage;
-  everything downstream is unchanged.
+- **Link graph**: two sources.  :func:`pagerank` derives edges
+  *deterministically from document ids* (page ``i`` links to
+  ``md5_u64(f"pr|{i}|{j}") % N`` for ``j < out_degree``) — the sandbox
+  corpus carries no real hyperlinks, and both the Ray engine and the DuckDB
+  oracle regenerate the identical edge set from the same table
+  (``md5_number_lower`` is the SQL twin of :func:`md5_u64`), so the whole
+  iteration is value-checkable end to end.  :func:`pagerank_edges` takes a
+  REAL materialized edge dataset — e.g. the href-extraction stage
+  (``stages/html.py::extract_links_stage`` → ``resolve_links``) — with
+  *variable out-degree computed from the edges themselves*, closing the
+  loop the hash-derived variant documents ("on a real crawl the edge
+  generator is replaced by an href-extraction map_batches stage").
 - **Fixed-point integer arithmetic** makes the float-free iteration
   order-independent: ranks live on a ``2**-58`` grid (``SCALE``), the
   damping factor is the rational ``17/20``, and every step is integer
@@ -22,22 +26,29 @@ implements the iterative computation Ray-Data-first:
 - **Two coarse shuffles per iteration** (the honest PageRank cost):
   (1) co-partition ranks and edges by *source* id — per partition a
   ``searchsorted`` maps each edge to its source's rank and emits the
-  integer contribution ``rank // out_degree``, plus one zero-contribution
-  "seed" row per node so sink nodes keep a row; (2) re-partition the
-  contributions by *destination* and sum per node (groups whose rows are
-  all edge contributions with no seed are dropped — the LEFT-JOIN
-  semantics of the SQL twin, which also makes non-dense id spaces safe).
-  Group keys are corpus-cardinality, so both steps use the
-  coarse-partition discipline (``functions/groups.py``) — P partition
-  group calls, C-kernel group sums inside.
+  integer contribution ``rank // out_degree(src)`` (out-degree counted
+  inside the partition: all edges of one src share it by construction),
+  plus one zero-contribution "seed" row per node so sink nodes keep a row;
+  (2) re-partition the contributions by *destination* and sum per node
+  (groups whose rows are all edge contributions with no seed are dropped —
+  the LEFT-JOIN semantics of the SQL twin, which also makes non-dense id
+  spaces safe).  Dangling pages (no out-links) shed their mass — the same
+  simplification the twin's inner join over edges encodes.  Group keys are
+  corpus-cardinality, so both steps use the coarse-partition discipline
+  (``functions/groups.py``) — P partition group calls, C-kernel group sums
+  inside.
 - **Per-iteration materialization** bounds the lineage: the rank state is
   16 bytes/doc (16 TB at 10^12 docs — object-store spill territory; a
   production run would checkpoint each iteration to parquet exactly like
   ``index/build.py`` waves, which also makes the iteration resumable).
 
-Edges are REGENERATED from the documents read each iteration (a cheap
-hash map) instead of materializing the 4N-row edge table across all
-iterations — recompute beats pinning ~64 TB at target scale.
+Hash-derived edges are REGENERATED from the documents read each iteration
+(a cheap hash map) instead of materializing the 4N-row edge table across
+all iterations — recompute beats pinning ~64 TB at target scale.
+Extracted edges are the opposite trade: href extraction re-parses the wide
+html column, so :func:`pagerank_edges` takes the edge table materialized
+ONCE (12 TB at 10^12 docs × avg degree 4 — parquet-checkpoint territory,
+not recompute).
 """
 
 from __future__ import annotations
@@ -45,6 +56,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from .dedup import md5_u64
@@ -72,13 +84,127 @@ def _edges_batch_fn(n_docs: int, out_degree: int):
     return edges
 
 
+def _tag_rank(b: pa.Table) -> pa.Table:
+    m = b.num_rows
+    return pa.table(
+        {
+            "key": b.column("doc_id"),
+            "rank": b.column("rank"),
+            "dst": pa.array(np.full(m, -1, dtype=np.int64)),
+            "flag": pa.array(np.zeros(m, dtype=np.int8)),
+        }
+    )
+
+
+def _tag_edges_table(e: pa.Table) -> pa.Table:
+    m = e.num_rows
+    return pa.table(
+        {
+            "key": pc.cast(e.column("src"), pa.int64()),
+            "rank": pa.array(np.zeros(m, dtype=np.int64)),
+            "dst": pc.cast(e.column("dst"), pa.int64()),
+            "flag": pa.array(np.ones(m, dtype=np.int8)),
+        }
+    )
+
+
+def _iterate(
+    ranks: ray.data.Dataset,
+    tagged_edges: "callable",
+    teleport: int,
+    iters: int,
+    n_parts: int,
+) -> ray.data.Dataset:
+    """The shared iteration loop.  ``tagged_edges()`` returns the tagged
+    edge dataset for one iteration (regenerated or re-read — caller's
+    materialization trade)."""
+
+    def contrib_part(df: pd.DataFrame) -> pd.DataFrame:
+        is_rank = df["flag"].to_numpy() == 0
+        keys = df["key"].to_numpy()
+        rk_keys = keys[is_rank]
+        order = np.argsort(rk_keys, kind="stable")
+        rk_keys = rk_keys[order]
+        rk_vals = df["rank"].to_numpy()[is_rank][order]
+        ed_src = keys[~is_rank]
+        if ed_src.size:
+            # out-degree per edge, counted within the partition: every edge
+            # of one src co-partitions here, so the count is global
+            _, inv, cnt = np.unique(
+                ed_src, return_inverse=True, return_counts=True
+            )
+            pos = np.searchsorted(rk_keys, ed_src)
+            contrib = rk_vals[pos] // cnt[inv]
+        else:
+            contrib = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "dst": np.concatenate(
+                    [df["dst"].to_numpy()[~is_rank], rk_keys]
+                ),
+                "contrib": np.concatenate(
+                    [contrib, np.zeros(rk_keys.size, dtype=np.int64)]
+                ),
+                "seed": np.concatenate(
+                    [
+                        np.zeros(ed_src.size, dtype=np.int8),
+                        np.ones(rk_keys.size, dtype=np.int8),
+                    ]
+                ),
+            }
+        )
+
+    def sum_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("dst", sort=False)
+            .agg(s=("contrib", "sum"), seeded=("seed", "max"))
+            .reset_index()
+        )
+        g = g[g["seeded"] == 1]
+        s = g["s"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["dst"].to_numpy().astype(np.int64),
+                "rank": teleport + (DAMP_NUM * s) // DAMP_DEN,
+            }
+        )
+
+    for _ in range(iters):
+        tagged = ranks.map_batches(
+            _tag_rank, batch_format="pyarrow", zero_copy_batch=True
+        ).union(tagged_edges())
+        stage1 = coarse_grouped(
+            tagged, lambda b: int_pid(b, ["key"], n_parts), contrib_part
+        )
+        ranks = coarse_grouped(
+            stage1, lambda b: int_pid(b, ["dst"], n_parts), sum_part
+        ).materialize()
+    return ranks
+
+
+def _initial_ranks(docs: ray.data.Dataset, r0: int) -> ray.data.Dataset:
+    return docs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "rank": pa.array(
+                    np.full(b.num_rows, r0, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+
 def pagerank(
     sf_dir: str,
     iters: int = 5,
     out_degree: int = 4,
     n_parts: int = 64,
 ) -> ray.data.Dataset:
-    """Iterative PageRank → Dataset (doc_id:int64, rank:int64).
+    """Iterative PageRank over the hash-derived graph → Dataset
+    (doc_id:int64, rank:int64).
 
     ``rank`` is the fixed-point value in units of ``2**-58``; ranks of all
     nodes sum to at most ``SCALE`` (floor divisions shed mass, never add).
@@ -92,114 +218,47 @@ def pagerank(
     r0 = SCALE // n
     edges_fn = _edges_batch_fn(n, out_degree)
 
-    ranks = docs.map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "rank": pa.array(
-                    np.full(b.num_rows, r0, dtype=np.int64), type=pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()
-
-    for _ in range(iters):
-        # tag-union: rank rows (flag 0) carry (key=doc_id, rank);
-        # edge rows (flag 1) carry (key=src, dst).  int64 fillers, not
-        # nulls — pandas nulls would force float columns.
-        def tag_rank(b: pa.Table) -> pa.Table:
-            m = b.num_rows
-            return pa.table(
-                {
-                    "key": b.column("doc_id"),
-                    "rank": b.column("rank"),
-                    "dst": pa.array(np.full(m, -1, dtype=np.int64)),
-                    "flag": pa.array(np.zeros(m, dtype=np.int8)),
-                }
-            )
-
-        def tag_edge(b: pa.Table) -> pa.Table:
-            e = edges_fn(b)
-            m = e.num_rows
-            return pa.table(
-                {
-                    "key": e.column("src"),
-                    "rank": pa.array(np.zeros(m, dtype=np.int64)),
-                    "dst": e.column("dst"),
-                    "flag": pa.array(np.ones(m, dtype=np.int8)),
-                }
-            )
-
-        tagged = ranks.map_batches(
-            tag_rank, batch_format="pyarrow", zero_copy_batch=True
-        ).union(
-            docs.map_batches(
-                tag_edge, batch_format="pyarrow", zero_copy_batch=True
-            )
+    def tagged_edges() -> ray.data.Dataset:
+        return docs.map_batches(
+            lambda b: _tag_edges_table(edges_fn(b)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
 
-        def contrib_part(df: pd.DataFrame) -> pd.DataFrame:
-            is_rank = df["flag"].to_numpy() == 0
-            keys = df["key"].to_numpy()
-            rk_keys = keys[is_rank]
-            order = np.argsort(rk_keys, kind="stable")
-            rk_keys = rk_keys[order]
-            rk_vals = df["rank"].to_numpy()[is_rank][order]
-            ed_src = keys[~is_rank]
-            pos = np.searchsorted(rk_keys, ed_src)
-            contrib = rk_vals[pos] // out_degree
-            return pd.DataFrame(
-                {
-                    "dst": np.concatenate(
-                        [df["dst"].to_numpy()[~is_rank], rk_keys]
-                    ),
-                    "contrib": np.concatenate(
-                        [contrib, np.zeros(rk_keys.size, dtype=np.int64)]
-                    ),
-                    "seed": np.concatenate(
-                        [
-                            np.zeros(ed_src.size, dtype=np.int8),
-                            np.ones(rk_keys.size, dtype=np.int8),
-                        ]
-                    ),
-                }
-            )
-
-        stage1 = coarse_grouped(
-            tagged, lambda b: int_pid(b, ["key"], n_parts), contrib_part
-        )
-
-        def sum_part(df: pd.DataFrame) -> pd.DataFrame:
-            g = (
-                df.groupby("dst", sort=False)
-                .agg(s=("contrib", "sum"), seeded=("seed", "max"))
-                .reset_index()
-            )
-            g = g[g["seeded"] == 1]
-            s = g["s"].to_numpy().astype(np.int64)
-            return pd.DataFrame(
-                {
-                    "doc_id": g["dst"].to_numpy().astype(np.int64),
-                    "rank": teleport + (DAMP_NUM * s) // DAMP_DEN,
-                }
-            )
-
-        ranks = coarse_grouped(
-            stage1, lambda b: int_pid(b, ["dst"], n_parts), sum_part
-        ).materialize()
-
-    return ranks
+    ranks = _initial_ranks(docs, r0)
+    return _iterate(ranks, tagged_edges, teleport, iters, n_parts)
 
 
-def pagerank_topk(sf_dir: str, k: int = 100, iters: int = 5) -> pa.Table:
-    """Top-k documents by PageRank → (doc_id, rank), rank desc / id asc.
+def pagerank_edges(
+    docs: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    iters: int = 5,
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """PageRank over a REAL edge dataset ``(src:int64, dst:int64)`` —
+    variable out-degree, parallel edges carry mass per occurrence.
 
-    ``(rank, doc_id)`` is a total order, so per-block partial top-k followed
-    by a driver cut over ≤ blocks×k rows is exact without tie widening.
+    ``docs`` is the node table ``(doc_id,)`` (every crawled page gets
+    teleport mass even with no in/out links); ``edges`` should be
+    materialized by the caller (href extraction is too expensive to
+    regenerate per iteration — the opposite trade from the hash graph).
     """
-    ranks = pagerank(sf_dir, iters=iters)
+    n = docs.count()
+    base = DAMP_DEN - DAMP_NUM
+    teleport = base * SCALE // (DAMP_DEN * n)
+    ranks = _initial_ranks(docs, SCALE // n)
+
+    def tagged_edges() -> ray.data.Dataset:
+        return edges.map_batches(
+            _tag_edges_table, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    return _iterate(ranks, tagged_edges, teleport, iters, n_parts)
+
+
+def _ranks_topk(ranks: ray.data.Dataset, k: int) -> pa.Table:
+    """Top-k by (rank desc, doc_id asc) — a total order, so per-block
+    partial top-k + a driver cut over ≤ blocks×k rows is exact."""
 
     def block_topk(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy()
@@ -233,3 +292,8 @@ def pagerank_topk(sf_dir: str, k: int = 100, iters: int = 5) -> pa.Table:
             "rank": pa.array(rk[order], type=pa.int64()),
         }
     )
+
+
+def pagerank_topk(sf_dir: str, k: int = 100, iters: int = 5) -> pa.Table:
+    """Top-k documents by hash-graph PageRank → (doc_id, rank)."""
+    return _ranks_topk(pagerank(sf_dir, iters=iters), k)

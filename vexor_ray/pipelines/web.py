@@ -1,0 +1,275 @@
+"""Webtext pipelines over the driver's ``documents`` table.
+
+The driver corpus carries plain ``text`` — no markup, no hyperlinks — so
+this module *renders* a deterministic Common-Crawl-style HTML page per
+document (title/style/script/comment boilerplate, entity escapes, and a
+doc_id-derived set of ``<a href>`` links in absolute / root-relative /
+uppercase-host / fragment forms) and then runs the REAL web extraction
+stack over it:
+
+- :func:`html_text_table` — ``stages/html.py::html_to_text`` markup
+  stripping (driver query ``html_text``)
+- :func:`extract_links_table` — href extraction + url canonicalization
+  (driver query ``extract_links``)
+- :func:`pagerank_links_topk` — href extraction → url→doc_id hash join →
+  :func:`vexor_ray.functions.graph.pagerank_edges` over the REAL extracted
+  edge list with variable out-degree (driver query ``pagerank_links``)
+
+The render step is the value-checkability device: both the Ray engine and
+the DuckDB twin construct byte-identical HTML from the same table (string
+concatenation of doc_id/text), so every downstream extraction rule is
+hash-checked end to end.  On a real crawl the render stage is simply
+deleted — the extraction stages consume the crawl's ``html`` column
+directly and nothing downstream changes.
+
+The SQL twin builders live here too (interpolating the very pattern
+constants the engine compiles), so there is one spec, not two dialects.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ..stages.html import (
+    COMMENT_RE,
+    ENTITIES,
+    HREF_RE,
+    ORIGIN_RE,
+    SCRIPT_RE,
+    STYLE_RE,
+    TAG_RE,
+    WS_RE,
+    extract_links_stage,
+    html_text_stage,
+    resolve_links,
+)
+
+_STRIP_CHARS = " \t\n\r\f\v"
+
+
+def _render_links(d: int, n: int) -> str:
+    out = []
+    for j in range(d % 4):
+        dst = (d * 131 + 17 * j + 7) % n
+        if j == 0:
+            out.append(f'<A HREF="HTTPS://CORPUS.example/d/{dst}#top">l0</A>')
+        elif j == 1:
+            out.append(f'<a href="/d/{dst}">l1</a>')
+        else:
+            out.append(
+                f'<a rel="nofollow" href="https://corpus.example/d/{dst}">l2</a>'
+            )
+    return "".join(out)
+
+
+def render_page(d: int, text: str, n: int) -> tuple[str, str]:
+    """(url, html) for one document — MUST stay byte-identical to the SQL
+    construction in :func:`_html_ctes`."""
+    url = f"https://corpus.example/d/{d}"
+    html = (
+        f"<html><head><title>T {d}</title>"
+        f'<style type="text/css">p {{color:red}}</style>'
+        f'<script src="/j.js">var i = 1 < 2;</script></head>'
+        f'<body><h1>Doc {d}</h1><p id="b">{text}</p><!-- c -->'
+        f"{_render_links(d, n)}"
+        f'<a href="mailto:x@y.z">m</a><a href="//cdn.example/x">p</a>'
+        f" &amp;amp; 1 &lt; 2&nbsp;&#39;&quot;</body></html>"
+    )
+    return url, html
+
+
+def rendered_pages(sf_dir: str) -> ray.data.Dataset:
+    """documents → (doc_id, url, html) — the deterministic synthetic crawl."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = ds.count()
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls, htmls = [], []
+        for d, t in zip(ids, texts):
+            u, h = render_page(int(d), t, n)
+            urls.append(u)
+            htmls.append(h)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array(urls, type=pa.string()),
+                "html": pa.array(htmls, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def html_text_table(sf_dir: str) -> ray.data.Dataset:
+    """Driver query ``html_text``: (doc_id, text) — markup stripped by the
+    spec in ``stages/html.py``."""
+    return html_text_stage(rendered_pages(sf_dir))
+
+
+def extract_links_table(sf_dir: str) -> ray.data.Dataset:
+    """Driver query ``extract_links``: (doc_id, link_pos, href) —
+    canonicalized kept links in document order."""
+    return extract_links_stage(rendered_pages(sf_dir))
+
+
+def link_edges(sf_dir: str) -> ray.data.Dataset:
+    """Extracted + resolved link graph: (src, dst) int64 edges."""
+    pages = rendered_pages(sf_dir)
+    links = extract_links_stage(pages)
+    mapping = pages.map_batches(
+        lambda b: b.select(["doc_id", "url"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return resolve_links(links, mapping)
+
+
+def pagerank_links_topk(sf_dir: str, k: int = 100, iters: int = 5) -> pa.Table:
+    """Driver query ``pagerank_links``: top-k PageRank over the EXTRACTED
+    link graph (variable out-degree; edges materialized once)."""
+    from ..functions.graph import _ranks_topk, pagerank_edges
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    edges = link_edges(sf_dir).materialize()
+    return _ranks_topk(pagerank_edges(docs, edges, iters=iters), k)
+
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB) — interpolate the SAME pattern constants the engine
+# compiles; documents is the pre-registered view.
+# ---------------------------------------------------------------------------
+
+
+def _sql_quote(pat: str) -> str:
+    """Escape a regex constant for embedding in a single-quoted SQL string
+    (E-string escapes are not used; only single quotes need doubling)."""
+    return pat.replace("'", "''")
+
+
+def _html_ctes() -> str:
+    """CTE body producing ``hpages(doc_id, url, html)`` — byte-identical to
+    :func:`render_page` (twin of :func:`rendered_pages`)."""
+    dst = lambda off: (  # noqa: E731
+        f"CAST((d.doc_id*131 + {off}) % (SELECT c FROM hn) AS VARCHAR)"
+    )
+    return f"""hn AS (SELECT COUNT(*) AS c FROM documents),
+hl AS (SELECT d.doc_id, COALESCE(string_agg(CASE
+   WHEN js.j = 0 THEN '<A HREF="HTTPS://CORPUS.example/d/' || {dst(7)} || '#top">l0</A>'
+   WHEN js.j = 1 THEN '<a href="/d/' || {dst(24)} || '">l1</a>'
+   WHEN js.j = 2 THEN '<a rel="nofollow" href="https://corpus.example/d/' || {dst(41)} || '">l2</a>'
+  END, '' ORDER BY js.j), '') AS links
+  FROM documents d LEFT JOIN (SELECT UNNEST(range(3)) AS j) js
+    ON js.j < d.doc_id % 4
+  GROUP BY d.doc_id),
+hpages AS (SELECT d.doc_id,
+  'https://corpus.example/d/' || CAST(d.doc_id AS VARCHAR) AS url,
+  '<html><head><title>T ' || CAST(d.doc_id AS VARCHAR)
+  || '</title><style type="text/css">p {{color:red}}</style><script src="/j.js">var i = 1 < 2;</script></head><body><h1>Doc '
+  || CAST(d.doc_id AS VARCHAR) || '</h1><p id="b">' || d.text
+  || '</p><!-- c -->' || hl.links
+  || '<a href="mailto:x@y.z">m</a><a href="//cdn.example/x">p</a> &amp;amp; 1 &lt; 2&nbsp;&#39;&quot;</body></html>'
+  AS html
+  FROM documents d JOIN hl USING (doc_id))"""
+
+
+def _entity_chain(expr: str) -> str:
+    for ent, rep in ENTITIES:
+        expr = f"replace({expr}, '{_sql_quote(ent)}', '{_sql_quote(rep)}')"
+    return expr
+
+
+def html_text_sql() -> str:
+    strip_set = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    x = "html"
+    for pat in (SCRIPT_RE, STYLE_RE, COMMENT_RE, TAG_RE):
+        x = f"regexp_replace({x}, '{_sql_quote(pat)}', ' ', 'g')"
+    x = _entity_chain(x)
+    x = f"trim(regexp_replace({x}, '{_sql_quote(WS_RE)}', ' ', 'g'), {strip_set})"
+    return (
+        "WITH "
+        + _html_ctes()
+        + f"\nSELECT doc_id, {x} AS text FROM hpages ORDER BY doc_id"
+    )
+
+
+def _canon_lambda() -> str:
+    """DuckDB lambda body canonicalizing one raw href ``h`` (NULL = drop) —
+    rule-for-rule twin of ``stages/html.py::canonicalize_href``."""
+    origin = _sql_quote(ORIGIN_RE)
+    return f"""h -> CASE
+   WHEN split_part(h, '#', 1) = '' THEN NULL
+   WHEN lower(split_part(h, '#', 1)) LIKE 'http://%'
+     OR lower(split_part(h, '#', 1)) LIKE 'https://%'
+     THEN lower(regexp_extract(split_part(h, '#', 1), '{origin}', 1))
+          || regexp_extract(split_part(h, '#', 1), '{origin}', 2)
+   WHEN split_part(h, '#', 1) LIKE '//%' THEN NULL
+   WHEN split_part(h, '#', 1) LIKE '/%'
+     THEN lower(regexp_extract(url, '{origin}', 1)) || split_part(h, '#', 1)
+   ELSE NULL END"""
+
+
+def _links_cte() -> str:
+    """CTE body (appended after ``_html_ctes``) producing
+    ``hrefs(doc_id, link_pos, href)``."""
+    href_pat = _sql_quote(HREF_RE)
+    return f""",
+hlists AS (SELECT doc_id, url,
+  list_filter(list_transform(
+    regexp_extract_all(html, '{href_pat}', 1), {_canon_lambda()}),
+    x -> x IS NOT NULL) AS hs
+  FROM hpages),
+hrefs AS (SELECT doc_id,
+  CAST(generate_subscripts(hs, 1) - 1 AS INT) AS link_pos,
+  UNNEST(hs) AS href FROM hlists)"""
+
+
+def extract_links_sql() -> str:
+    return (
+        "WITH "
+        + _html_ctes()
+        + _links_cte()
+        + "\nSELECT doc_id, link_pos, href FROM hrefs"
+        + " ORDER BY doc_id, link_pos"
+    )
+
+
+def pagerank_links_sql(iters: int = 5, k: int = 100) -> str:
+    """Unrolled fixed-point iteration twin of :func:`pagerank_links_topk`
+    — variable out-degree, inner-join edge resolution, integer grid."""
+    from ..functions.graph import SCALE
+
+    parts = [
+        "WITH ",
+        _html_ctes(),
+        _links_cte(),
+        """,
+ledges AS (SELECT h.doc_id AS src, m.doc_id AS dst
+  FROM hrefs h JOIN hpages m ON h.href = m.url),
+lout AS (SELECT src, COUNT(*) AS od FROM ledges GROUP BY src),
+r0 AS (SELECT doc_id,""",
+        f" CAST({SCALE} // (SELECT c FROM hn) AS BIGINT) AS rank"
+        " FROM documents)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f", r{i + 1} AS (SELECT d.doc_id,"
+            f" CAST({3 * SCALE} // (20 * (SELECT c FROM hn))"
+            f" + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS rank"
+            f" FROM documents d LEFT JOIN ("
+            f"SELECT e.dst AS doc_id, SUM(r{i}.rank // o.od) AS s"
+            f" FROM ledges e JOIN r{i} ON e.src = r{i}.doc_id"
+            f" JOIN lout o ON o.src = e.src GROUP BY e.dst"
+            f") s ON d.doc_id = s.doc_id)"
+        )
+    parts.append(
+        f" SELECT doc_id, rank FROM r{iters}"
+        f" ORDER BY rank DESC, doc_id LIMIT {k}"
+    )
+    return "".join(parts)
