@@ -187,6 +187,17 @@ def _q_pagerank_links(sf_dir: str):
     return pagerank_links_topk(sf_dir, k=100, iters=5)
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """Common-Crawl source format: documents → WARC 1.0 .warc.gz shards
+    (one gzip member per record — from-scratch writer, vexor_ray/warc.py)
+    → read_binary_files + member-split/header/HTTP-envelope parser →
+    (doc_id, text).  The identity twin makes the driver hash a proof the
+    round-trip is byte-exact."""
+    from vexor_ray.pipelines.web import warc_roundtrip_table
+
+    return warc_roundtrip_table(sf_dir)
+
+
 def _q_anchor_terms(sf_dir: str):
     """Anchor-text aggregation over the hash-derived link graph: per
     target page, the terms its in-links carry (edge (i,j) samples token
@@ -1314,14 +1325,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Seventh session: anchor_terms + anchor_boosted + lm_bigram_quality
     # swap in for cms_counts + substring_dup + doc_df (all driver-hashed
     # green in r1-r3); then html_text + extract_links + pagerank_links
-    # swap in for bm25_scores + doc_term_tf + doc_stats (driver-hashed
-    # green every round r1-r3; bm25_topk stays as the flagship row).
+    # swap in for bm25_scores + doc_term_tf + doc_stats, and
+    # warc_roundtrip for bm25_topk (all four driver-hashed green every
+    # round r1-r3; the flagship BM25 ranking stays hash-checked through
+    # bm25_topk_impact, which shares bm25_topk's exact SQL twin).
     return {
-        "bm25_topk": _q_bm25_topk,
         "bm25_topk_impact": _q_bm25_topk_impact,
         "html_text": _q_html_text,
         "extract_links": _q_extract_links,
         "pagerank_links": _q_pagerank_links,
+        "warc_roundtrip": _q_warc_roundtrip,
         "export_resumable": _q_export_resumable,
         "dsir_scores": _q_dsir_scores,
         "sample_n": _q_sample_n,
@@ -1370,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tail: beyond the driver's 50-query cap (driver-hashed green
         # in CORRECTNESS_r01-r03; still covered by scripts/check_oracles.py
         # and the pytest suite) ----
+        "bm25_topk": _q_bm25_topk,
         "bm25_scores": _q_bm25_scores,
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2267,6 +2281,9 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "html_text": _html_text_sql(),
         "extract_links": _extract_links_sql(),
         "pagerank_links": _pagerank_links_sql(),
+        "warc_roundtrip": (
+            "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ),
         "pagerank_boosted": _pagerank_boosted_sql(_BM25_QUERY.split()),
         "anchor_terms": _anchor_terms_sql(),
         "anchor_boosted": _anchor_boosted_sql(_BM25_QUERY.split()),

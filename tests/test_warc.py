@@ -1,0 +1,111 @@
+"""WARC 1.0 source/sink (vexor_ray/warc.py): wire-pinned record bytes,
+member splitting, malformed-input refusals, and a byte-exact round-trip
+over the pages fixture (including its invalid-UTF-8 html rows)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pyarrow.parquet as pq
+import pytest
+
+from vexor_ray.warc import (
+    build_record,
+    iter_warc_members,
+    parse_record,
+)
+
+URL = "https://site.example/a/b.html"
+TS = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in µs
+
+
+class TestWire:
+    def test_record_bytes_pinned(self):
+        rec = build_record(URL, TS, b"<html>hi</html>")
+        assert rec == (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:md5:558f78b1eb5f82ab1539b5b43e8282b8>\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"WARC-Target-URI: https://site.example/a/b.html\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: 94\r\n"
+            b"\r\n"
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: 15\r\n"
+            b"\r\n"
+            b"<html>hi</html>"
+            b"\r\n\r\n"
+        )
+
+    def test_roundtrip_binary_payload(self):
+        payload = bytes(range(256)) + b"\r\n\r\n" + bytes([255, 254])
+        u, t, p = parse_record(build_record(URL, TS, payload))
+        assert (u, t, p) == (URL, TS, payload)
+
+    def test_header_order_tolerated(self):
+        rec = build_record(URL, TS, b"x")
+        head, _, rest = rec.partition(b"\r\n\r\n")
+        lines = head.split(b"\r\n")
+        reordered = b"\r\n".join([lines[0]] + lines[1:][::-1])
+        u, t, p = parse_record(reordered + b"\r\n\r\n" + rest)
+        assert (u, t, p) == (URL, TS, b"x")
+
+    def test_malformed_refused(self):
+        with pytest.raises(ValueError):
+            parse_record(b"GARBAGE\r\n\r\nx")
+        rec = build_record(URL, TS, b"payload")
+        with pytest.raises(ValueError):
+            parse_record(rec[:-20])  # truncated below Content-Length
+
+    def test_member_split(self):
+        a = gzip.compress(b"first", mtime=0)
+        b = gzip.compress(b"second", mtime=0)
+        assert list(iter_warc_members(a + b)) == [b"first", b"second"]
+        with pytest.raises(ValueError):
+            list(iter_warc_members(a[:-4]))
+
+
+class TestRayRoundtrip:
+    def test_pages_fixture_byte_exact(self, ray_session, pages_1k, tmp_path):
+        import ray
+
+        from vexor_ray.warc import read_warc, write_warc_dataset
+
+        files = sorted(pages_1k.glob("part-*.parquet"))[:1]
+        src = pq.read_table(files[0], columns=["url", "warc_ts", "html"])
+        ds = ray.data.read_parquet([str(f) for f in files])
+        out = tmp_path / "warc"
+        paths = write_warc_dataset(
+            ds, out, url_col="url", ts_col="warc_ts", payload_col="html"
+        )
+        assert paths and all(p.endswith(".warc.gz") for p in paths)
+        # one gzip member per record: a shard holding k records must start
+        # with k magic sequences at member boundaries — spot-check count by
+        # decompressing members
+        n_members = sum(
+            len(list(iter_warc_members(open(p, "rb").read()))) for p in paths
+        )
+        assert n_members == src.num_rows
+
+        back = (
+            read_warc(paths)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        want = src.to_pandas().sort_values("url").reset_index(drop=True)
+        assert back["url"].tolist() == want["url"].tolist()
+        # binary payloads byte-exact (fixture includes invalid-UTF-8 rows)
+        assert [bytes(x) for x in back["html"]] == [
+            bytes(x) for x in want["html"]
+        ]
+        import numpy as np
+
+        want_us = (
+            want["warc_ts"].astype("datetime64[us]").astype(np.int64)
+        )
+        # WARC-Date is second-resolution; fixture timestamps are whole
+        # seconds so the round-trip is exact
+        assert back["warc_ts"].tolist() == want_us.tolist()

@@ -273,3 +273,56 @@ r0 AS (SELECT doc_id,""",
         f" ORDER BY rank DESC, doc_id LIMIT {k}"
     )
     return "".join(parts)
+
+
+def warc_roundtrip_table(sf_dir: str) -> ray.data.Dataset:
+    """Driver query ``warc_roundtrip``: documents → WARC.gz shards (one
+    gzip member per record, ``vexor_ray/warc.py``) → parse back → (doc_id,
+    text).  The identity SQL twin makes the hash check a proof that the
+    from-scratch writer+parser round-trips bytes exactly."""
+    import hashlib as _hashlib
+
+    from ..hashing import file_fingerprint
+    from ..warc import read_warc, write_warc_dataset
+
+    src = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(src, columns=["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://corpus.example/d/{d}" for d in ids],
+                    type=pa.string(),
+                ),
+                "html": pa.array(
+                    [t.encode("utf-8") for t in batch.column("text").to_pylist()],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    pages = docs.map_batches(
+        to_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
+    key = _hashlib.sha1(file_fingerprint([src]).encode()).hexdigest()[:16]
+    out = f"/tmp/vexor_ray_cache/warc_{key}"
+    files = write_warc_dataset(pages, out, ts_col=None, payload_col="html")
+    back = read_warc(files)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(u.rsplit("/", 1)[-1]) for u in urls], type=pa.int64()
+                ),
+                "text": pa.array(
+                    [p.decode("utf-8") for p in batch.column("html").to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return back.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True)
