@@ -187,6 +187,29 @@ def _q_pagerank_links(sf_dir: str):
     return pagerank_links_topk(sf_dir, k=100, iters=5)
 
 
+def _q_spell_suggest(sf_dir: str):
+    """Did-you-mean: highest-df dictionary term within Levenshtein
+    distance 1 per input word (length-banded dictionary scan,
+    Searcher.suggest); the twin uses DuckDB's levenshtein() over the
+    recomputed dictionary — df == COUNT(DISTINCT doc_id), the same
+    equivalence autocomplete pins."""
+    from vexor_ray.pipelines.corpus import spell_suggest_table
+
+    return spell_suggest_table(
+        sf_dir, ["quer", "windw", "joinn", "filtr", "table", "xylophonezz"]
+    )
+
+
+def _q_bm25_from_warc(sf_dir: str):
+    """Source-path independence: documents → WARC shards → read_warc →
+    pages → build_index, then exact BM25 scores — same twin as
+    bm25_scores, so the hash proves the WARC-sourced index ranks
+    identically to the parquet-sourced one."""
+    from vexor_ray.pipelines.web import bm25_from_warc_table
+
+    return bm25_from_warc_table(sf_dir, _BM25_QUERY)
+
+
 def _q_warc_roundtrip(sf_dir: str):
     """Common-Crawl source format: documents → WARC 1.0 .warc.gz shards
     (one gzip member per record — from-scratch writer, vexor_ray/warc.py)
@@ -1339,7 +1362,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": _q_dsir_scores,
         "sample_n": _q_sample_n,
         "dedup_keep_best": _q_dedup_keep_best,
-        "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
+        # spell_suggest takes pq_topk's hashed slot: pq_topk has no SQL
+        # twin, so its driver check was rows-only wherever it sat — a
+        # hash-checkable query spends the slot better (pq stays covered by
+        # tests/test_pq.py + check_oracles rows)
+        "spell_suggest": _q_spell_suggest,
         "bm25_after_delete": _q_bm25_after_delete,
         "prf_topk": _q_prf_topk,
         "facet_counts": _q_facet_counts,
@@ -1385,6 +1412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and the pytest suite) ----
         "bm25_topk": _q_bm25_topk,
         "bm25_scores": _q_bm25_scores,
+        "bm25_from_warc": _q_bm25_from_warc,
+        "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
         "cms_counts": _q_cms_counts,
@@ -2284,6 +2313,18 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "warc_roundtrip": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
+        # source-path independence: identical twin to bm25_scores
+        "bm25_from_warc": _bm25_sql(_BM25_QUERY.split(), None),
+        "spell_suggest": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dict AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+q(word) AS (VALUES ('quer'),('windw'),('joinn'),('filtr'),('table'),('xylophonezz')),
+cand AS (SELECT q.word, d.term, d.df,
+   row_number() OVER (PARTITION BY q.word ORDER BY d.df DESC, d.term) AS rn
+ FROM q JOIN dict d ON abs(length(d.term) - length(q.word)) <= 1
+  AND levenshtein(d.term, q.word) <= 1)
+SELECT word, term AS suggestion, CAST(df AS BIGINT) AS df
+FROM cand WHERE rn = 1 ORDER BY word""",
         "pagerank_boosted": _pagerank_boosted_sql(_BM25_QUERY.split()),
         "anchor_terms": _anchor_terms_sql(),
         "anchor_boosted": _anchor_boosted_sql(_BM25_QUERY.split()),

@@ -839,8 +839,11 @@ class DocumentsSearcher:
     docID map (the docs table stays on disk, row-group pruned).
     """
 
-    def __init__(self, sf_dir: str):
-        self.index_dir = documents_index(sf_dir)
+    def __init__(self, sf_dir: str, index_dir: Path | None = None):
+        # index_dir override: same corpus contract (url = zero-padded
+        # original id) built through a different source path — e.g. the
+        # WARC-sourced index (pipelines/web.py::warc_documents_index)
+        self.index_dir = index_dir if index_dir is not None else documents_index(sf_dir)
         self.searcher = Searcher(self.index_dir)
 
     def _to_orig(self, results: list[tuple[int, float]]) -> list[tuple[int, float]]:
@@ -1082,5 +1085,33 @@ def doc_stats(sf_dir: str) -> pa.Table:
             "avg_doc_len": pa.array(
                 [round(s.searcher.avg_doc_len, 6)], type=pa.float64()
             ),
+        }
+    )
+
+
+def spell_suggest_table(sf_dir: str, words: list[str]) -> pa.Table:
+    """Did-you-mean suggestions: for each input word, the highest-df
+    dictionary term within Levenshtein distance 1 (``Searcher.suggest`` —
+    the term itself wins at distance 0; ties df desc, term asc).  Words
+    with no candidate are dropped (the twin's inner join does the same).
+
+    df comes from the term-dictionary sidecar and equals
+    COUNT(DISTINCT doc_id) (one posting per distinct term per doc — the
+    same equivalence ``autocomplete`` pins)."""
+    s = DocumentsSearcher(sf_dir)
+    sr = s.searcher
+    dictionary = sr._dictionary_terms()
+    out_w, out_t, out_df = [], [], []
+    for w in words:
+        t = sr.suggest(w)
+        if t is not None:
+            out_w.append(w)
+            out_t.append(t)
+            out_df.append(dictionary[t])
+    return pa.table(
+        {
+            "word": pa.array(out_w, type=pa.string()),
+            "suggestion": pa.array(out_t, type=pa.string()),
+            "df": pa.array(out_df, type=pa.int64()),
         }
     )

@@ -326,3 +326,107 @@ def warc_roundtrip_table(sf_dir: str) -> ray.data.Dataset:
         )
 
     return back.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def warc_documents_index(sf_dir: str):
+    """Index whose corpus ARRIVED through the WARC source path:
+    documents → .warc.gz shards → read_warc → pages shards → build_index.
+
+    Same build config and url contract (url = zero-padded original id) as
+    ``pipelines/corpus.py::documents_index``, so the resulting index must
+    be rank-identical to the parquet-sourced one — ``bm25_from_warc``
+    hash-checks exactly that against the shared BM25 twin.
+    """
+    import hashlib as _hashlib
+
+    from ..hashing import file_fingerprint
+    from ..index.build import BuildConfig, build_index
+    from ..index.manifest import MANIFEST_NAME
+    from ..spec import INDEX_FORMAT_VERSION
+    from ..warc import read_warc, write_warc_dataset
+    from .corpus import _CACHE_ROOT, write_pages_shards
+
+    src = f"{sf_dir}/documents.parquet"
+    fp = file_fingerprint([src])
+    key = _hashlib.sha1(
+        f"warcidx|{fp}|v{INDEX_FORMAT_VERSION}".encode()
+    ).hexdigest()[:16]
+    idx_dir = _CACHE_ROOT / f"warc_index_{key}"
+    if not (idx_dir / MANIFEST_NAME).exists():
+        docs = ray.data.read_parquet(src, columns=["doc_id", "text"])
+
+        def to_warc_pages(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [f"{d:020d}" for d in ids], type=pa.string()
+                    ),
+                    "html": pa.array(
+                        [
+                            t.encode("utf-8")
+                            for t in batch.column("text").to_pylist()
+                        ],
+                        type=pa.binary(),
+                    ),
+                }
+            )
+
+        warc_dir = idx_dir.parent / (idx_dir.name + "_warc")
+        files = write_warc_dataset(
+            docs.map_batches(
+                to_warc_pages, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            warc_dir,
+            ts_col=None,
+            payload_col="html",
+        )
+
+        def to_pages(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "text": pc.cast(
+                        pc.cast(batch.column("html"), pa.string()),
+                        pa.large_string(),
+                    ),
+                }
+            )
+
+        pages = read_warc(files).map_batches(
+            to_pages, batch_format="pyarrow", zero_copy_batch=True
+        )
+        shards = write_pages_shards(
+            pages, idx_dir.parent / (idx_dir.name + "_pages")
+        )
+        cfg = BuildConfig(
+            pre_extracted=True,
+            text_only=True,
+            num_waves=1,
+            partitions_per_wave=4,
+            shard_group_size=8,
+            tokenize_concurrency=2,
+        )
+        build_index(shards, idx_dir, cfg)
+    return idx_dir
+
+
+def bm25_from_warc_table(sf_dir: str, query: str) -> pa.Table:
+    """Driver query ``bm25_from_warc``: exact BM25 scores from the
+    WARC-sourced index — same twin as ``bm25_scores`` (source-path
+    independence of the ranking)."""
+    from .corpus import DocumentsSearcher, bm25_scores_table  # noqa: F401
+
+    s = DocumentsSearcher(sf_dir, index_dir=warc_documents_index(sf_dir))
+    pairs = s.scores(query)
+    pairs.sort(key=lambda p: p[0])
+    return pa.table(
+        {
+            "doc_id": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "score": pa.array(
+                [round(p[1], 6) for p in pairs], type=pa.float64()
+            ),
+        }
+    )
