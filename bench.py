@@ -398,6 +398,47 @@ def bench_operators() -> dict:
     )
     out["export_resumable"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(exp_dir, ignore_errors=True)
+
+    # webtext arc: HTML extraction / link graph over rendered documents
+    from vexor_ray.pipelines.web import (
+        extract_links_table,
+        html_text_table,
+        pagerank_links_topk,
+    )
+
+    t0 = time.perf_counter()
+    html_text_table(SF_DIR).count()
+    out["html_text"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    extract_links_table(SF_DIR).count()
+    out["extract_links"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pagerank_links_topk(SF_DIR, k=100, iters=5)
+    out["pagerank_links"] = round(time.perf_counter() - t0, 3)
+
+    # WARC source throughput over the PAGES corpus (the volume-bearing
+    # table at this sf): write one-member-per-record shards, read+parse back
+    from vexor_ray.warc import read_warc, write_warc_dataset
+
+    warc_dir = tempfile.mkdtemp(prefix="vx_bench_warc_")
+    pages_ds = ray.data.read_parquet(
+        sorted(str(f) for f in _pages_dir().glob("*.parquet"))
+    )
+    t0 = time.perf_counter()
+    files = write_warc_dataset(
+        pages_ds, warc_dir, url_col="url", ts_col="warc_ts", payload_col="html"
+    )
+    out["warc_write"] = round(time.perf_counter() - t0, 3)
+    out["warc_mb"] = round(
+        sum(Path(f).stat().st_size for f in files) / 1e6, 1
+    )
+    t0 = time.perf_counter()
+    n = read_warc(files).count()
+    out["warc_read"] = round(time.perf_counter() - t0, 3)
+    out["warc_records"] = int(n)
+    shutil.rmtree(warc_dir, ignore_errors=True)
     return out
 
 
