@@ -187,6 +187,16 @@ def _q_pagerank_links(sf_dir: str):
     return pagerank_links_topk(sf_dir, k=100, iters=5)
 
 
+def _q_url_normalize(sf_dir: str):
+    """Crawl-dedup url canonicalization (functions/urls.py): fragment
+    strip, scheme/host lowercase, default-port drop, utm_ tracker removal,
+    query-param sort — every rule a string/list op the DuckDB twin
+    mirrors, over deterministically constructed messy urls."""
+    from vexor_ray.pipelines.web import url_normalize_table
+
+    return url_normalize_table(sf_dir)
+
+
 def _q_spell_suggest(sf_dir: str):
     """Did-you-mean: highest-df dictionary term within Levenshtein
     distance 1 per input word (length-banded dictionary scan,
@@ -1413,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_scores": _q_bm25_scores,
         "bm25_from_warc": _q_bm25_from_warc,
+        "url_normalize": _q_url_normalize,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2239,6 +2250,12 @@ def _pagerank_links_sql() -> str:
     return pagerank_links_sql(iters=5, k=100)
 
 
+def _url_normalize_sql() -> str:
+    from vexor_ray.pipelines.web import url_normalize_sql
+
+    return url_normalize_sql()
+
+
 def _mlt_sql(doc_id: int, k: int = 10, n_terms: int = 10) -> str:
     """Twin of more_like_this_table: the qt CTE is COMPUTED (top tf·idf
     terms of the source doc) instead of literal VALUES; scoring reuses the
@@ -2315,6 +2332,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         ),
         # source-path independence: identical twin to bm25_scores
         "bm25_from_warc": _bm25_sql(_BM25_QUERY.split(), None),
+        "url_normalize": _url_normalize_sql(),
         "spell_suggest": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 dict AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),

@@ -430,3 +430,79 @@ def bm25_from_warc_table(sf_dir: str, query: str) -> pa.Table:
             ),
         }
     )
+
+
+def _messy_url(d: int, source: str) -> str:
+    """Deterministic un-normalized url per document — byte-identical to the
+    SQL construction in :func:`url_normalize_sql` (case-shifted hosts,
+    default ports, tracker params, unsorted queries, fragments)."""
+    c = d % 4
+    if c == 0:
+        return f"HTTP://{source.upper()}.Example:80/a/{d}?utm_source=x&b=2&a=1#frag"
+    if c == 1:
+        return f"https://{source}.example:443/b/{d}?z=1&y=2&y=1"
+    if c == 2:
+        return f"http://{source}.EXAMPLE/c/{d}#x"
+    return f"https://{source}.example?utm_a=1&utm_b=2"
+
+
+def url_normalize_table(sf_dir: str) -> ray.data.Dataset:
+    """Driver query ``url_normalize``: (doc_id, url, url_norm) — the
+    crawl-dedup canonicalizer (functions/urls.py) over deterministically
+    constructed messy urls."""
+    from ..functions.urls import normalize_urls_stage
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array(
+                    [_messy_url(int(d), s) for d, s in zip(ids, srcs)],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return normalize_urls_stage(
+        ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def url_normalize_sql() -> str:
+    from ..functions.urls import URL_RE
+
+    pat = _sql_quote(URL_RE)
+    return f"""
+WITH m AS (SELECT doc_id, CASE doc_id % 4
+  WHEN 0 THEN 'HTTP://' || upper(source) || '.Example:80/a/' || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+  WHEN 1 THEN 'https://' || source || '.example:443/b/' || CAST(doc_id AS VARCHAR) || '?z=1&y=2&y=1'
+  WHEN 2 THEN 'http://' || source || '.EXAMPLE/c/' || CAST(doc_id AS VARCHAR) || '#x'
+  ELSE 'https://' || source || '.example?utm_a=1&utm_b=2' END AS url
+ FROM documents),
+n AS (SELECT doc_id, url, split_part(url, '#', 1) AS h FROM m),
+p AS (SELECT doc_id, url, h,
+  regexp_matches(h, '{pat}') AS ok,
+  lower(regexp_extract(h, '{pat}', 1)) AS sch,
+  lower(regexp_extract(h, '{pat}', 2)) AS auth,
+  regexp_extract(h, '{pat}', 3) AS pth,
+  list_sort(list_filter(str_split(regexp_extract(h, '{pat}', 4), '&'),
+    x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS plist
+ FROM n)
+SELECT doc_id, url,
+ CASE WHEN NOT ok THEN h ELSE
+  sch || '://' ||
+  CASE WHEN sch = 'http' AND auth LIKE '%:80'
+         THEN substr(auth, 1, length(auth) - 3)
+       WHEN sch = 'https' AND auth LIKE '%:443'
+         THEN substr(auth, 1, length(auth) - 4)
+       ELSE auth END ||
+  CASE WHEN pth = '' THEN '/' ELSE pth END ||
+  CASE WHEN len(plist) = 0 THEN '' ELSE '?' || array_to_string(plist, '&') END
+ END AS url_norm
+FROM p ORDER BY doc_id"""
