@@ -187,6 +187,17 @@ def _q_pagerank_links(sf_dir: str):
     return pagerank_links_topk(sf_dir, k=100, iters=5)
 
 
+def _q_mmr_topk(sf_dir: str):
+    """Diversified retrieval: greedy maximal marginal relevance over the
+    top-20 BM25 candidates (λ=1/2, distinct-token Jaccard similarity —
+    one int/int IEEE division, so the unrolled-CTE twin is bit-exact
+    without rounding).  Candidate fetch distributed, greedy loop
+    constant-sized driver work (pipelines/corpus.py::mmr_topk_table)."""
+    from vexor_ray.pipelines.corpus import mmr_topk_table
+
+    return mmr_topk_table(sf_dir, _TOPK_QUERY, k=5, n_cand=20)
+
+
 def _q_url_normalize(sf_dir: str):
     """Crawl-dedup url canonicalization (functions/urls.py): fragment
     strip, scheme/host lowercase, default-port drop, utm_ tracker removal,
@@ -1424,6 +1435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25_scores,
         "bm25_from_warc": _q_bm25_from_warc,
         "url_normalize": _q_url_normalize,
+        "mmr_topk": _q_mmr_topk,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2256,6 +2268,44 @@ def _url_normalize_sql() -> str:
     return url_normalize_sql()
 
 
+def _mmr_sql(query_terms: list[str], k: int = 5, n_cand: int = 20) -> str:
+    """Unrolled greedy-MMR twin: rel = ROUND(bm25,6); similarity =
+    distinct-token Jaccard (one IEEE int/int division — bit-exact, no
+    rounding); λ=1/2 dyadic; each selection step is ORDER BY mmr DESC,
+    doc_id LIMIT 1 against the MAX similarity to the selected set."""
+    base = _bm25_cte(query_terms) + f""",
+cand AS (SELECT doc_id, ROUND(s, 6) AS rel FROM scores
+         ORDER BY ROUND(s, 6) DESC, doc_id LIMIT {n_cand}),
+ctoks AS (SELECT DISTINCT t.doc_id, t.term FROM toks t JOIN cand USING (doc_id)),
+csz AS (SELECT doc_id, COUNT(*) AS n FROM ctoks GROUP BY doc_id),
+csim AS (SELECT a.doc_id AS da, b.doc_id AS db,
+          CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)) AS s
+         FROM ctoks a JOIN ctoks b ON a.term = b.term AND a.doc_id <> b.doc_id
+         JOIN csz sa ON sa.doc_id = a.doc_id
+         JOIN csz sb ON sb.doc_id = b.doc_id
+         GROUP BY a.doc_id, b.doc_id, sa.n, sb.n),
+s1 AS (SELECT doc_id, 0.5*rel + 0.5 AS mmr FROM cand
+       ORDER BY rel DESC, doc_id LIMIT 1),
+sel1 AS (SELECT doc_id FROM s1)"""
+    for i in range(2, k + 1):
+        base += f""",
+m{i} AS (SELECT c.doc_id, 0.5*c.rel + 0.5*(1 - COALESCE((
+     SELECT MAX(s.s) FROM csim s JOIN sel{i - 1} x ON s.db = x.doc_id
+     WHERE s.da = c.doc_id), 0)) AS mmr
+   FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})),
+s{i} AS (SELECT doc_id, mmr FROM m{i} ORDER BY mmr DESC, doc_id LIMIT 1),
+sel{i} AS (SELECT doc_id FROM sel{i - 1} UNION ALL SELECT doc_id FROM s{i})"""
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS rank, doc_id, mmr FROM s{i}" for i in range(1, k + 1)
+    )
+    return (
+        "\nWITH "
+        + base
+        + f"\nSELECT CAST(rank AS INT) AS rank, doc_id, mmr"
+        f" FROM ({selects}) ORDER BY rank"
+    )
+
+
 def _mlt_sql(doc_id: int, k: int = 10, n_terms: int = 10) -> str:
     """Twin of more_like_this_table: the qt CTE is COMPUTED (top tf·idf
     terms of the source doc) instead of literal VALUES; scoring reuses the
@@ -2333,6 +2383,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         # source-path independence: identical twin to bm25_scores
         "bm25_from_warc": _bm25_sql(_BM25_QUERY.split(), None),
         "url_normalize": _url_normalize_sql(),
+        "mmr_topk": _mmr_sql(_TOPK_QUERY.split(), 5, 20),
         "spell_suggest": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 dict AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),

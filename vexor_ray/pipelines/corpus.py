@@ -1115,3 +1115,73 @@ def spell_suggest_table(sf_dir: str, words: list[str]) -> pa.Table:
             "df": pa.array(out_df, type=pa.int64()),
         }
     )
+
+
+def mmr_topk_table(
+    sf_dir: str, query: str, k: int = 5, n_cand: int = 20
+) -> pa.Table:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    '98): greedily pick argmax of ``0.5*rel + 0.5*(1 - max_sim_to_selected)``
+    over the top ``n_cand`` BM25 candidates.
+
+    Every quantity is cross-engine bit-exact by construction: rel is the
+    6-rounded BM25 score; similarity is DISTINCT-TOKEN JACCARD — one IEEE
+    division of two ints (identical in numpy and DuckDB, no rounding
+    needed); λ=1/2 is dyadic; MAX is order-independent.  Ties → doc_id
+    asc; the first pick's max-sim over the empty set is 0.
+
+    The candidate fetch is the distributed part (exact scorer); the greedy
+    loop is driver-side over n_cand² pairs — constant-sized by design (MMR
+    is a head-of-ranking op, never corpus-scale)."""
+    import re
+
+    import numpy as np
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
+
+    from ..spec import TOKEN_PATTERN
+
+    s = DocumentsSearcher(sf_dir)
+    pairs = [(d, round(sc, 6)) for d, sc in s.scores(query)]
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    pairs = pairs[:n_cand]
+    ids = [d for d, _ in pairs]
+    rel = {d: r for d, r in pairs}
+
+    tok = re.compile(TOKEN_PATTERN)
+    tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=_pc.field("doc_id").isin(pa.array(ids, type=pa.int64())),
+    )
+    toksets = {
+        int(d): set(tok.findall(t.lower()))
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    }
+
+    def sim(a: int, b: int) -> float:
+        ta, tb = toksets[a], toksets[b]
+        inter = len(ta & tb)
+        if inter == 0:
+            return 0.0
+        return float(inter) / float(len(ta) + len(tb) - inter)
+
+    selected: list[tuple[int, float]] = []
+    remaining = list(ids)
+    while remaining and len(selected) < k:
+        best = None
+        for d in remaining:
+            ms = max((sim(d, sd) for sd, _ in selected), default=0.0)
+            m = 0.5 * rel[d] + 0.5 * (1.0 - ms)
+            key = (-m, d)
+            if best is None or key < best[0]:
+                best = (key, d, m)
+        _, d, m = best
+        selected.append((d, m))
+        remaining.remove(d)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(selected) + 1), type=pa.int32()),
+            "doc_id": pa.array([d for d, _ in selected], type=pa.int64()),
+            "mmr": pa.array([m for _, m in selected], type=pa.float64()),
+        }
+    )
