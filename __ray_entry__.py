@@ -187,6 +187,17 @@ def _q_pagerank_links(sf_dir: str):
     return pagerank_links_topk(sf_dir, k=100, iters=5)
 
 
+def _q_robots_filter(sf_dir: str):
+    """Crawl governance: from-scratch robots.txt parse (UA groups,
+    Allow/Disallow, longest-match, Allow tie-break) + host-hash
+    co-partitioned vectorized matching (stages/robots.py).  The twin
+    builds the equivalent rule set relationally; parse correctness is
+    pinned by tests/test_robots.py."""
+    from vexor_ray.pipelines.web import robots_filter_table
+
+    return robots_filter_table(sf_dir)
+
+
 def _q_mmr_topk(sf_dir: str):
     """Diversified retrieval: greedy maximal marginal relevance over the
     top-20 BM25 candidates (λ=1/2, distinct-token Jaccard similarity —
@@ -1436,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_from_warc": _q_bm25_from_warc,
         "url_normalize": _q_url_normalize,
         "mmr_topk": _q_mmr_topk,
+        "robots_filter": _q_robots_filter,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2268,6 +2280,12 @@ def _url_normalize_sql() -> str:
     return url_normalize_sql()
 
 
+def _robots_filter_sql() -> str:
+    from vexor_ray.pipelines.web import robots_filter_sql
+
+    return robots_filter_sql()
+
+
 def _mmr_sql(query_terms: list[str], k: int = 5, n_cand: int = 20) -> str:
     """Unrolled greedy-MMR twin: rel = ROUND(bm25,6); similarity =
     distinct-token Jaccard (one IEEE int/int division — bit-exact, no
@@ -2384,6 +2402,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "bm25_from_warc": _bm25_sql(_BM25_QUERY.split(), None),
         "url_normalize": _url_normalize_sql(),
         "mmr_topk": _mmr_sql(_TOPK_QUERY.split(), 5, 20),
+        "robots_filter": _robots_filter_sql(),
         "spell_suggest": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 dict AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),

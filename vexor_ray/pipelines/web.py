@@ -506,3 +506,112 @@ SELECT doc_id, url,
   CASE WHEN len(plist) = 0 THEN '' ELSE '?' || array_to_string(plist, '&') END
  END AS url_norm
 FROM p ORDER BY doc_id"""
+
+
+def _robots_txt(source: str) -> str:
+    """Deterministic per-host robots.txt — parsed by the engine's
+    from-scratch parser; the SQL twin constructs the equivalent RULE SET
+    relationally (parse correctness itself is pinned by
+    tests/test_robots.py)."""
+    n = int(source[3:])
+    lines = [
+        f"# crawl policy for {source}",
+        "User-agent: googlebot",
+        "Disallow: /",
+        "",
+        "User-agent: *",
+        "Disallow: /a/",
+        "Allow: /a/ok/",
+    ]
+    if n % 2 == 0:
+        lines.append("Disallow: /c/")
+    lines += ["Disallow:", "Disallow: /x*y"]  # no-op + wildcard-subset drop
+    return "\n".join(lines)
+
+
+def _page_path(d: int) -> str:
+    c = d % 4
+    if c == 0:
+        return f"/a/{d}"
+    if c == 1:
+        return f"/a/ok/{d}"
+    if c == 2:
+        return f"/b/{d}"
+    return f"/c/{d}"
+
+
+def robots_filter_table(sf_dir: str) -> ray.data.Dataset:
+    """Driver query ``robots_filter``: (doc_id, host, path, allowed) —
+    longest-match robots exclusion over deterministically rendered
+    policies (stages/robots.py).  The distinct-host pass here is a tiny
+    column read; at crawl scale it is one coarse dedup over the host
+    column feeding the same filter stage."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.robots import robots_filter_stage
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "host": pa.array(
+                    [f"{s}.example" for s in srcs], type=pa.string()
+                ),
+                "path": pa.array(
+                    [_page_path(int(d)) for d in ids], type=pa.string()
+                ),
+            }
+        )
+
+    pages = docs.map_batches(
+        to_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
+    srcs = sorted(
+        set(
+            _pq.read_table(
+                f"{sf_dir}/documents.parquet", columns=["source"]
+            )["source"].to_pylist()
+        )
+    )
+    robots = ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array([f"{s}.example" for s in srcs]),
+                "robots_txt": pa.array([_robots_txt(s) for s in srcs]),
+            }
+        )
+    )
+    return robots_filter_stage(pages, robots)
+
+
+def robots_filter_sql() -> str:
+    return """
+WITH src AS (SELECT DISTINCT source FROM documents),
+rules AS (
+  SELECT source || '.example' AS host, FALSE AS allow, '/a/' AS rp FROM src
+  UNION ALL
+  SELECT source || '.example', TRUE, '/a/ok/' FROM src
+  UNION ALL
+  SELECT source || '.example', FALSE, '/c/' FROM src
+   WHERE CAST(substr(source, 4) AS INT) % 2 = 0),
+p AS (SELECT doc_id, source || '.example' AS host,
+  CASE doc_id % 4
+    WHEN 0 THEN '/a/' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN '/a/ok/' || CAST(doc_id AS VARCHAR)
+    WHEN 2 THEN '/b/' || CAST(doc_id AS VARCHAR)
+    ELSE '/c/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents),
+m AS (SELECT p.doc_id, r.allow,
+        row_number() OVER (PARTITION BY p.doc_id
+          ORDER BY length(r.rp) DESC, r.allow DESC) AS rn
+      FROM p JOIN rules r ON p.host = r.host AND starts_with(p.path, r.rp))
+SELECT p.doc_id, p.host, p.path,
+       COALESCE(m.allow, TRUE) AS allowed
+FROM p LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) m USING (doc_id)
+ORDER BY p.doc_id"""
