@@ -187,6 +187,16 @@ def _q_pagerank_links(sf_dir: str):
     return pagerank_links_topk(sf_dir, k=100, iters=5)
 
 
+def _q_search_after(sf_dir: str):
+    """Stateless deep pagination: page 2 of the ranking via a
+    (score, doc_id) cursor — strictly-after filter in the rounded total
+    order, equal to the twin's OFFSET/LIMIT by totality
+    (pipelines/corpus.py::search_after_table)."""
+    from vexor_ray.pipelines.corpus import search_after_table
+
+    return search_after_table(sf_dir, _BM25_QUERY, k=10, pages=2)
+
+
 def _q_robots_filter(sf_dir: str):
     """Crawl governance: from-scratch robots.txt parse (UA groups,
     Allow/Disallow, longest-match, Allow tie-break) + host-hash
@@ -1448,6 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize": _q_url_normalize,
         "mmr_topk": _q_mmr_topk,
         "robots_filter": _q_robots_filter,
+        "search_after": _q_search_after,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2403,6 +2414,15 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "url_normalize": _url_normalize_sql(),
         "mmr_topk": _mmr_sql(_TOPK_QUERY.split(), 5, 20),
         "robots_filter": _robots_filter_sql(),
+        "search_after": (
+            "\nWITH "
+            + _bm25_cte(_BM25_QUERY.split())
+            + """
+SELECT doc_id, ROUND(s, 6) AS score,
+       CAST(row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id)
+            AS INT) AS rank
+FROM scores ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 10 OFFSET 10"""
+        ),
         "spell_suggest": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 dict AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),

@@ -1185,3 +1185,44 @@ def mmr_topk_table(
             "mmr": pa.array([m for _, m in selected], type=pa.float64()),
         }
     )
+
+
+def search_after_table(
+    sf_dir: str, query: str, k: int = 10, pages: int = 2
+) -> pa.Table:
+    """Cursor pagination (``search_after``): page N is the top-k of the
+    candidates STRICTLY AFTER the previous page's last (score, doc_id)
+    cursor in the (rounded score desc, doc_id asc) total order — the
+    stateless deep-pagination discipline (no server-side scroll state; the
+    cursor is the only thing a client carries between requests).
+
+    Returns the LAST page, ranks (pages-1)*k+1 .. pages*k; the twin is the
+    same ordering with OFFSET/LIMIT (equal by totality of the order)."""
+    s = DocumentsSearcher(sf_dir)
+    pairs = [(d, round(sc, 6)) for d, sc in s.scores(query)]
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    cursor: tuple[float, int] | None = None
+    page: list[tuple[int, float]] = []
+    for _ in range(pages):
+        if cursor is None:
+            page = pairs[:k]
+        else:
+            csc, cid = cursor
+            page = [
+                (d, sc)
+                for d, sc in pairs
+                if sc < csc or (sc == csc and d > cid)
+            ][:k]
+        if not page:
+            break
+        cursor = (page[-1][1], page[-1][0])
+    base = (pages - 1) * k
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in page], type=pa.int64()),
+            "score": pa.array([sc for _, sc in page], type=pa.float64()),
+            "rank": pa.array(
+                range(base + 1, base + 1 + len(page)), type=pa.int32()
+            ),
+        }
+    )
