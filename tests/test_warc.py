@@ -109,3 +109,70 @@ class TestRayRoundtrip:
         # WARC-Date is second-resolution; fixture timestamps are whole
         # seconds so the round-trip is exact
         assert back["warc_ts"].tolist() == want_us.tolist()
+
+
+class TestWarcStreaming:
+    def test_warc_shards_stream_into_index(self, ray_session, tmp_path):
+        """Crawl-arrival composition: each .warc.gz shard becomes one
+        streaming micro-batch; the streamed index must equal a batch build
+        over the same pages and the watermark must track WARC-Date."""
+        import gzip as _gzip
+
+        import pyarrow as pa
+        import ray
+
+        from vexor_ray.index.build import BuildConfig, build_index
+        from vexor_ray.query.searcher import Searcher
+        from vexor_ray.streaming import StreamingIngestor
+        from vexor_ray.warc import build_record, read_warc
+
+        cfg = BuildConfig(
+            pre_extracted=True,
+            doc_builder="text",
+            num_waves=2,
+            partitions_per_wave=2,
+            shard_group_size=1,
+            tokenize_concurrency=2,
+            salt_shift=8,
+        )
+        us = 1_000_000
+        shards = []
+        for tag, ts0 in (("one", 1000), ("two", 2000), ("three", 3000)):
+            buf = bytearray()
+            for i in range(20):
+                buf += _gzip.compress(
+                    build_record(
+                        f"{tag}/{i:04d}.html",
+                        (ts0 + i) * us,
+                        f"{tag} common words page {i} needle{tag}".encode(),
+                    ),
+                    mtime=0,
+                )
+            p = tmp_path / f"crawl-{tag}.warc.gz"
+            p.write_bytes(bytes(buf))
+            shards.append(str(p))
+
+        ing = StreamingIngestor(tmp_path / "s", cfg)
+        for shard, ts0 in zip(shards, (1000, 2000, 3000)):
+            tbl = read_warc([shard]).to_arrow_refs()
+            tbl = pa.concat_tables([t for t in ray.get(tbl) if t.num_rows])
+            batch = pa.table(
+                {
+                    "url": tbl.column("url"),
+                    "text": pa.array(
+                        [h.decode("utf-8") for h in tbl.column("html").to_pylist()]
+                    ),
+                    "warc_ts": tbl.column("warc_ts").cast(pa.timestamp("us")),
+                }
+            )
+            r = ing.ingest_batch(batch)
+            assert r["watermark_us"] == (ts0 + 19) * us
+
+        fresh = tmp_path / "fresh"
+        build_index(ing.pages_dir, fresh, cfg)
+        s_stream, s_fresh = Searcher(ing.index_dir), Searcher(fresh)
+        assert s_stream.doc_count == s_fresh.doc_count == 60
+        for q in ["common words", "needleone", "needletwo", "needlethree"]:
+            assert s_stream.search(q, 10, method="exact") == s_fresh.search(
+                q, 10, method="exact"
+            ), q
