@@ -1135,7 +1135,6 @@ def mmr_topk_table(
     is a head-of-ranking op, never corpus-scale)."""
     import re
 
-    import numpy as np
     import pyarrow.compute as _pc
     import pyarrow.dataset as pads
 

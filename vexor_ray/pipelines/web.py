@@ -45,8 +45,6 @@ from ..stages.html import (
     resolve_links,
 )
 
-_STRIP_CHARS = " \t\n\r\f\v"
-
 
 def _render_links(d: int, n: int) -> str:
     out = []
