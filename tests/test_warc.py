@@ -52,6 +52,19 @@ class TestWire:
         u, t, p = parse_record(reordered + b"\r\n\r\n" + rest)
         assert (u, t, p) == (URL, TS, b"x")
 
+    def test_non_response_records_skipped(self):
+        info = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Length: 5\r\n\r\nhello\r\n\r\n"
+        )
+        assert parse_record(info) is None
+        # a mixed stream yields only the response record
+        from vexor_ray.warc import iter_warc_records_stream
+
+        resp = build_record(URL, TS, b"x")
+        recs = [parse_record(r) for r in iter_warc_records_stream(info + resp)]
+        assert [r for r in recs if r is not None] == [(URL, TS, b"x")]
+
     def test_malformed_refused(self):
         with pytest.raises(ValueError):
             parse_record(b"GARBAGE\r\n\r\nx")

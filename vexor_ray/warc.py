@@ -81,12 +81,15 @@ def build_record(url: str, ts_us: int, payload: bytes) -> bytes:
     return head + http + _CRLF + _CRLF
 
 
-def parse_record(record: bytes) -> tuple[str, int, bytes]:
+def parse_record(record: bytes) -> tuple[str, int, bytes] | None:
     """Inverse of :func:`build_record` → (url, ts_us, payload).
 
-    Tolerant of any header order / extra headers; strict about structure
-    (version line, Content-Length framing, HTTP envelope) — malformed
-    records raise ``ValueError`` rather than guessing.
+    Tolerant of any header order / extra headers; NON-RESPONSE records
+    (warcinfo, request, metadata — real crawl files interleave them with
+    responses) return ``None`` and are skipped by the reader.  Strict
+    about structure (version line, Content-Length framing, HTTP
+    envelope) — malformed records raise ``ValueError`` rather than
+    guessing.
     """
     head, sep, rest = record.partition(_CRLF + _CRLF)
     if not sep:
@@ -99,7 +102,7 @@ def parse_record(record: bytes) -> tuple[str, int, bytes]:
         name, _, value = ln.partition(b":")
         headers[name.strip().lower()] = value.strip()
     if headers.get(b"warc-type") != b"response":
-        raise ValueError("not a response record")
+        return None
     clen = int(headers[b"content-length"])
     if clen > len(rest):
         raise ValueError("truncated WARC payload")
@@ -234,7 +237,10 @@ def read_warc(paths: list[str] | str) -> ray.data.Dataset:
             else:  # source already inflated+concatenated the members
                 recs = iter_warc_records_stream(data)
             for rec in recs:
-                u, t, p = parse_record(rec)
+                parsed = parse_record(rec)
+                if parsed is None:  # warcinfo/request/metadata records
+                    continue
+                u, t, p = parsed
                 urls.append(u)
                 tss.append(t)
                 payloads.append(p)
