@@ -200,16 +200,33 @@ def bpe_encode(
     docs: ray.data.Dataset,
     merges: list[tuple[str, str]],
     *,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     batch_size: int = 256,
 ) -> ray.data.Dataset:
-    """Encode a corpus with a learned merge list (actor pool; the merge
-    table ships once per actor, not per batch)."""
-    return docs.map_batches(
+    """Encode a corpus with a learned merge list.
+
+    Default (``concurrency=None``) ships a pre-built encoder instance as
+    plain elastic tasks (``functions/_pool.py`` discipline — the merge
+    table is small picklable state).  An explicit pool size is CLAMPED to
+    ``session_cpus - 1``: a pool that reserves every CPU starves its own
+    upstream read and deadlocks the pipeline (hit in a 4-CPU test session
+    with the old fixed default of 4 — the pool held all four CPUs while
+    ReadParquet waited forever for one).
+    """
+    from ._pool import launch_stage
+
+    if concurrency is not None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", concurrency + 1))
+        except Exception:
+            cpus = concurrency + 1
+        concurrency = max(1, min(concurrency, cpus - 1))
+    return launch_stage(
+        docs,
         BpeEncoder,
-        fn_constructor_kwargs={"merges": merges},
+        {"merges": merges},
+        concurrency=concurrency,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         zero_copy_batch=True,
     )

@@ -131,6 +131,14 @@ def search_dataset(
                 }
             )
 
+    # clamp the pool below the session CPU count: a pool reserving every
+    # CPU starves an upstream read stage of the same pipeline (deadlock in
+    # small sessions; pre-materialized query buffers just masked it here)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", concurrency + 1))
+    except Exception:
+        cpus = concurrency + 1
+    concurrency = max(1, min(concurrency, cpus - 1))
     return queries.map_batches(
         BulkSearch,
         batch_format="pyarrow",
