@@ -197,6 +197,17 @@ def _q_search_after(sf_dir: str):
     return search_after_table(sf_dir, _BM25_QUERY, k=10, pages=2)
 
 
+def _q_crawl_export(sf_dir: str):
+    """Capstone: the whole crawl→corpus arc as one pipeline — render
+    (with injected boilerplate duplicates) → robots longest-match filter
+    → HTML→text extraction → token-count floor → exact-text dedup →
+    (doc_id, n_tok).  Every stage is the real operator; the twin chains
+    the same rule sets (pipelines/web.py::crawl_export_table)."""
+    from vexor_ray.pipelines.web import crawl_export_table
+
+    return crawl_export_table(sf_dir)
+
+
 def _q_robots_filter(sf_dir: str):
     """Crawl governance: from-scratch robots.txt parse (UA groups,
     Allow/Disallow, longest-match, Allow tie-break) + host-hash
@@ -1459,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_topk": _q_mmr_topk,
         "robots_filter": _q_robots_filter,
         "search_after": _q_search_after,
+        "crawl_export": _q_crawl_export,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2297,6 +2309,12 @@ def _robots_filter_sql() -> str:
     return robots_filter_sql()
 
 
+def _crawl_export_sql() -> str:
+    from vexor_ray.pipelines.web import crawl_export_sql
+
+    return crawl_export_sql()
+
+
 def _mmr_sql(query_terms: list[str], k: int = 5, n_cand: int = 20) -> str:
     """Unrolled greedy-MMR twin: rel = ROUND(bm25,6); similarity =
     distinct-token Jaccard (one IEEE int/int division — bit-exact, no
@@ -2414,6 +2432,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "url_normalize": _url_normalize_sql(),
         "mmr_topk": _mmr_sql(_TOPK_QUERY.split(), 5, 20),
         "robots_filter": _robots_filter_sql(),
+        "crawl_export": _crawl_export_sql(),
         "search_after": (
             "\nWITH "
             + _bm25_cte(_BM25_QUERY.split())

@@ -613,3 +613,194 @@ SELECT p.doc_id, p.host, p.path,
        COALESCE(m.allow, TRUE) AS allowed
 FROM p LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) m USING (doc_id)
 ORDER BY p.doc_id"""
+
+
+_BOILERPLATE = (
+    "boilerplate terms of service text page copyright notice all rights "
+    "reserved contact us privacy policy cookie settings " * 2
+).strip()
+
+
+def crawl_export_table(sf_dir: str) -> ray.data.Dataset:
+    """Capstone driver query ``crawl_export``: the whole crawl→corpus arc
+    as ONE pipeline — render (with injected boilerplate duplicates) →
+    robots longest-match filter → HTML→text extraction → token-count
+    quality floor → exact-text dedup (keep lowest doc_id) → (doc_id,
+    n_tok).
+
+    Every stage is the REAL operator (stages/robots.py, stages/html.py,
+    coarse-partition dedup); the SQL twin chains the same rule sets, so
+    the driver hash checks the composition end to end.  Docs with
+    ``doc_id % 7 == 3`` share one boilerplate body (the dedup stage's
+    prey); the robots rules and page paths are the ``robots_filter``
+    spec.  The html column rides through the robots co-partition — at
+    crawl scale the filter runs at fetch time before payloads are wide,
+    or on (host, path, doc_id) with a semi-join back; carrying it here
+    keeps the checked pipeline one pass."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from ..functions.groups import coarse_grouped, str_pid
+    from ..spec import TOKEN_PATTERN
+    from ..stages.html import html_to_text
+    from ..stages.robots import robots_filter_stage
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    n = ds.count()
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hosts, paths, htmls = [], [], []
+        for d, s, t in zip(ids, srcs, texts):
+            d = int(d)
+            body = _BOILERPLATE if d % 7 == 3 else t
+            hosts.append(f"{s}.example")
+            paths.append(_page_path(d))
+            htmls.append(render_page(d, body, n)[1])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "host": pa.array(hosts, type=pa.string()),
+                "path": pa.array(paths, type=pa.string()),
+                "html": pa.array(htmls, type=pa.string()),
+            }
+        )
+
+    pages = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    srcs = sorted(
+        set(
+            _pq.read_table(
+                f"{sf_dir}/documents.parquet", columns=["source"]
+            )["source"].to_pylist()
+        )
+    )
+    robots = ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array([f"{s}.example" for s in srcs]),
+                "robots_txt": pa.array([_robots_txt(s) for s in srcs]),
+            }
+        )
+    )
+    decided = robots_filter_stage(
+        pages, robots, id_cols=("doc_id", "html")
+    )
+    tok = _re.compile(TOKEN_PATTERN)
+
+    def extract_and_floor(batch: pa.Table) -> pa.Table:
+        keep = batch.column("allowed").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(keep))
+        ids, texts, ntoks = [], [], []
+        for d, h in zip(
+            batch.column("doc_id").to_pylist(), batch.column("html").to_pylist()
+        ):
+            text = html_to_text(h)
+            nt = len(tok.findall(text.lower()))
+            if nt >= 30:
+                ids.append(int(d))
+                texts.append(text)
+                ntoks.append(nt)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "n_tok": pa.array(ntoks, type=pa.int64()),
+            }
+        )
+
+    kept = decided.map_batches(
+        extract_and_floor, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values("doc_id", kind="mergesort").groupby(
+            "text", sort=False, as_index=False
+        ).first()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "n_tok": g["n_tok"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return coarse_grouped(
+        kept, lambda b: str_pid(b, "text", 64), dedup_part
+    )
+
+
+def crawl_export_sql() -> str:
+    """Chained twin of :func:`crawl_export_table` — robots rules, html
+    construction, extraction chain and dedup all inline."""
+    from ..stages.html import (
+        COMMENT_RE,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+        WS_RE,
+    )
+
+    x = "html"
+    for pat in (SCRIPT_RE, STYLE_RE, COMMENT_RE, TAG_RE):
+        x = f"regexp_replace({x}, '{_sql_quote(pat)}', ' ', 'g')"
+    x = _entity_chain(x)
+    strip_set = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    x = f"trim(regexp_replace({x}, '{_sql_quote(WS_RE)}', ' ', 'g'), {strip_set})"
+    dst = lambda off: (  # noqa: E731
+        f"CAST((b.doc_id*131 + {off}) % (SELECT c FROM hn) AS VARCHAR)"
+    )
+    return f"""
+WITH hn AS (SELECT COUNT(*) AS c FROM documents),
+src AS (SELECT DISTINCT source FROM documents),
+rules AS (
+  SELECT source || '.example' AS host, FALSE AS allow, '/a/' AS rp FROM src
+  UNION ALL SELECT source || '.example', TRUE, '/a/ok/' FROM src
+  UNION ALL SELECT source || '.example', FALSE, '/c/' FROM src
+   WHERE CAST(substr(source, 4) AS INT) % 2 = 0),
+body AS (SELECT doc_id, source,
+  CASE WHEN doc_id % 7 = 3 THEN '{_BOILERPLATE}' ELSE text END AS btext
+  FROM documents),
+hl AS (SELECT b.doc_id, COALESCE(string_agg(CASE
+   WHEN js.j = 0 THEN '<A HREF="HTTPS://CORPUS.example/d/' || {dst(7)} || '#top">l0</A>'
+   WHEN js.j = 1 THEN '<a href="/d/' || {dst(24)} || '">l1</a>'
+   WHEN js.j = 2 THEN '<a rel="nofollow" href="https://corpus.example/d/' || {dst(41)} || '">l2</a>'
+  END, '' ORDER BY js.j), '') AS links
+  FROM body b LEFT JOIN (SELECT UNNEST(range(3)) AS j) js
+    ON js.j < b.doc_id % 4
+  GROUP BY b.doc_id),
+cp AS (SELECT b.doc_id, b.source || '.example' AS host,
+  CASE b.doc_id % 4
+    WHEN 0 THEN '/a/' || CAST(b.doc_id AS VARCHAR)
+    WHEN 1 THEN '/a/ok/' || CAST(b.doc_id AS VARCHAR)
+    WHEN 2 THEN '/b/' || CAST(b.doc_id AS VARCHAR)
+    ELSE '/c/' || CAST(b.doc_id AS VARCHAR) END AS path,
+  '<html><head><title>T ' || CAST(b.doc_id AS VARCHAR)
+  || '</title><style type="text/css">p {{color:red}}</style><script src="/j.js">var i = 1 < 2;</script></head><body><h1>Doc '
+  || CAST(b.doc_id AS VARCHAR) || '</h1><p id="b">' || b.btext
+  || '</p><!-- c -->' || hl.links
+  || '<a href="mailto:x@y.z">m</a><a href="//cdn.example/x">p</a> &amp;amp; 1 &lt; 2&nbsp;&#39;&quot;</body></html>'
+  AS html
+  FROM body b JOIN hl USING (doc_id)),
+mt AS (SELECT cp.doc_id, r.allow,
+        row_number() OVER (PARTITION BY cp.doc_id
+          ORDER BY length(r.rp) DESC, r.allow DESC) AS rn
+      FROM cp JOIN rules r ON cp.host = r.host AND starts_with(cp.path, r.rp)),
+alw AS (SELECT cp.doc_id, cp.html FROM cp
+  LEFT JOIN (SELECT doc_id, allow FROM mt WHERE rn = 1) m USING (doc_id)
+  WHERE COALESCE(m.allow, TRUE)),
+etx AS (SELECT doc_id, {x} AS text FROM alw),
+tk AS (SELECT doc_id, text,
+        len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tok
+       FROM etx),
+kept AS (SELECT * FROM tk WHERE n_tok >= 30),
+ded AS (SELECT doc_id, n_tok,
+        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM kept)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM ded WHERE rn = 1
+ORDER BY doc_id"""

@@ -95,6 +95,20 @@ def robots_filter_stage(
     row per host.  Hosts with no robots row allow everything.
     """
 
+    # robots rows carry type-matched NON-NULL fillers for the page id
+    # columns (graph.py discipline: pandas nulls would force float/object
+    # columns through the shuffle) — resolve the types from the pages
+    # schema once
+    page_schema = pages.schema()
+    id_types = {c: page_schema.base_schema.field(c).type for c in id_cols}
+
+    def _filler(t: pa.DataType, n: int) -> pa.Array:
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.array([""] * n, type=t)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return pa.array([b""] * n, type=t)
+        return pa.array(np.zeros(n, dtype=np.int64), type=t)
+
     def tag_page(b: pa.Table) -> pa.Table:
         cols = {
             "key": b.column(host_col),
@@ -114,9 +128,7 @@ def robots_filter_stage(
             "flag": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
         }
         for c in id_cols:
-            cols[c] = pa.array(
-                np.zeros(b.num_rows, dtype=np.int64), type=pa.int64()
-            )
+            cols[c] = _filler(id_types[c], b.num_rows)
         return pa.table(cols)
 
     tagged = pages.map_batches(
