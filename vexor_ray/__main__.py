@@ -81,6 +81,19 @@ def main(argv: list[str] | None = None) -> int:
         "--exclude", action="append", default=[], help="fnmatch pattern (repeatable)"
     )
 
+    we = sub.add_parser(
+        "warc-export", help="pages parquet → .warc.gz shards (Common-Crawl wire format)"
+    )
+    we.add_argument("--input", required=True, help="pages parquet dir or file")
+    we.add_argument("--out", required=True, help="output directory for .warc.gz shards")
+    we.add_argument("--payload-col", default="html")
+
+    wi = sub.add_parser(
+        "warc-ingest", help=".warc.gz shards → pages parquet (url, warc_ts, html)"
+    )
+    wi.add_argument("--input", required=True, help=".warc.gz file or directory")
+    wi.add_argument("--out", required=True, help="pages parquet output directory")
+
     cp = sub.add_parser(
         "compact", help="merge all incremental generations into one per wave"
     )
@@ -180,6 +193,41 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"files": n, "out": args.out}))
         import ray
 
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "warc-export":
+        _init_ray(args.num_cpus)
+        import ray
+        import ray.data
+
+        from vexor_ray.warc import write_warc_dataset
+
+        ds = ray.data.read_parquet(args.input)
+        ts_col = "warc_ts" if "warc_ts" in ds.schema().names else None
+        files = write_warc_dataset(
+            ds, args.out, ts_col=ts_col, payload_col=args.payload_col
+        )
+        print(json.dumps({"shards": len(files), "out": args.out}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "warc-ingest":
+        _init_ray(args.num_cpus)
+        import ray
+
+        from pathlib import Path as _Path
+
+        from vexor_ray.warc import read_warc
+
+        p = _Path(args.input)
+        paths = (
+            sorted(str(f) for f in p.glob("*.warc.gz")) if p.is_dir() else [str(p)]
+        )
+        ds = read_warc(paths)
+        _Path(args.out).mkdir(parents=True, exist_ok=True)
+        ds.write_parquet(args.out)
+        print(json.dumps({"shards": len(paths), "out": args.out}))
         ray.shutdown()
         return 0
 
