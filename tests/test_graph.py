@@ -77,3 +77,68 @@ def test_pagerank_topk_is_total_order_cut(ray_session):
     assert got.schema == pa.schema(
         [("doc_id", pa.int64()), ("rank", pa.int64())]
     )
+
+
+class TestCheckpointedIterations:
+    def _graph(self, ray_session):
+        import ray
+
+        n = 40
+        edges = [(i, (i * 3 + 1) % n) for i in range(0, n, 2)]
+        edges += [(7, 8), (7, 9)]
+        docs = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
+        )
+        eds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([s for s, _ in edges], type=pa.int64()),
+                    "dst": pa.array([d for _, d in edges], type=pa.int64()),
+                }
+            )
+        )
+        return docs, eds
+
+    def test_checkpoint_equals_plain_and_resumes(self, ray_session, tmp_path):
+        from vexor_ray.functions.graph import pagerank_edges
+
+        docs, eds = self._graph(ray_session)
+        plain = (
+            pagerank_edges(docs, eds, iters=4, n_parts=8)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        ck = tmp_path / "pr_ck"
+        # first run: only 2 iterations committed
+        pagerank_edges(docs, eds, iters=2, n_parts=8, checkpoint=str(ck))
+        assert (ck / "iter-0001.json").exists()
+        # resume to 4: iterations 0-1 read back, 2-3 computed
+        got = (
+            pagerank_edges(docs, eds, iters=4, n_parts=8, checkpoint=str(ck))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert got["rank"].tolist() == plain["rank"].tolist()
+        assert (ck / "iter-0003.json").exists()
+
+    def test_crashed_iteration_recomputed(self, ray_session, tmp_path):
+        from vexor_ray.functions.graph import pagerank_edges
+
+        docs, eds = self._graph(ray_session)
+        ck = tmp_path / "pr_crash"
+        pagerank_edges(docs, eds, iters=3, n_parts=8, checkpoint=str(ck))
+        plain = (
+            pagerank_edges(docs, eds, iters=3, n_parts=8)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # simulate a crash mid-iteration-2: marker gone, partial shards left
+        (ck / "iter-0002.json").unlink()
+        for f in list((ck / "iter-0002").glob("*.parquet"))[1:]:
+            f.unlink()
+        got = (
+            pagerank_edges(docs, eds, iters=3, n_parts=8, checkpoint=str(ck))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert got["rank"].tolist() == plain["rank"].tolist()
