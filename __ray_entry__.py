@@ -197,6 +197,16 @@ def _q_search_after(sf_dir: str):
     return search_after_table(sf_dir, _BM25_QUERY, k=10, pages=2)
 
 
+def _q_anchor_terms_real(sf_dir: str):
+    """Anchor-text aggregation over REAL extracted <a> elements (the
+    crawl-native arm of anchor_terms): canonicalized href → url→doc_id
+    hash join with the anchor text riding the co-partition → tokenize →
+    one coarse (dst, term) count (pipelines/web.py)."""
+    from vexor_ray.pipelines.web import anchor_terms_real_table
+
+    return anchor_terms_real_table(sf_dir)
+
+
 def _q_crawl_export(sf_dir: str):
     """Capstone: the whole crawl→corpus arc as one pipeline — render
     (with injected boilerplate duplicates) → robots longest-match filter
@@ -1471,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": _q_robots_filter,
         "search_after": _q_search_after,
         "crawl_export": _q_crawl_export,
+        "anchor_terms_real": _q_anchor_terms_real,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2315,6 +2326,12 @@ def _crawl_export_sql() -> str:
     return crawl_export_sql()
 
 
+def _anchor_terms_real_sql() -> str:
+    from vexor_ray.pipelines.web import anchor_terms_real_sql
+
+    return anchor_terms_real_sql()
+
+
 def _mmr_sql(query_terms: list[str], k: int = 5, n_cand: int = 20) -> str:
     """Unrolled greedy-MMR twin: rel = ROUND(bm25,6); similarity =
     distinct-token Jaccard (one IEEE int/int division — bit-exact, no
@@ -2433,6 +2450,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "mmr_topk": _mmr_sql(_TOPK_QUERY.split(), 5, 20),
         "robots_filter": _robots_filter_sql(),
         "crawl_export": _crawl_export_sql(),
+        "anchor_terms_real": _anchor_terms_real_sql(),
         "search_after": (
             "\nWITH "
             + _bm25_cte(_BM25_QUERY.split())

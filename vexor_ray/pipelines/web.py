@@ -51,12 +51,14 @@ def _render_links(d: int, n: int) -> str:
     for j in range(d % 4):
         dst = (d * 131 + 17 * j + 7) % n
         if j == 0:
-            out.append(f'<A HREF="HTTPS://CORPUS.example/d/{dst}#top">l0</A>')
+            out.append(
+                f'<A HREF="HTTPS://CORPUS.example/d/{dst}#top">see d{dst} guide</A>'
+            )
         elif j == 1:
-            out.append(f'<a href="/d/{dst}">l1</a>')
+            out.append(f'<a href="/d/{dst}">read d{dst}</a>')
         else:
             out.append(
-                f'<a rel="nofollow" href="https://corpus.example/d/{dst}">l2</a>'
+                f'<a rel="nofollow" href="https://corpus.example/d/{dst}">more about d{dst}</a>'
             )
     return "".join(out)
 
@@ -159,9 +161,9 @@ def _html_ctes() -> str:
     )
     return f"""hn AS (SELECT COUNT(*) AS c FROM documents),
 hl AS (SELECT d.doc_id, COALESCE(string_agg(CASE
-   WHEN js.j = 0 THEN '<A HREF="HTTPS://CORPUS.example/d/' || {dst(7)} || '#top">l0</A>'
-   WHEN js.j = 1 THEN '<a href="/d/' || {dst(24)} || '">l1</a>'
-   WHEN js.j = 2 THEN '<a rel="nofollow" href="https://corpus.example/d/' || {dst(41)} || '">l2</a>'
+   WHEN js.j = 0 THEN '<A HREF="HTTPS://CORPUS.example/d/' || {dst(7)} || '#top">see d' || {dst(7)} || ' guide</A>'
+   WHEN js.j = 1 THEN '<a href="/d/' || {dst(24)} || '">read d' || {dst(24)} || '</a>'
+   WHEN js.j = 2 THEN '<a rel="nofollow" href="https://corpus.example/d/' || {dst(41)} || '">more about d' || {dst(41)} || '</a>'
   END, '' ORDER BY js.j), '') AS links
   FROM documents d LEFT JOIN (SELECT UNNEST(range(3)) AS j) js
     ON js.j < d.doc_id % 4
@@ -767,9 +769,9 @@ body AS (SELECT doc_id, source,
   CASE WHEN doc_id % 7 = 3 THEN '{_BOILERPLATE}' ELSE text END AS btext
   FROM documents),
 hl AS (SELECT b.doc_id, COALESCE(string_agg(CASE
-   WHEN js.j = 0 THEN '<A HREF="HTTPS://CORPUS.example/d/' || {dst(7)} || '#top">l0</A>'
-   WHEN js.j = 1 THEN '<a href="/d/' || {dst(24)} || '">l1</a>'
-   WHEN js.j = 2 THEN '<a rel="nofollow" href="https://corpus.example/d/' || {dst(41)} || '">l2</a>'
+   WHEN js.j = 0 THEN '<A HREF="HTTPS://CORPUS.example/d/' || {dst(7)} || '#top">see d' || {dst(7)} || ' guide</A>'
+   WHEN js.j = 1 THEN '<a href="/d/' || {dst(24)} || '">read d' || {dst(24)} || '</a>'
+   WHEN js.j = 2 THEN '<a rel="nofollow" href="https://corpus.example/d/' || {dst(41)} || '">more about d' || {dst(41)} || '</a>'
   END, '' ORDER BY js.j), '') AS links
   FROM body b LEFT JOIN (SELECT UNNEST(range(3)) AS j) js
     ON js.j < b.doc_id % 4
@@ -804,3 +806,89 @@ ded AS (SELECT doc_id, n_tok,
         FROM kept)
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM ded WHERE rn = 1
 ORDER BY doc_id"""
+
+
+def anchor_terms_real_table(sf_dir: str) -> ray.data.Dataset:
+    """Driver query ``anchor_terms_real``: per-target anchor-term counts
+    from REAL extracted ``<a>`` elements (stages/html.py::
+    extract_anchors_stage) — the crawl-native replacement for the
+    hash-derived ``anchor_terms``: href canonicalized → url→doc_id hash
+    join (anchor text rides the co-partition) → tokenize → one coarse
+    (dst, term) count.  Output (doc_id, term, cnt)."""
+    import re as _re
+
+    import pandas as pd
+
+    from ..functions.groups import coarse_grouped, str_pid
+    from ..spec import TOKEN_PATTERN
+    from ..stages.html import extract_anchors_stage, resolve_links
+
+    pages = rendered_pages(sf_dir)
+    anchors = extract_anchors_stage(pages)
+    mapping = pages.map_batches(
+        lambda b: b.select(["doc_id", "url"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    resolved = resolve_links(anchors, mapping, carry_cols=("anchor",))
+    tok = _re.compile(TOKEN_PATTERN)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        dsts, terms = [], []
+        for d, a in zip(
+            batch.column("dst").to_pylist(), batch.column("anchor").to_pylist()
+        ):
+            for t in tok.findall(a.lower()):
+                dsts.append(int(d))
+                terms.append(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(dsts, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+            }
+        )
+
+    pairs = resolved.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_id", "term"], sort=False, as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    return coarse_grouped(
+        pairs, lambda b: str_pid(b, "term", 64), count_part
+    )
+
+
+def anchor_terms_real_sql() -> str:
+    from ..stages.html import ANCHOR_RE, ORIGIN_RE
+
+    apat = _sql_quote(ANCHOR_RE)
+    origin = _sql_quote(ORIGIN_RE)
+    canon = f"""CASE
+   WHEN split_part(pr[1], '#', 1) = '' THEN NULL
+   WHEN lower(split_part(pr[1], '#', 1)) LIKE 'http://%'
+     OR lower(split_part(pr[1], '#', 1)) LIKE 'https://%'
+     THEN lower(regexp_extract(split_part(pr[1], '#', 1), '{origin}', 1))
+          || regexp_extract(split_part(pr[1], '#', 1), '{origin}', 2)
+   WHEN split_part(pr[1], '#', 1) LIKE '//%' THEN NULL
+   WHEN split_part(pr[1], '#', 1) LIKE '/%'
+     THEN lower(regexp_extract(url, '{origin}', 1)) || split_part(pr[1], '#', 1)
+   ELSE NULL END"""
+    return (
+        "WITH "
+        + _html_ctes()
+        + f""",
+az AS (SELECT doc_id, url,
+  UNNEST(list_zip(regexp_extract_all(html, '{apat}', 1),
+                  regexp_extract_all(html, '{apat}', 2))) AS pr
+  FROM hpages),
+ac AS (SELECT {canon} AS href, pr[2] AS anchor FROM az),
+rl AS (SELECT m.doc_id AS dst, a.anchor
+       FROM ac a JOIN hpages m ON a.href = m.url),
+at AS (SELECT dst, UNNEST(regexp_extract_all(lower(anchor), '[a-z0-9_]+')) AS term
+       FROM rl)
+SELECT dst AS doc_id, term, COUNT(*) AS cnt FROM at
+GROUP BY dst, term ORDER BY doc_id, term"""
+    )

@@ -70,6 +70,7 @@ COMMENT_RE = r"(?s)<!--.*?-->"
 TAG_RE = r"<[^>]*>"
 WS_RE = r"[ \t\n\r\f\v]+"
 HREF_RE = r"(?is)<a\b[^>]*?\bhref\s*=\s*\"([^\"]*)\""
+ANCHOR_RE = r"(?is)<a\b[^>]*?\bhref\s*=\s*\"([^\"]*)\"[^>]*>(.*?)</a\s*>"
 ORIGIN_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)(.*)$"
 
 # (entity, replacement) in application order; &amp; is last on purpose.
@@ -88,6 +89,7 @@ _COMMENT = re.compile(COMMENT_RE)
 _TAG = re.compile(TAG_RE)
 _WS = re.compile(WS_RE)
 _HREF = re.compile(HREF_RE)
+_ANCHOR = re.compile(ANCHOR_RE)
 _ORIGIN = re.compile(ORIGIN_RE)
 
 
@@ -131,6 +133,51 @@ def extract_hrefs(base_url: str, html: str) -> list[str]:
         if c is not None:
             out.append(c)
     return out
+
+
+def extract_anchors(base_url: str, html: str) -> list[tuple[str, str]]:
+    """``(canonical_href, anchor_text)`` pairs in document order — the
+    REAL anchor-text source for link-context aggregation (BM25F anchor
+    fields, ``functions/anchors.py``).  Only links whose ``<a>`` element
+    closes (``</a>``) yield a pair; href canonicalization and the kept/
+    dropped rules are :func:`canonicalize_href`.  The anchor text is the
+    raw inner markup — tokenize downstream (the twin does the same with
+    list_zip over two regexp_extract_all groups)."""
+    out = []
+    for raw, text in _ANCHOR.findall(html):
+        c = canonicalize_href(base_url, raw)
+        if c is not None:
+            out.append((c, text))
+    return out
+
+
+def extract_anchors_stage(
+    ds: ray.data.Dataset,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> ray.data.Dataset:
+    """``(ids..., url, html) → (ids..., href, anchor)``."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        htmls = batch.column(html_col).to_pylist()
+        reps: list[int] = []
+        hrefs: list[str] = []
+        anchors: list[str] = []
+        for u, h in zip(urls, htmls):
+            pairs = extract_anchors(u, h)
+            reps.append(len(pairs))
+            hrefs.extend(p[0] for p in pairs)
+            anchors.extend(p[1] for p in pairs)
+        idx = np.repeat(np.arange(batch.num_rows), reps)
+        cols = {c: batch.column(c).take(pa.array(idx)) for c in id_cols}
+        cols["href"] = pa.array(hrefs, type=pa.string())
+        cols["anchor"] = pa.array(anchors, type=pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def html_text_stage(
@@ -193,6 +240,7 @@ def resolve_links(
     href_col: str = "href",
     map_url_col: str = "url",
     map_id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
     n_parts: int = 64,
 ) -> ray.data.Dataset:
     """Inner-join extracted links to page ids → edges ``(src, dst)``.
@@ -201,26 +249,36 @@ def resolve_links(
     tag-union discipline of ``functions/graph.py``): links that resolve to
     no crawled page (dead links) drop out, links to the same page keep one
     edge PER OCCURRENCE (PageRank mass follows link multiplicity — same as
-    the SQL twin's plain inner join).
+    the SQL twin's plain inner join).  ``carry_cols`` ride from the links
+    side into the output (e.g. the anchor text); the mapping side fills
+    them with type-matched empties.
     """
+    carry_types = {
+        c: links.schema().base_schema.field(c).type for c in carry_cols
+    }
 
     def tag_link(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": pc.cast(b.column(href_col), pa.large_string()),
-                "src": pc.cast(b.column(src_col), pa.int64()),
-                "flag": pa.array(np.ones(b.num_rows, dtype=np.int8)),
-            }
-        )
+        cols = {
+            "key": pc.cast(b.column(href_col), pa.large_string()),
+            "src": pc.cast(b.column(src_col), pa.int64()),
+            "flag": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        }
+        for c in carry_cols:
+            cols[c] = b.column(c)
+        return pa.table(cols)
 
     def tag_map(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": pc.cast(b.column(map_url_col), pa.large_string()),
-                "src": pc.cast(b.column(map_id_col), pa.int64()),
-                "flag": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-            }
-        )
+        cols = {
+            "key": pc.cast(b.column(map_url_col), pa.large_string()),
+            "src": pc.cast(b.column(map_id_col), pa.int64()),
+            "flag": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        }
+        for c in carry_cols:
+            t = carry_types[c]
+            cols[c] = pa.array(
+                [b"" if pa.types.is_binary(t) else ""] * b.num_rows, type=t
+            )
+        return pa.table(cols)
 
     tagged = links.map_batches(
         tag_link, batch_format="pyarrow", zero_copy_batch=True
@@ -238,17 +296,21 @@ def resolve_links(
         ln_keys = keys[~is_map]
         ln_src = df["src"].to_numpy()[~is_map]
         if ln_keys.size == 0 or mp_keys.size == 0:
-            return pd.DataFrame({"src": np.array([], dtype=np.int64),
-                                 "dst": np.array([], dtype=np.int64)})
+            empty = {"src": np.array([], dtype=np.int64),
+                     "dst": np.array([], dtype=np.int64)}
+            for c in carry_cols:
+                empty[c] = np.array([], dtype=object)
+            return pd.DataFrame(empty)
         pos = np.searchsorted(mp_keys, ln_keys)
         pos_c = np.minimum(pos, mp_keys.size - 1)
         live = mp_keys[pos_c] == ln_keys
-        return pd.DataFrame(
-            {
-                "src": ln_src[live].astype(np.int64),
-                "dst": mp_ids[pos_c[live]].astype(np.int64),
-            }
-        )
+        out = {
+            "src": ln_src[live].astype(np.int64),
+            "dst": mp_ids[pos_c[live]].astype(np.int64),
+        }
+        for c in carry_cols:
+            out[c] = df[c].to_numpy()[~is_map][live]
+        return pd.DataFrame(out)
 
     return coarse_grouped(
         tagged, lambda b: str_pid(b, "key", n_parts), join_part
