@@ -242,3 +242,29 @@ class TestPagerankEdges:
             (0, 10),
             (2, 11),
         ]
+
+
+class TestAnchors:
+    def test_anchor_pairs_and_unclosed(self):
+        from vexor_ray.stages.html import extract_anchors
+
+        h = (
+            '<a href="/a">first</a>'
+            '<a href="mailto:x">drop</a>'
+            '<A HREF="HTTP://H.io/B#f" class="x">Bold <b>text</b></A>'
+            '<a href="/unclosed">never closes'
+        )
+        got = extract_anchors(BASE, h)
+        # unclosed element yields no pair; inner markup kept raw
+        assert got == [
+            ("https://corpus.example/a", "first"),
+            ("http://h.io/B", "Bold <b>text</b>"),
+        ]
+
+    def test_anchor_multiline(self):
+        from vexor_ray.stages.html import extract_anchors
+
+        h = '<a href="/x">line one\nline two</a>'
+        assert extract_anchors(BASE, h) == [
+            ("https://corpus.example/x", "line one\nline two")
+        ]
