@@ -19,6 +19,9 @@ from typing import Any
 import numpy as np
 
 _BM25_QUERY = "table query join"
+# anchor_boosted_real mixes a body term with an anchor-text term ("guide"
+# appears only in rendered <a> text) so the anchor field is non-trivial.
+_ANCHOR_REAL_QUERY = "table guide"
 _TOPK_QUERY = "spark hash join"
 
 # tokenizer as one DuckDB expression (must match vexor_ray.spec.TOKEN_RE on
@@ -205,6 +208,17 @@ def _q_anchor_terms_real(sf_dir: str):
     from vexor_ray.pipelines.web import anchor_terms_real_table
 
     return anchor_terms_real_table(sf_dir)
+
+
+def _q_anchor_boosted_real(sf_dir: str):
+    """BM25 + REAL extracted-anchor fusion (the crawl-native arm of
+    anchor_boosted): query-filtered anchors shuffle once, dyadic weight
+    keeps the fusion twin-exact (pipelines/web.py).  The query mixes a
+    body term ('table') with an anchor-text term ('guide') so the anchor
+    field genuinely moves the ranking."""
+    from vexor_ray.pipelines.web import anchor_boosted_real_table
+
+    return anchor_boosted_real_table(sf_dir, _ANCHOR_REAL_QUERY, k=10)
 
 
 def _q_crawl_export(sf_dir: str):
@@ -1482,6 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": _q_search_after,
         "crawl_export": _q_crawl_export,
         "anchor_terms_real": _q_anchor_terms_real,
+        "anchor_boosted_real": _q_anchor_boosted_real,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2332,6 +2347,14 @@ def _anchor_terms_real_sql() -> str:
     return anchor_terms_real_sql()
 
 
+def _anchor_boosted_real_sql() -> str:
+    from vexor_ray.pipelines.web import anchor_boosted_real_sql
+
+    return anchor_boosted_real_sql(
+        _bm25_cte(_ANCHOR_REAL_QUERY.split()), k=10
+    )
+
+
 def _mmr_sql(query_terms: list[str], k: int = 5, n_cand: int = 20) -> str:
     """Unrolled greedy-MMR twin: rel = ROUND(bm25,6); similarity =
     distinct-token Jaccard (one IEEE int/int division — bit-exact, no
@@ -2451,6 +2474,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "robots_filter": _robots_filter_sql(),
         "crawl_export": _crawl_export_sql(),
         "anchor_terms_real": _anchor_terms_real_sql(),
+        "anchor_boosted_real": _anchor_boosted_real_sql(),
         "search_after": (
             "\nWITH "
             + _bm25_cte(_BM25_QUERY.split())

@@ -861,7 +861,11 @@ def anchor_terms_real_table(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def anchor_terms_real_sql() -> str:
+def _real_anchor_ctes() -> str:
+    """CTE chain ``az → ac → rl → at`` yielding ``at(dst, term)`` — one
+    row per anchor-text token occurrence pointing at a resolved in-corpus
+    target.  Twin of ``extract_anchors_stage`` + ``resolve_links`` +
+    token explode (assumes ``hpages`` from :func:`_html_ctes` in scope)."""
     from ..stages.html import ANCHOR_RE, ORIGIN_RE
 
     apat = _sql_quote(ANCHOR_RE)
@@ -876,11 +880,7 @@ def anchor_terms_real_sql() -> str:
    WHEN split_part(pr[1], '#', 1) LIKE '/%'
      THEN lower(regexp_extract(url, '{origin}', 1)) || split_part(pr[1], '#', 1)
    ELSE NULL END"""
-    return (
-        "WITH "
-        + _html_ctes()
-        + f""",
-az AS (SELECT doc_id, url,
+    return f"""az AS (SELECT doc_id, url,
   UNNEST(list_zip(regexp_extract_all(html, '{apat}', 1),
                   regexp_extract_all(html, '{apat}', 2))) AS pr
   FROM hpages),
@@ -888,7 +888,126 @@ ac AS (SELECT {canon} AS href, pr[2] AS anchor FROM az),
 rl AS (SELECT m.doc_id AS dst, a.anchor
        FROM ac a JOIN hpages m ON a.href = m.url),
 at AS (SELECT dst, UNNEST(regexp_extract_all(lower(anchor), '[a-z0-9_]+')) AS term
-       FROM rl)
+       FROM rl)"""
+
+
+def anchor_terms_real_sql() -> str:
+    return (
+        "WITH "
+        + _html_ctes()
+        + ",\n"
+        + _real_anchor_ctes()
+        + """
 SELECT dst AS doc_id, term, COUNT(*) AS cnt FROM at
 GROUP BY dst, term ORDER BY doc_id, term"""
+    )
+
+
+def anchor_boosted_real_sql(bm25_cte: str, k: int = 10) -> str:
+    """SQL twin of :func:`anchor_boosted_real_table`: the caller supplies
+    the shared BM25 CTE block (defines ``scores(doc_id, s)`` and
+    ``qt(term)``); the anchor side re-derives real anchor-token counts
+    per target and fuses ``ROUND(s,6) + 0.25*cnt`` — dyadic weight ×
+    int is exact, one IEEE add, so ``fused`` hashes exactly."""
+    return (
+        "WITH "
+        + bm25_cte
+        + ",\n"
+        + _html_ctes()
+        + ",\n"
+        + _real_anchor_ctes()
+        + f""",
+acnt AS (SELECT dst AS doc_id, COUNT(*) AS cnt FROM at
+         WHERE term IN (SELECT term FROM qt) GROUP BY dst)
+SELECT s.doc_id, ROUND(s.s, 6) + 0.25 * COALESCE(acnt.cnt, 0) AS fused,
+ CAST(row_number() OVER (
+   ORDER BY ROUND(s.s, 6) + 0.25 * COALESCE(acnt.cnt, 0) DESC, s.doc_id
+ ) AS INT) AS rank
+FROM scores s LEFT JOIN acnt USING(doc_id)
+ORDER BY fused DESC, s.doc_id LIMIT {k}"""
+    )
+
+
+def anchor_boosted_real_table(
+    sf_dir: str, query: str, k: int = 10, weight: float = 0.25
+) -> pa.Table:
+    """BM25 + REAL anchor-text fusion: like ``anchor_boosted_table`` but
+    the anchor field comes from extracted ``<a>`` elements instead of the
+    hash-derived graph.  Query-term filtering happens inside the explode
+    stage so only matching anchors shuffle; the per-dst count table is
+    match-set bounded.  ``fused = ROUND(bm25,6) + weight*cnt`` with a
+    dyadic weight — twin-identical by exact product + one IEEE add."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import coarse_grouped, int_pid
+    from ..spec import TOKEN_PATTERN
+    from ..stages.html import extract_anchors_stage, resolve_links
+    from .corpus import DocumentsSearcher, orig_ids_streamed
+
+    s = DocumentsSearcher(sf_dir)
+    sr = s.searcher
+    terms = sr.preprocess_query(query)
+    tset = set(terms)
+    iid, raw = sr._exact_scores(terms, sr.term_chunks(terms))
+    ids = orig_ids_streamed(sr, iid)
+    sc = np.round(raw, 6)
+    fused = sc.copy()
+
+    pages = rendered_pages(sf_dir)
+    anchors = extract_anchors_stage(pages)
+    mapping = pages.map_batches(
+        lambda b: b.select(["doc_id", "url"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    resolved = resolve_links(anchors, mapping, carry_cols=("anchor",))
+    tok = _re.compile(TOKEN_PATTERN)
+
+    def explode_matching(batch: pa.Table) -> pa.Table:
+        dsts, cnts = [], []
+        for d, a in zip(
+            batch.column("dst").to_pylist(), batch.column("anchor").to_pylist()
+        ):
+            c = sum(1 for t in tok.findall(a.lower()) if t in tset)
+            if c:
+                dsts.append(int(d))
+                cnts.append(c)
+        return pa.table(
+            {
+                "dst": pa.array(dsts, type=pa.int64()),
+                "cnt": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    def sum_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dst", sort=False, as_index=False)["cnt"].sum()
+        return g
+
+    counts = coarse_grouped(
+        resolved.map_batches(
+            explode_matching, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        lambda b: int_pid(b, ["dst"], 64),
+        sum_part,
+    ).to_pandas()
+
+    if len(counts) and ids.size:
+        a_dst = counts["dst"].to_numpy(dtype=np.int64)
+        a_cnt = counts["cnt"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(ids, a_dst)
+        pos[pos >= ids.size] = ids.size - 1
+        live = ids[pos] == a_dst
+        fused[pos[live]] += weight * a_cnt[live].astype(np.float64)
+    order = np.lexsort((ids, -fused))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "fused": pa.array(fused[order], type=pa.float64()),
+            "rank": pa.array(
+                np.arange(1, order.size + 1, dtype=np.int32), type=pa.int32()
+            ),
+        }
     )
