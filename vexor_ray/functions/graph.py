@@ -191,6 +191,17 @@ def _iterate(
             stage1, lambda b: int_pid(b, ["dst"], n_parts), sum_part
         )
 
+    # Block-count discipline: union adds the edge-side blocks and the
+    # sort-based groupby preserves input block count, so without coalescing
+    # every iteration's rank dataset grows by ~edge_blocks blocks — cost per
+    # iteration then climbs linearly (measured 1.7 → 6.5 s/iter over 5
+    # iterations on a 500-row graph) and metadata bloats identically at
+    # cluster scale.  Repartition (split/merge, no shuffle) back to the
+    # incoming rank-block count keeps every iteration the same size.
+    try:
+        target_blocks = max(1, ranks.num_blocks())
+    except Exception:
+        target_blocks = n_parts
     store = None
     if checkpoint is not None:
         from ..index.storage import Store
@@ -208,30 +219,35 @@ def _iterate(
             if store.exists(rel):
                 store.delete_dir(rel)  # partial dir from a crash: recompute
             store.mkdirs(rel)
-            one_iteration(ranks).write_parquet(
+            one_iteration(ranks).repartition(target_blocks).write_parquet(
                 store.path(rel), filesystem=store.fs
             )
             files = store.list_files(rel, suffix=".parquet")
             store.write_json_atomic(marker, {"iter": i, "files": files})
             ranks = ray.data.read_parquet(files, filesystem=store.fs)
         else:
-            ranks = one_iteration(ranks).materialize()
+            ranks = one_iteration(ranks).repartition(target_blocks).materialize()
     return ranks
 
 
 def _initial_ranks(docs: ray.data.Dataset, r0: int) -> ray.data.Dataset:
-    return docs.map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "rank": pa.array(
-                    np.full(b.num_rows, r0, dtype=np.int64), type=pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()
+    from .groups import compact_blocks
+
+    return compact_blocks(
+        docs.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "rank": pa.array(
+                        np.full(b.num_rows, r0, dtype=np.int64),
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+    )
 
 
 def pagerank(

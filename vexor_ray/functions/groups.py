@@ -89,6 +89,32 @@ def coarse_grouped(
     return tagged.groupby("pid").map_groups(run, batch_format="pandas")
 
 
+def compact_blocks(
+    ds: ray.data.Dataset, rows_per_block: int = 65536
+) -> ray.data.Dataset:
+    """Coalesce a MATERIALIZED dataset whose blocks are much smaller than
+    ``rows_per_block`` (split/merge repartition — no shuffle).
+
+    Map/extract stages inherit the block count of their (wide) input, so a
+    small derived table — an edge list, a rank vector — can land in dozens
+    of near-empty blocks; every later union/sort/iteration then pays
+    per-block overhead on air.  Count and block count are metadata-free on
+    a materialized dataset, so the check costs nothing; datasets already at
+    a sane rows/block ratio are returned unchanged (no-op at scale, where
+    blocks are full)."""
+    try:
+        n_blocks = ds.num_blocks()
+        n_rows = ds.count()
+    except Exception:
+        return ds
+    if not n_blocks or n_blocks <= 1:
+        return ds
+    target = max(1, min(n_blocks, -(-n_rows // rows_per_block)))
+    if target >= n_blocks:
+        return ds
+    return ds.repartition(target).materialize()
+
+
 def dedup_int_pairs(
     ds: ray.data.Dataset,
     key_cols: list[str],

@@ -133,11 +133,15 @@ def pagerank_links_topk(sf_dir: str, k: int = 100, iters: int = 5) -> pa.Table:
     """Driver query ``pagerank_links``: top-k PageRank over the EXTRACTED
     link graph (variable out-degree; edges materialized once)."""
     from ..functions.graph import _ranks_topk, pagerank_edges
+    from ..functions.groups import compact_blocks
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
-    edges = link_edges(sf_dir).materialize()
+    # href extraction inherits the wide html input's block count; compact
+    # the (narrow) edge list so iterations don't union dozens of near-empty
+    # blocks per pass
+    edges = compact_blocks(link_edges(sf_dir).materialize())
     return _ranks_topk(pagerank_edges(docs, edges, iters=iters), k)
 
 
