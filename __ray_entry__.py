@@ -210,6 +210,15 @@ def _q_anchor_terms_real(sf_dir: str):
     return anchor_terms_real_table(sf_dir)
 
 
+def _q_bm25f_topk(sf_dir: str):
+    """Field-weighted BM25F (title=first-8-tokens field at w=2, body w=1,
+    per-field length norms): two streamed scans, zero shuffles, per-block
+    top-k (functions/bm25f.py)."""
+    from vexor_ray.functions.bm25f import bm25f_topk
+
+    return bm25f_topk(sf_dir, _BM25_QUERY, k=10)
+
+
 def _q_anchor_boosted_real(sf_dir: str):
     """BM25 + REAL extracted-anchor fusion (the crawl-native arm of
     anchor_boosted): query-filtered anchors shuffle once, dyadic weight
@@ -1497,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_export": _q_crawl_export,
         "anchor_terms_real": _q_anchor_terms_real,
         "anchor_boosted_real": _q_anchor_boosted_real,
+        "bm25f_topk": _q_bm25f_topk,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2355,6 +2365,13 @@ def _anchor_boosted_real_sql() -> str:
     )
 
 
+def _bm25f_sql() -> str:
+    from vexor_ray.functions.bm25f import bm25f_sql
+    from vexor_ray.refimpl.bm25 import preprocess_query
+
+    return bm25f_sql(preprocess_query(_BM25_QUERY), k=10)
+
+
 def _mmr_sql(query_terms: list[str], k: int = 5, n_cand: int = 20) -> str:
     """Unrolled greedy-MMR twin: rel = ROUND(bm25,6); similarity =
     distinct-token Jaccard (one IEEE int/int division — bit-exact, no
@@ -2475,6 +2492,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "crawl_export": _crawl_export_sql(),
         "anchor_terms_real": _anchor_terms_real_sql(),
         "anchor_boosted_real": _anchor_boosted_real_sql(),
+        "bm25f_topk": _bm25f_sql(),
         "search_after": (
             "\nWITH "
             + _bm25_cte(_BM25_QUERY.split())

