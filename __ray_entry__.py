@@ -210,6 +210,16 @@ def _q_anchor_terms_real(sf_dir: str):
     return anchor_terms_real_table(sf_dir)
 
 
+def _q_proximity_topk(sf_dir: str):
+    """BM25 + term-proximity fusion: min distance between two DISTINCT
+    query terms boosts the doc by 0.25/(1+mindist) — positional ranking
+    on top of bag-of-words, one streamed scan, no shuffle
+    (pipelines/corpus.py::proximity_topk_table)."""
+    from vexor_ray.pipelines.corpus import proximity_topk_table
+
+    return proximity_topk_table(sf_dir, _BM25_QUERY, k=10)
+
+
 def _q_bm25f_topk(sf_dir: str):
     """Field-weighted BM25F (title=first-8-tokens field at w=2, body w=1,
     per-field length norms): two streamed scans, zero shuffles, per-block
@@ -1507,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_terms_real": _q_anchor_terms_real,
         "anchor_boosted_real": _q_anchor_boosted_real,
         "bm25f_topk": _q_bm25f_topk,
+        "proximity_topk": _q_proximity_topk,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2372,6 +2383,35 @@ def _bm25f_sql() -> str:
     return bm25f_sql(preprocess_query(_BM25_QUERY), k=10)
 
 
+def _proximity_sql(query_terms: list[str], k: int = 10) -> str:
+    """Proximity-fusion twin: mindist over distinct-term pairs via a
+    positional self-join; ``0.25 / (1.0 + mindist)`` and the single IEEE
+    add mirror the Ray expression tree exactly (docs without two distinct
+    terms take the +0.0 identity)."""
+    return (
+        "\nWITH "
+        + _bm25_cte(query_terms)
+        + f""",
+tl AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+tokp AS (SELECT doc_id, unnest(ts) AS term,
+                unnest(range(1, len(ts) + 1)) AS ord FROM tl),
+pt AS (SELECT doc_id, term, ord FROM tokp
+       WHERE term IN (SELECT term FROM qt)),
+pd AS (SELECT a.doc_id, MIN(abs(a.ord - b.ord)) AS mindist
+       FROM pt a JOIN pt b
+         ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY a.doc_id)
+SELECT s.doc_id,
+ ROUND(s.s, 6) + COALESCE(0.25 / (1.0 + pd.mindist), 0.0) AS fused,
+ CAST(row_number() OVER (
+   ORDER BY ROUND(s.s, 6) + COALESCE(0.25 / (1.0 + pd.mindist), 0.0) DESC,
+            s.doc_id
+ ) AS INT) AS rank
+FROM scores s LEFT JOIN pd USING (doc_id)
+ORDER BY fused DESC, s.doc_id LIMIT {k}"""
+    )
+
+
 def _mmr_sql(query_terms: list[str], k: int = 5, n_cand: int = 20) -> str:
     """Unrolled greedy-MMR twin: rel = ROUND(bm25,6); similarity =
     distinct-token Jaccard (one IEEE int/int division — bit-exact, no
@@ -2493,6 +2533,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "anchor_terms_real": _anchor_terms_real_sql(),
         "anchor_boosted_real": _anchor_boosted_real_sql(),
         "bm25f_topk": _bm25f_sql(),
+        "proximity_topk": _proximity_sql(_BM25_QUERY.split()),
         "search_after": (
             "\nWITH "
             + _bm25_cte(_BM25_QUERY.split())

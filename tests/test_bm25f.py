@@ -12,7 +12,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from vexor_ray.functions.bm25f import HEAD_LEN, bm25f_sql, bm25f_topk
+from vexor_ray.functions.bm25f import bm25f_sql, bm25f_topk
 
 
 @pytest.fixture(scope="module")
@@ -76,4 +76,29 @@ def test_short_docs_entirely_title(ray_session, tmp_path):
     t = bm25f_topk(str(tmp_path), "beta alpha", k=10)
     assert t.num_rows == 2
     assert t.column("doc_id").to_pylist()[0] == 0  # two hits beat one
-    assert all(len(tok) <= HEAD_LEN for tok in [[1]])  # smoke: constant used
+
+
+def test_proximity_boost_orders_adjacent_terms_first(ray_session, tmp_path):
+    """proximity_topk: same tf/df/length everywhere — only the distance
+    between the two query terms differs, so ranking follows proximity."""
+    from vexor_ray.pipelines.corpus import proximity_topk_table
+
+    filler = [f"pad{i}" for i in range(28)]
+    # alpha..beta distance 1 / 5 / 20 with identical doc length + tf
+    def mk(dist):
+        toks = list(filler)
+        toks.insert(3, "alpha")
+        toks.insert(3 + dist, "beta")
+        return " ".join(toks)
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array([mk(20), mk(1), mk(5)]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    t = proximity_topk_table(str(tmp_path), "alpha beta", k=3)
+    assert t.column("doc_id").to_pylist() == [1, 2, 0]

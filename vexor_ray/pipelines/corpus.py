@@ -402,6 +402,89 @@ def anchor_boosted_table(
     )
 
 
+def proximity_topk_table(
+    sf_dir: str, query: str, k: int = 10, weight: float = 0.25
+) -> pa.Table:
+    """BM25 + term-proximity fusion: docs where two DIFFERENT query terms
+    occur close together get boosted — the positional ranking signal on
+    top of the bag-of-words score.
+
+    ``fused = ROUND(bm25, 6) + weight / (1.0 + mindist)`` where ``mindist``
+    is the minimum position distance between occurrences of two distinct
+    query terms (single-term docs get no boost).  The min over all
+    distinct-term pairs equals the min over ADJACENT entries of the
+    position-sorted occurrence list with differing terms, so the per-doc
+    kernel is one ``np.diff`` over the query-term positions — one streamed
+    column-pruned scan, no shuffle, driver state bounded by the
+    multi-term-match set (the same size class as the fused score array)."""
+    import numpy as np
+
+    from ..spec import TOKEN_RE
+
+    s = DocumentsSearcher(sf_dir)
+    sr = s.searcher
+    terms = sr.preprocess_query(query)
+    iid, raw = sr._exact_scores(terms, sr.term_chunks(terms))
+    ids = orig_ids_streamed(sr, iid)  # ascending (url order = id order)
+    sc = np.round(raw, 6)
+    fused = sc.copy()
+    t_idx = {t: i for i, t in enumerate(terms)}
+
+    def min_dists(batch: pa.Table) -> pa.Table:
+        out_id, out_d = [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = TOKEN_RE.findall((text or "").lower())
+            pos, tid = [], []
+            for p, t in enumerate(toks):
+                i = t_idx.get(t)
+                if i is not None:
+                    pos.append(p)
+                    tid.append(i)
+            if len(set(tid)) < 2:
+                continue
+            p_np = np.asarray(pos, dtype=np.int64)
+            t_np = np.asarray(tid, dtype=np.int64)
+            neq = t_np[1:] != t_np[:-1]
+            out_id.append(int(did))
+            out_d.append(int(np.diff(p_np)[neq].min()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "mindist": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    prox = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(min_dists, batch_format="pyarrow", zero_copy_batch=True)
+    refs = prox.to_arrow_refs()
+    tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+    if tables and ids.size:
+        tbl = pa.concat_tables(tables)
+        p_dst = tbl.column("doc_id").to_numpy()
+        p_d = tbl.column("mindist").to_numpy()
+        pos = np.searchsorted(ids, p_dst)
+        pos[pos >= ids.size] = ids.size - 1
+        live = ids[pos] == p_dst
+        # same expression tree as the twin: weight / (1.0 + mindist)
+        fused[pos[live]] = sc[pos[live]] + weight / (
+            1.0 + p_d[live].astype(np.float64)
+        )
+    order = np.lexsort((ids, -fused))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "fused": pa.array(fused[order], type=pa.float64()),
+            "rank": pa.array(
+                np.arange(1, order.size + 1, dtype=np.int32), type=pa.int32()
+            ),
+        }
+    )
+
+
 def query_language_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     """Mini query language (query/qlang.py): must / must-not filters,
     exact-phrase clauses (positions sidecar), prefix and fuzzy expansion,
