@@ -149,20 +149,23 @@ def test_compaction_crash_leaves_old_index_readable(ray_session, tmp_path):
     from vexor_ray.index.build import compact_index
     from vexor_ray.index.manifest import InjectedFault
 
-    # self-contained index with an incremental history (gens [0, 1])
+    # self-contained index with an incremental history (gens [0, 1]);
+    # manifest_history=1 keeps no old snapshots, so compaction GC must
+    # remove every superseded generation (the pre-snapshot contract)
+    cfg_kw = dict(manifest_history=1)
     pages = write_pages(tmp_path / "pages", 200, seed=42, rows_per_file=50)
     idx = tmp_path / "idx_crash"
-    build_index(pages, idx, _cfg())
+    build_index(pages, idx, _cfg(**cfg_kw))
     shards = sorted(pages.glob("part-*.parquet"))
     pq.write_table(generate_pages(120, seed=55).slice(20, 40), shards[1])
-    manifest_before = build_index(pages, idx, _cfg())
+    manifest_before = build_index(pages, idx, _cfg(**cfg_kw))
     assert all(len(g) == 2 for g in manifest_before["wave_gens"].values())
     queries = generate_queries(10, seed=33)
     want = [Searcher(idx).search(q["query"], k=10, method="exact") for q in queries]
 
     # kill mid-compaction (after the first segment-partition commit)
     with pytest.raises(InjectedFault):
-        compact_index(pages, idx, _cfg(fail_after_partitions=1))
+        compact_index(pages, idx, _cfg(fail_after_partitions=1, **cfg_kw))
 
     # the previously committed manifest is untouched and fully readable
     s = Searcher(idx)
@@ -170,7 +173,7 @@ def test_compaction_crash_leaves_old_index_readable(ray_session, tmp_path):
     assert got == want
 
     # a re-run finishes the compaction; results unchanged; old gens GC'd
-    manifest = compact_index(pages, idx, _cfg())
+    manifest = compact_index(pages, idx, _cfg(**cfg_kw))
     for w, gens in manifest["wave_gens"].items():
         assert len(gens) == 1 and gens[0]["full"]
     seg_dirs = sorted(p.name for p in (idx / "segments").iterdir())

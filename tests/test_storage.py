@@ -92,12 +92,23 @@ def test_pointer_swap_manifest_commit(tmp_path):
     assert not store.exists("manifest.json")
     name1 = store.read_json("CURRENT")["manifest"]
 
-    # second finalize swaps the pointer and GCs the superseded manifest
+    # second finalize swaps the pointer; the superseded manifest is
+    # RETAINED as a pinnable snapshot (manifest_history default)
     man.finalize(config={"v": 2}, stats={"doc_count": 2})
     name2 = store.read_json("CURRENT")["manifest"]
     assert name2 != name1
-    assert not store.exists(name1)
+    assert store.exists(name1)
     assert load_manifest(store)["config"] == {"v": 2}
+    assert load_manifest(store, at=name1)["config"] == {"v": 1}
+    from vexor_ray.index.manifest import list_manifests
+
+    assert [e["seq"] for e in list_manifests(store)] == [0, 1]
+
+    # keep_manifests=1 expires history down to the new commit
+    man.finalize(config={"v": 3}, stats={"doc_count": 3}, keep_manifests=1)
+    assert not store.exists(name1)
+    assert not store.exists(name2)
+    assert [e["seq"] for e in list_manifests(store)] == [2]
 
     # torn pointer PUT (undecodable) → loader falls back / raises cleanly
     with store.fs.open_output_stream(store.path("CURRENT")) as f:
@@ -184,7 +195,10 @@ def test_incremental_append_and_compact_on_object_store(
     local_pages = write_pages(tmp_path / "pages", 200, seed=7, rows_per_file=100)
     pages = _upload(local_pages, Store(object_store, "pages"))
     idx = Store(object_store, "idx")
-    build_index(pages, idx, _cfg())
+    # manifest_history=1: no snapshots retained, so compaction must leave
+    # ONLY live dirs (snapshot-protected GC is covered in test_snapshots)
+    _h1 = dict(manifest_history=1)
+    build_index(pages, idx, _cfg(**_h1))
     n_gen0 = len(
         [p for p in load_manifest(idx)["partitions"] if p["stage"] == "segments"]
     )
@@ -194,7 +208,7 @@ def test_incremental_append_and_compact_on_object_store(
     src = sorted(extra.glob("*.parquet"))[0]
     with object_store.open_output_stream("pages/part-zz-append.parquet") as out:
         out.write(src.read_bytes())
-    build_index(pages, idx, _cfg())
+    build_index(pages, idx, _cfg(**_h1))
     man = load_manifest(idx)
     seg_parts = [p for p in man["partitions"] if p["stage"] == "segments"]
     assert len(seg_parts) > n_gen0  # delta generations appended
@@ -211,7 +225,7 @@ def test_incremental_append_and_compact_on_object_store(
         )
 
     # compaction folds deltas into full generations and GCs superseded dirs
-    compact_index(pages, idx, _cfg())
+    compact_index(pages, idx, _cfg(**_h1))
     man2 = load_manifest(idx)
     for gens in man2["wave_gens"].values():
         assert len(gens) == 1 and gens[0]["full"]

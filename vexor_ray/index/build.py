@@ -119,6 +119,12 @@ class BuildConfig:
     # queries.  Opt-in: it roughly doubles segment bytes, the wrong default
     # at 100 TB unless the serving workload needs the cold-selective tail.
     impact_postings: bool = False
+    # snapshot retention: finalize() keeps this many committed manifest
+    # objects so readers can pin previous snapshots (time-travel across
+    # incremental generations — index/manifest.py::list_manifests).
+    # Retention policy, not index content: excluded from the rebuild
+    # fingerprint.
+    manifest_history: int = 3
     fail_after_partitions: int | None = None  # fault injection for resume tests
 
     def public_dict(self) -> dict:
@@ -490,6 +496,13 @@ def compact_index(
         if rec.stage == "segments":
             by_wave.setdefault(rec.lineage.get("wave"), []).append(rec)
     removed = False
+    # snapshot-referenced dirs survive for time-travel readers and expire
+    # with their snapshots (manifest.finalize sweep); the just-committed
+    # manifest is excluded — its partition list still carries the
+    # superseded generation records this loop is collecting
+    from .manifest import protected_data_dirs
+
+    protect = protected_data_dirs(store, exclude_current=True)
     for recs in by_wave.values():
         recs.sort(key=lambda r: r.lineage.get("gen", 0))
         base = 0
@@ -502,12 +515,14 @@ def compact_index(
             # paired term dictionary, which would otherwise orphan
             manifest.delete_partition(r.key())
             for d in _record_dirs(r):
-                store.delete_dir_abs(d)
+                if d not in protect:
+                    store.delete_dir_abs(d)
             td = all_recs.get(f"termdict--{r.partition_id}")
             if td is not None:
                 manifest.delete_partition(td.key())
                 for d in _record_dirs(td):
-                    store.delete_dir_abs(d)
+                    if d not in protect:
+                        store.delete_dir_abs(d)
             removed = True
     if removed:
         # refresh the manifest's informational partition list (waves /
@@ -749,6 +764,13 @@ def build_index(
         except FileNotFoundError:
             pass
 
+    # data dirs referenced by retained snapshots: every GC below skips
+    # them (time-travel readers stay valid); finalize sweeps them when
+    # their snapshots expire from history (index/manifest.py)
+    from .manifest import protected_data_dirs
+
+    protect = protected_data_dirs(store)
+
     # ---- stage 1: extract + tokenize, one partition per shard group -------
     groups = [
         files[i : i + cfg.shard_group_size]
@@ -781,7 +803,7 @@ def build_index(
             # sweep attempt dirs a crashed run left before its commit
             rec = manifest.load_partitions()[f"docs_tok--{pid}"]
             keep = {d.rsplit("/", 1)[-1] for d in _record_dirs(rec)}
-            gc_stale_attempts(store, "docs_tok", pid, keep)
+            gc_stale_attempts(store, "docs_tok", pid, keep, protect)
             continue
         t0 = time.perf_counter()
         read_cols = ["url", "text"] if cfg.pre_extracted else ["url", "html"]
@@ -857,7 +879,7 @@ def build_index(
                 lineage={"input_files": group, "config": cfg.public_dict()},
             )
         )
-        gc_stale_attempts(store, "docs_tok", pid, {dirname})
+        gc_stale_attempts(store, "docs_tok", pid, {dirname}, protect)
 
     # ---- stage 2: corpus stats (docIDs already assigned from lineage) ------
     # the docs_tok checkpoint IS the docs table: (doc_id, url, doc_len,
@@ -881,7 +903,11 @@ def build_index(
     }
     current_pid_set = set(current_pids)
     for name in store.subdirs("docs_tok"):
-        if attempt_pid(name) not in current_pid_set and name not in referenced:
+        if (
+            attempt_pid(name) not in current_pid_set
+            and name not in referenced
+            and store.path("docs_tok", name) not in protect
+        ):
             store.delete_dir("docs_tok", name)
     docs_fp = hashlib.sha1(
         (file_fingerprint(files, src_fs) + tok_fp).encode()
@@ -942,8 +968,10 @@ def build_index(
         ctx.max_hash_shuffle_aggregators = min(8, cfg.partitions_per_wave)
     import json as _json
 
+    _fp_cfg = cfg.public_dict()
+    _fp_cfg.pop("manifest_history", None)  # retention policy, not content
     cfg_fp = hashlib.sha1(
-        _json.dumps(cfg.public_dict(), sort_keys=True).encode()
+        _json.dumps(_fp_cfg, sort_keys=True).encode()
     ).hexdigest()
     try:
         for wave in range(cfg.num_waves):
@@ -1000,10 +1028,12 @@ def build_index(
             else:
                 # config / input-plan change (or first build): wipe stale
                 # generations and rebuild this wave from all groups
+                # (snapshot-referenced dirs stay for time-travel readers)
                 for r in gens:
                     manifest.delete_partition(r.key())
                     for d in _record_dirs(r):
-                        store.delete_dir_abs(d)
+                        if d not in protect:
+                            store.delete_dir_abs(d)
                 dirty = sorted(seg_fp_now)
                 next_gen = 0
             pid = f"wave-{wave:04d}-gen-{next_gen:04d}"
@@ -1122,7 +1152,7 @@ def build_index(
                     lineage=gen_lineage,
                 )
             )
-            gc_stale_attempts(store, "segments", pid, {seg_dirname})
+            gc_stale_attempts(store, "segments", pid, {seg_dirname}, protect)
     finally:
         ctx.shuffle_strategy = prev_strategy
         ctx.max_hash_shuffle_aggregators = prev_max_agg
@@ -1142,7 +1172,7 @@ def build_index(
         if manifest.is_done("termdict", pid, td_fp):
             tdrec = manifest.load_partitions()[f"termdict--{pid}"]
             keep = {d.rsplit("/", 1)[-1] for d in _record_dirs(tdrec)}
-            gc_stale_attempts(store, "termdict", pid, keep)
+            gc_stale_attempts(store, "termdict", pid, keep, protect)
             continue
         t0 = time.perf_counter()
         out_files: list[str] = []
@@ -1185,7 +1215,7 @@ def build_index(
             )
         )
         if dirname is not None:
-            gc_stale_attempts(store, "termdict", pid, {dirname})
+            gc_stale_attempts(store, "termdict", pid, {dirname}, protect)
 
     # ---- finalize ----------------------------------------------------------
     # waves        — flat file lists (all generations), for simple consumers;

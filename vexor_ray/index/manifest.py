@@ -41,6 +41,17 @@ from .storage import Store
 MANIFEST_NAME = "manifest.json"  # legacy local-fs name (still written there)
 POINTER_NAME = "CURRENT"
 PARTIAL_DIR = "_manifest"
+HISTORY_KEEP_DEFAULT = 3  # snapshots retained by finalize() (tiny JSON)
+
+
+def _manifest_seq(basename: str) -> int | None:
+    """``manifest-<seq:08d>-<nonce>.json`` → seq; legacy names → None."""
+    if not (basename.startswith("manifest-") and basename.endswith(".json")):
+        return None
+    parts = basename[len("manifest-"):-len(".json")].split("-")
+    if len(parts) != 2 or not parts[0].isdigit():
+        return None
+    return int(parts[0])
 
 
 class InjectedFault(RuntimeError):
@@ -116,35 +127,132 @@ class BuildManifest:
             )
 
     # -- finalize ----------------------------------------------------------
-    def finalize(self, config: dict, stats: dict, extra: dict | None = None) -> dict:
+    def finalize(
+        self,
+        config: dict,
+        stats: dict,
+        extra: dict | None = None,
+        *,
+        keep_manifests: int | None = None,
+    ) -> dict:
+        """Commit a new snapshot (pointer-swap) and prune old ones.
+
+        Snapshot history: each commit writes
+        ``manifest-<seq:08d>-<nonce>.json`` with a monotonically increasing
+        ``seq``; the newest ``keep_manifests`` objects are RETAINED (they
+        are tiny JSON) so readers can pin a previous snapshot
+        (:func:`list_manifests` / ``load_manifest(at=...)`` /
+        ``Searcher(manifest_name=...)``) — time-travel across incremental
+        generations, which only ADD data files.  Compaction/purge rewrites
+        data files, so snapshots older than the last compaction are listed
+        but may no longer open.  ``keep_manifests`` defaults to the build
+        config's ``manifest_history`` (or 3).
+        """
         partitions = [dataclasses.asdict(r) for r in self.load_partitions().values()]
         partitions.sort(key=lambda r: (r["stage"], r["partition_id"]))
+        keep = keep_manifests
+        if keep is None:
+            try:
+                keep = int((config or {}).get("manifest_history") or 0)
+            except (TypeError, ValueError):
+                keep = 0
+            keep = keep or HISTORY_KEEP_DEFAULT
+        keep = max(1, keep)
+        seq = self._next_seq()
         manifest = {
             "format_version": INDEX_FORMAT_VERSION,
+            "snapshot_seq": seq,
             "config": config,
             "stats": stats,
             "partitions": partitions,
             **(extra or {}),
         }
         # pointer-swap commit: full manifest object first, tiny pointer last
-        name = f"manifest-{uuid.uuid4().hex[:8]}.json"
+        name = f"manifest-{seq:08d}-{uuid.uuid4().hex[:8]}.json"
         self.store.write_json_atomic(name, manifest)
-        self.store.write_json_atomic(POINTER_NAME, {"manifest": name})
+        self.store.write_json_atomic(POINTER_NAME, {"manifest": name, "seq": seq})
         if self.store.atomic_rename:
             # legacy local-fs name, committed by real rename — older readers
             # (and anything probing for manifest.json) keep working
             self.store.write_json_atomic(MANIFEST_NAME, manifest)
-        # GC superseded manifest objects (never the one just committed)
-        for f in self.store.list_files(suffix=".json"):
-            base = f.rsplit("/", 1)[-1]
-            if base.startswith("manifest-") and base != name:
-                self.store.delete_file(base)
+        # GC: keep the newest `keep` seq-named snapshots (incl. this one);
+        # legacy nonce-only names are always superseded
+        seq_named = sorted(
+            (
+                b
+                for b in (
+                    f.rsplit("/", 1)[-1]
+                    for f in self.store.list_files(suffix=".json")
+                )
+                if _manifest_seq(b) is not None
+            ),
+            reverse=True,
+        )
+        survivors = set(seq_named[:keep]) | {name}
+        pruned = [
+            b
+            for b in (
+                f.rsplit("/", 1)[-1]
+                for f in self.store.list_files(suffix=".json")
+            )
+            if b.startswith("manifest-") and b not in survivors
+        ]
+        # data expiry: directories referenced ONLY by expiring snapshots
+        # are deleted with them (data outlives its snapshot exactly as long
+        # as a retained snapshot still references it).  Refs are computed
+        # BEFORE the snapshot objects go; a kill mid-sweep leaks
+        # unreferenced dirs (bounded by one expiry round), never breaks a
+        # retained snapshot.
+        pruned_dirs: set[str] = set()
+        for b in pruned:
+            try:
+                pruned_dirs |= manifest_data_dirs(self.store.read_json(b))
+            except (json.JSONDecodeError, FileNotFoundError, OSError):
+                continue
+        if pruned_dirs:
+            keep_dirs = manifest_data_dirs(manifest)
+            for b in survivors - {name}:
+                try:
+                    keep_dirs |= manifest_data_dirs(self.store.read_json(b))
+                except (json.JSONDecodeError, FileNotFoundError, OSError):
+                    continue
+        for b in pruned:
+            self.store.delete_file(b)
+        if pruned_dirs:
+            for d in sorted(pruned_dirs - keep_dirs):
+                if d == self.store.base:
+                    continue
+                self.store.delete_dir_abs(d)
         return manifest
 
+    def _next_seq(self) -> int:
+        """Monotone snapshot sequence: pointer seq + 1, falling back to a
+        scan of existing snapshot names (legacy pointers carry no seq)."""
+        if self.store.exists(POINTER_NAME):
+            try:
+                cur = self.store.read_json(POINTER_NAME)
+                return int(cur["seq"]) + 1
+            except (json.JSONDecodeError, KeyError, TypeError, ValueError,
+                    FileNotFoundError, OSError):
+                pass
+        best = -1
+        for f in self.store.list_files(suffix=".json"):
+            s = _manifest_seq(f.rsplit("/", 1)[-1])
+            if s is not None and s > best:
+                best = s
+        return best + 1
 
-def load_manifest(index_dir: str | Path | Store, *, filesystem=None) -> dict:
-    """Read the committed manifest through the pointer (legacy fallback)."""
+
+def load_manifest(
+    index_dir: str | Path | Store, *, filesystem=None, at: str | None = None
+) -> dict:
+    """Read the committed manifest through the pointer (legacy fallback).
+
+    ``at``: a snapshot object name from :func:`list_manifests` — read that
+    snapshot instead of the current pointer (time-travel)."""
     store = Store.resolve(index_dir, filesystem)
+    if at is not None:
+        return store.read_json(at)
     if store.exists(POINTER_NAME):
         try:
             name = store.read_json(POINTER_NAME)["manifest"]
@@ -157,6 +265,74 @@ def load_manifest(index_dir: str | Path | Store, *, filesystem=None) -> dict:
         f"no committed index manifest under {store.path()} "
         "(build incomplete or not finalized)"
     )
+
+
+def manifest_data_dirs(manifest: dict) -> set[str]:
+    """Directories holding data this snapshot references (absolute paths):
+    every committed partition's output files plus the doc store."""
+    dirs: set[str] = set()
+    for p in manifest.get("partitions", []) or []:
+        for f in p.get("output_files", []) or []:
+            d = str(f).rsplit("/", 1)[0]
+            dirs.add(d)
+    for f in manifest.get("docs_files", []) or []:
+        dirs.add(str(f).rsplit("/", 1)[0])
+    return dirs
+
+
+def protected_data_dirs(
+    store: Store, *, exclude_current: bool = False
+) -> set[str]:
+    """Data directories referenced by ANY retained snapshot.
+
+    Build/compaction GC must skip these: superseded attempt dirs and
+    generations stay on disk while an older snapshot can still be pinned
+    to them, and are swept by ``finalize`` once the last referencing
+    snapshot expires from history.  Unreadable snapshot objects protect
+    nothing (torn PUT ≡ absent).
+
+    ``exclude_current``: drop the committed pointer target from the set —
+    for GC that runs right AFTER a commit and must reason about the live
+    manifest's files itself (compaction: the fresh manifest still lists
+    superseded generation records until the partition-list refresh, so
+    protecting the current snapshot would protect the very generations
+    being collected)."""
+    out: set[str] = set()
+    for e in list_manifests(store):
+        if exclude_current and e["current"]:
+            continue
+        try:
+            out |= manifest_data_dirs(store.read_json(e["name"]))
+        except (json.JSONDecodeError, FileNotFoundError, OSError):
+            continue
+    return out
+
+
+def list_manifests(
+    index_dir: str | Path | Store, *, filesystem=None
+) -> list[dict]:
+    """Retained snapshots, oldest → newest: ``{name, seq, current}``.
+
+    The newest entry is the committed pointer target; older entries are
+    readable through ``load_manifest(at=name)`` /
+    ``Searcher(manifest_name=name)`` as long as the data files they
+    reference survive (incremental generations only add files; compaction
+    and purge rewrite them, invalidating pre-compaction snapshots)."""
+    store = Store.resolve(index_dir, filesystem)
+    current = None
+    if store.exists(POINTER_NAME):
+        try:
+            current = store.read_json(POINTER_NAME)["manifest"]
+        except (json.JSONDecodeError, KeyError, FileNotFoundError, OSError):
+            current = None
+    out = []
+    for f in store.list_files(suffix=".json"):
+        base = f.rsplit("/", 1)[-1]
+        seq = _manifest_seq(base)
+        if seq is not None:
+            out.append({"name": base, "seq": seq, "current": base == current})
+    out.sort(key=lambda e: e["seq"])
+    return out
 
 
 def manifest_exists(index_dir: str | Path | Store, *, filesystem=None) -> bool:

@@ -244,15 +244,28 @@ def attempt_pid(dirname: str) -> str:
     return dirname.split("--", 1)[0]
 
 
-def gc_stale_attempts(store: Store, parent: str, pid: str, keep: set[str]) -> None:
+def gc_stale_attempts(
+    store: Store,
+    parent: str,
+    pid: str,
+    keep: set[str],
+    protect: "set[str] | frozenset" = frozenset(),
+) -> None:
     """Delete other attempts' directories for ``pid`` after a commit.
 
-    ``keep`` holds the directory names referenced by committed records.
-    Idempotent and crash-safe: these directories are unreferenced by any
-    record, so a kill mid-delete just leaves orphans for the next pass.
+    ``keep`` holds the directory names referenced by committed records;
+    ``protect`` holds FULL directory paths referenced by retained
+    snapshots (``manifest.protected_data_dirs``) — those stay on disk
+    until their snapshots expire.  Idempotent and crash-safe: deleted
+    directories are unreferenced by any record, so a kill mid-delete just
+    leaves orphans for the next pass.
     """
     for name in store.subdirs(parent):
-        if attempt_pid(name) == pid and name not in keep:
+        if (
+            attempt_pid(name) == pid
+            and name not in keep
+            and store.path(parent, name) not in protect
+        ):
             store.delete_dir(parent, name)
 
 

@@ -152,6 +152,7 @@ class Searcher:
         *,
         max_dense_docs: int | None = None,
         filesystem=None,
+        manifest_name: str | None = None,
     ):
         from ..index.storage import Store
 
@@ -163,7 +164,11 @@ class Searcher:
             Path(self._store.base) if self._store.atomic_rename else self._store
         )
         self._max_dense_docs_arg = max_dense_docs
-        self.manifest = load_manifest(self._store)
+        # manifest_name pins a retained snapshot (index/manifest.py::
+        # list_manifests) — time-travel read across incremental
+        # generations; None follows the committed pointer
+        self._manifest_name = manifest_name
+        self.manifest = load_manifest(self._store, at=manifest_name)
         stats = self.manifest["stats"]
         self.doc_count: int = stats["doc_count"]
         self.avg_doc_len: float = stats["avg_doc_len"]
@@ -381,8 +386,13 @@ class Searcher:
         long-lived searcher: the new manifest references the new (bit-
         identical) generation.  Decoded caches are dropped with the rest of
         the state — refresh is a rare event, warmth rebuilds on use.
+        A snapshot-pinned searcher stays pinned.
         """
-        self.__init__(self._store, max_dense_docs=self._max_dense_docs_arg)
+        self.__init__(
+            self._store,
+            max_dense_docs=self._max_dense_docs_arg,
+            manifest_name=self._manifest_name,
+        )
 
     _BASE_COLUMNS = [
         "th", "term", "salt", "n_postings",
