@@ -56,7 +56,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--method", default="auto", choices=["auto", "exact", "wand", "impact"]
     )
+    s.add_argument(
+        "--at",
+        default=None,
+        metavar="SNAPSHOT",
+        help="pin a retained snapshot (see `snapshots`) — time-travel read",
+    )
     s.add_argument("--porcelain", action="store_true", help="TSV output")
+
+    sn = sub.add_parser(
+        "snapshots", help="list retained index snapshots (time-travel pins)"
+    )
+    sn.add_argument("--index", required=True)
 
     c = sub.add_parser("chunk", help="materialize a sliding-window chunk corpus")
     c.add_argument("--input", required=True)
@@ -264,7 +275,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "search":
         from vexor_ray.query.searcher import Searcher
 
-        searcher = Searcher(args.index)
+        searcher = Searcher(args.index, manifest_name=args.at)
         hits = searcher.search_hits(
             [{"query_id": 0, "query": args.query, "k": args.k}], method=args.method
         )
@@ -276,6 +287,18 @@ def main(argv: list[str] | None = None) -> int:
                 )
         else:
             print(hits.to_pandas().to_string(index=False))
+        return 0
+
+    if args.cmd == "snapshots":
+        from vexor_ray.index.manifest import list_manifests, load_manifest
+
+        for e in list_manifests(args.index):
+            man = load_manifest(args.index, at=e["name"])
+            stats = man.get("stats", {})
+            print(
+                f"{'*' if e['current'] else ' '} seq={e['seq']:>4} "
+                f"{e['name']}  docs={stats.get('doc_count', '?')}"
+            )
         return 0
 
     if args.cmd == "compact":
