@@ -418,6 +418,18 @@ def bench_operators() -> dict:
     pagerank_links_topk(SF_DIR, k=100, iters=5)
     out["pagerank_links"] = round(time.perf_counter() - t0, 3)
 
+    # field/positional ranking over the documents table
+    from vexor_ray.functions.bm25f import bm25f_topk
+    from vexor_ray.pipelines.corpus import proximity_topk_table
+
+    t0 = time.perf_counter()
+    bm25f_topk(SF_DIR, "table query join", k=10)
+    out["bm25f"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    proximity_topk_table(SF_DIR, "table query join", k=10)
+    out["proximity_topk"] = round(time.perf_counter() - t0, 3)
+
     # WARC source throughput over the PAGES corpus (the volume-bearing
     # table at this sf): write one-member-per-record shards, read+parse back
     from vexor_ray.warc import read_warc, write_warc_dataset
