@@ -135,3 +135,64 @@ def test_compaction_preserves_retained_snapshots(snap_setup):
     old = Searcher(idx, manifest_name=hist_before[0]["name"])
     assert old.doc_count == snap_setup["count_gen0"]
     assert old.search("needledfone", k=10) == snap_setup["results_gen0"]
+
+
+def test_pinned_snapshot_keeps_deletion_view(ray_session, tmp_path):
+    """delete_docs commits a new snapshot; a reader pinned BEFORE the
+    delete still sees the full corpus (its tombstone/ledger objects are
+    protected while the snapshot is retained)."""
+    from vexor_ray.index.deletes import delete_docs
+
+    pages = write_pages(tmp_path / "pages", 200, seed=42, rows_per_file=100)
+    idx = tmp_path / "idx"
+    build_index(pages, idx, _cfg())
+    pre = Searcher(idx)
+    want = pre.search("needledfone", k=5)
+    assert want, "needle must match before deletion"
+    snap_pre = list_manifests(idx)[-1]["name"]
+    url = pre.lookup_urls([want[0][0]])[want[0][0]]
+
+    delete_docs(idx, [url])
+    cur = Searcher(idx)
+    assert all(d != want[0][0] for d, _ in cur.search("needledfone", k=5))
+
+    pinned = Searcher(idx, manifest_name=snap_pre)
+    assert pinned.search("needledfone", k=5) == want
+    assert pinned.live_doc_count == 200 and cur.live_doc_count == 199
+
+
+def test_snapshot_diff(snap_setup):
+    """Diff between gen0 and gen1 equals the url-set difference of the
+    underlying pages shards, reading only the changed group's files."""
+    import pyarrow.parquet as _pq
+
+    from vexor_ray.index.snapdiff import snapshot_diff
+
+    idx = snap_setup["idx"]
+    hist = list_manifests(idx)
+    d = snapshot_diff(idx, hist[0]["name"], hist[1]["name"])
+    # expected from the pages shards: shard 1 changed in snap_setup
+    shards = sorted(snap_setup["pages"].glob("part-*.parquet"))
+    new_shard = set(_pq.read_table(shards[1], columns=["url"])["url"].to_pylist())
+    old_all = {f"{u}" for u in snap_setup_urls_gen0(snap_setup)}
+    # recompute old shard-1 urls: gen0 total minus unchanged shards
+    unchanged = set()
+    for sh in shards:
+        if sh != shards[1]:
+            unchanged |= set(_pq.read_table(sh, columns=["url"])["url"].to_pylist())
+    old_shard = old_all - unchanged
+    assert d["added"] == len(new_shard - old_shard)
+    assert d["removed"] == len(old_shard - new_shard)
+    assert d["files_shared"] > 0  # unchanged groups were not read
+    assert d["from"]["snapshot_seq"] == 0 and d["to"]["snapshot_seq"] == 1
+    for u in d["added_sample"]:
+        assert u in new_shard and u not in old_shard
+
+
+def snap_setup_urls_gen0(snap_setup):
+    """Url set of the gen0 snapshot via a pinned searcher's docs dataset."""
+    s = Searcher(snap_setup["idx"], manifest_name=snap_setup["snap0"])
+    urls = []
+    for rb in s._docs_ds.to_batches(columns=["url"], batch_size=4096):
+        urls.extend(rb.column("url").to_pylist())
+    return set(urls)

@@ -69,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     sn.add_argument("--index", required=True)
 
+    sd = sub.add_parser(
+        "snapshot-diff", help="docs added/removed between two snapshots"
+    )
+    sd.add_argument("--index", required=True)
+    sd.add_argument("--from", dest="from_name", default=None, metavar="SNAPSHOT")
+    sd.add_argument("--to", dest="to_name", default=None, metavar="SNAPSHOT")
+
     c = sub.add_parser("chunk", help="materialize a sliding-window chunk corpus")
     c.add_argument("--input", required=True)
     c.add_argument("--out", required=True)
@@ -299,6 +306,19 @@ def main(argv: list[str] | None = None) -> int:
                 f"{'*' if e['current'] else ' '} seq={e['seq']:>4} "
                 f"{e['name']}  docs={stats.get('doc_count', '?')}"
             )
+        return 0
+
+    if args.cmd == "snapshot-diff":
+        import json as _json
+
+        from vexor_ray.index.snapdiff import snapshot_diff
+
+        print(
+            _json.dumps(
+                snapshot_diff(args.index, args.from_name, args.to_name),
+                indent=1,
+            )
+        )
         return 0
 
     if args.cmd == "compact":

@@ -132,9 +132,22 @@ def refresh_resolution(
 
 def gc_delete_objects(store: Store, deletes: dict) -> None:
     """Drop superseded ledger/tomb objects (call only AFTER the manifest
-    referencing ``deletes`` has committed)."""
+    referencing ``deletes`` has committed).
+
+    Ledger/tomb objects referenced by RETAINED snapshots survive too, so a
+    snapshot-pinned reader keeps its deletion view (they expire with their
+    snapshots at the next commit's GC pass)."""
+    from .manifest import list_manifests, load_manifest as _load
+
     sub = store.sub(DELETES_DIR)
     keep = {deletes.get("ledger"), deletes.get("tomb")}
+    for e in list_manifests(store):
+        try:
+            d = _load(store, at=e["name"]).get("deletes") or {}
+        except (FileNotFoundError, OSError, ValueError):
+            continue
+        keep.add(d.get("ledger"))
+        keep.add(d.get("tomb"))
     for f in sub.list_files(suffix=".parquet"):
         base = f.rsplit("/", 1)[-1]
         if base not in keep:
