@@ -210,6 +210,24 @@ def _q_anchor_terms_real(sf_dir: str):
     return anchor_terms_real_table(sf_dir)
 
 
+_PERCOLATE_QUERIES = [
+    (0, "table"),
+    (1, "query join"),
+    (2, "hash table scan"),
+    (3, "qqqzzzabsentterm"),
+    (4, "window filter"),
+]
+
+
+def _q_percolate(sf_dir: str):
+    """Reverse search (Elasticsearch percolate): stream the corpus against
+    5 stored conjunctive queries — broadcast query set in the closure, ONE
+    column-pruned scan, no shuffle (functions/percolate.py)."""
+    from vexor_ray.functions.percolate import percolate_table
+
+    return percolate_table(sf_dir, _PERCOLATE_QUERIES)
+
+
 def _q_proximity_topk(sf_dir: str):
     """BM25 + term-proximity fusion: min distance between two DISTINCT
     query terms boosts the doc by 0.25/(1+mindist) — positional ranking
@@ -1518,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_boosted_real": _q_anchor_boosted_real,
         "bm25f_topk": _q_bm25f_topk,
         "proximity_topk": _q_proximity_topk,
+        "percolate": _q_percolate,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2383,6 +2402,12 @@ def _bm25f_sql() -> str:
     return bm25f_sql(preprocess_query(_BM25_QUERY), k=10)
 
 
+def _percolate_sql() -> str:
+    from vexor_ray.functions.percolate import percolate_sql
+
+    return percolate_sql(_PERCOLATE_QUERIES)
+
+
 def _proximity_sql(query_terms: list[str], k: int = 10) -> str:
     """Proximity-fusion twin: mindist over distinct-term pairs via a
     positional self-join; ``0.25 / (1.0 + mindist)`` and the single IEEE
@@ -2534,6 +2559,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "anchor_boosted_real": _anchor_boosted_real_sql(),
         "bm25f_topk": _bm25f_sql(),
         "proximity_topk": _proximity_sql(_BM25_QUERY.split()),
+        "percolate": _percolate_sql(),
         "search_after": (
             "\nWITH "
             + _bm25_cte(_BM25_QUERY.split())
