@@ -76,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--from", dest="from_name", default=None, metavar="SNAPSHOT")
     sd.add_argument("--to", dest="to_name", default=None, metavar="SNAPSHOT")
 
+    vc = sub.add_parser(
+        "vacuum", help="delete orphaned attempt dirs a crash left behind"
+    )
+    vc.add_argument("--index", required=True)
+    vc.add_argument("--min-age", type=float, default=3600.0,
+                    help="seconds; younger dirs are kept (in-flight builds)")
+    vc.add_argument("--dry-run", action="store_true")
+
     c = sub.add_parser("chunk", help="materialize a sliding-window chunk corpus")
     c.add_argument("--input", required=True)
     c.add_argument("--out", required=True)
@@ -316,6 +324,21 @@ def main(argv: list[str] | None = None) -> int:
         print(
             _json.dumps(
                 snapshot_diff(args.index, args.from_name, args.to_name),
+                indent=1,
+            )
+        )
+        return 0
+
+    if args.cmd == "vacuum":
+        import json as _json
+
+        from vexor_ray.index.vacuum import vacuum_index
+
+        print(
+            _json.dumps(
+                vacuum_index(
+                    args.index, min_age_s=args.min_age, dry_run=args.dry_run
+                ),
                 indent=1,
             )
         )
