@@ -195,3 +195,28 @@ def test_streaming_append_respects_deletion_ledger(ray_session, tmp_path):
         got = s2.search(q, k=s2.live_doc_count)
         got_urls = s2.lookup_urls([d for d, _ in got])
         assert victim not in set(got_urls.values())
+
+
+def test_snapshot_pin_across_streaming_appends(ray_session, tmp_path):
+    """A reader pinned between micro-batches keeps serving that batch's
+    state (streaming deltas only add files; retained snapshots protect
+    their view) while the live searcher advances with the watermark."""
+    from vexor_ray.index.manifest import list_manifests
+
+    ing = StreamingIngestor(tmp_path / "s", _cfg())
+    ing.ingest_batch(_batch("one", 30, 1000))
+    snap1 = list_manifests(ing.index_dir)[-1]["name"]
+
+    ing.ingest_batch(_batch("two", 25, 2000))
+    ing.ingest_batch(_batch("three", 20, 3000))
+
+    pinned = Searcher(ing.index_dir, manifest_name=snap1)
+    live = Searcher(ing.index_dir)
+    assert pinned.doc_count == 30 and live.doc_count == 75
+    assert pinned.search("needletwo", 5) == []
+    assert live.search("needletwo", 5)
+    # pinned hits exist and all resolve to batch-one urls
+    hits = pinned.search("needleone", 10, method="exact")
+    assert hits
+    urls = pinned.lookup_urls([d for d, _ in hits])
+    assert all(u.startswith("one/") for u in urls.values())
