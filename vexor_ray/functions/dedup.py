@@ -885,7 +885,9 @@ def duplicate_clusters(
     # materialized once: every propagation round unions the edge list into
     # its message stream, and the upstream pair pipeline (LSH + verify
     # joins) must not re-execute per round
-    edges = (
+    from .groups import compact_blocks
+
+    edges = compact_blocks(
         pairs.select_columns(["doc_a", "doc_b"])
         .map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
@@ -915,6 +917,14 @@ def duplicate_clusters(
         node_pid,
         reduce_min,
     ).materialize()
+    # per-round block discipline (the PageRank lesson, functions/graph.py):
+    # union adds the edge blocks and the sort-based groupby preserves block
+    # count, so labels would grow by ~edge_blocks blocks every round;
+    # coalescing back to the incoming count keeps rounds constant-cost
+    try:
+        label_blocks = max(1, labels.num_blocks())
+    except Exception:
+        label_blocks = 64
 
     def spread(df: pd.DataFrame) -> pd.DataFrame:
         # kind 0 rows carry (node, peer=current label); kind 1 rows carry
@@ -961,7 +971,11 @@ def duplicate_clusters(
             node_pid,
             spread,
         )
-        new_labels = coarse_grouped(msgs, node_pid, reduce_min).materialize()
+        new_labels = (
+            coarse_grouped(msgs, node_pid, reduce_min)
+            .repartition(label_blocks)
+            .materialize()
+        )
 
         # convergence check: total label sum is monotone non-increasing and
         # strictly decreases while any label still moves — one tiny aggregate
