@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     s.add_argument("--porcelain", action="store_true", help="TSV output")
 
+    ex = sub.add_parser(
+        "explain", help="per-term BM25 score breakdown for one document"
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--doc", type=int, required=True, help="internal docID")
+
     sn = sub.add_parser(
         "snapshots", help="list retained index snapshots (time-travel pins)"
     )
@@ -302,6 +309,14 @@ def main(argv: list[str] | None = None) -> int:
                 )
         else:
             print(hits.to_pandas().to_string(index=False))
+        return 0
+
+    if args.cmd == "explain":
+        import json as _json
+
+        from vexor_ray.query.searcher import Searcher
+
+        print(_json.dumps(Searcher(args.index).explain(args.query, args.doc), indent=1))
         return 0
 
     if args.cmd == "snapshots":

@@ -994,6 +994,83 @@ class Searcher:
     # cursor-walking WAND (pruning cannot pay for per-posting Python)
     AUTO_WAND_MAX_POSTINGS = 30_000
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Per-term BM25 score breakdown for ONE document (Lucene-explain).
+
+        ``doc_id`` is the engine's internal docID exactly as ``search``
+        returns it.  Each query term contributes
+        ``(idf * tf) * (k1 + 1) / (tf + k1*(1 - b + b*dl/avgdl))`` — the
+        per-posting expression of the exact scorer, computed with the SAME
+        scalar operations — so ``sum(t["contribution"])`` in query-term
+        order is bit-identical to the doc's ``search`` score.  Terms absent
+        from the doc (or from the corpus) report ``tf=0, contribution=0``.
+        Deleted (tombstoned) docs explain as all-absent: the decode-time
+        mask already dropped their postings.
+        """
+        terms = self.preprocess_query(query)
+        out = {
+            "doc_id": int(doc_id),
+            "score": 0.0,
+            "doc_count": self.live_doc_count,
+            "avg_doc_len": self.live_avg_doc_len,
+            "k1": self.k1,
+            "b": self.b,
+            "terms": [],
+        }
+        if not terms or self.live_doc_count == 0 or self.live_avg_doc_len <= 0:
+            return out
+        chunks_by_term = self.term_chunks(terms)
+        k1 = self.k1
+        n_docs = self.live_doc_count
+        total = 0.0
+        for term in terms:
+            row = {
+                "term": term,
+                "tf": 0,
+                "df": 0,
+                "doc_len": None,
+                "idf": 0.0,
+                "contribution": 0.0,
+            }
+            chunks = chunks_by_term.get(term, [])
+            if chunks:
+                # sharded searchers cache raw per-chunk payloads under
+                # ('raw', term); don't pollute that namespace with a dense
+                # entry — pass term=None to skip the cache there
+                idx, tf, denom_base, dl = self._term_postings(
+                    chunks, None if self._sharded else term
+                )
+                all_ids = self._doc_id_index()
+                if self._has_tombs:
+                    df = int(idx.size)
+                else:
+                    df = sum(c["n_postings"] for c in chunks)
+                if df > 0:
+                    row["df"] = df
+                    row["idf"] = math.log(
+                        (n_docs - df + 0.5) / (df + 0.5) + 1.0
+                    )
+                    pos = np.searchsorted(all_ids, np.uint64(doc_id))
+                    if pos < all_ids.size and all_ids[pos] == np.uint64(doc_id):
+                        hit = np.flatnonzero(idx == pos)
+                        if hit.size:
+                            j = int(hit[0])
+                            tf_d = tf[j]
+                            # scalar mirror of the vector kernel: same ops,
+                            # same order, bit-identical contribution
+                            contrib = (
+                                (row["idf"] * tf_d)
+                                * (k1 + 1.0)
+                                / (tf_d + denom_base[j])
+                            )
+                            row["tf"] = int(tf_d)
+                            row["doc_len"] = int(dl[j])
+                            row["contribution"] = float(contrib)
+                            total += contrib
+            out["terms"].append(row)
+        out["score"] = float(total)
+        return out
+
     def search(self, query: str, k: int = 10, method: str = "auto"):
         """BM25 top-k: ``[(doc_id, score)]`` ranked by (score desc, docID asc).
 
