@@ -351,3 +351,56 @@ def test_search_dataset_matches_driver_searcher(built_index):
             )
         ]
         assert got == [(int(d), float(x)) for d, x in s.search(q, k=7)], q
+
+
+def test_parse_query_near_clause():
+    from vexor_ray.query.qlang import parse_query
+
+    p = parse_query('"alpha beta"~5 "exact phrase" +must')
+    assert p.nears == [("alpha beta", 5)]
+    assert p.phrases == ["exact phrase"] and p.must == ["must"]
+
+
+def test_query_language_near_filter(built_index, pos_index, pos_oracle):
+    """Proximity clause "a b"~w filters to docs where the pair occurs
+    within w tokens (either order), matching a python oracle."""
+    from collections import Counter
+
+    from vexor_ray.index.positions import PositionsIndex
+    from vexor_ray.query.qlang import search_query
+
+    bigrams = Counter(
+        (a, b)
+        for toks in pos_oracle.values()
+        for a, b in zip(toks, toks[1:])
+        if a != b
+    )
+    (w1, w2), _n = bigrams.most_common(1)[0]
+    idx, _ = built_index
+    s = Searcher(idx)
+    pos = PositionsIndex(pos_index)
+    W = 4
+    base = search_query(s, f"{w1} {w2}", k=s.live_doc_count)
+    got = search_query(
+        s, f'{w1} {w2} "{w1} {w2}"~{W}', k=s.live_doc_count, positions=pos
+    )
+
+    def within(toks):
+        pa_ = [i for i, t in enumerate(toks) if t == w1]
+        pb_ = [i for i, t in enumerate(toks) if t == w2]
+        return any(abs(i - j) <= W for i in pa_ for j in pb_)
+
+    want_docs = {d for d, toks in pos_oracle.items() if within(toks)}
+    assert got == [r for r in base if r[0] in want_docs]
+    assert len(got) >= 1
+
+
+def test_near_clause_requires_two_words(built_index, pos_index):
+    from vexor_ray.index.positions import PositionsIndex
+    from vexor_ray.query.qlang import search_query
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    pos = PositionsIndex(pos_index)
+    with pytest.raises(ValueError, match="exactly"):
+        search_query(s, '"one two three"~3', k=5, positions=pos)

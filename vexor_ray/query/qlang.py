@@ -7,6 +7,9 @@ Syntax (one line, whitespace-separated):
 - ``-term``      — must not contain (filter)
 - ``"a b c"``    — must contain the exact phrase (positions sidecar);
                    the phrase's words also join the scoring terms
+- ``"a b"~5``    — proximity: the two words must occur within 5 tokens
+                   of each other, either order (positions sidecar);
+                   exactly two words per proximity clause
 - ``pre*``       — prefix wildcard: every corpus term starting with
                    ``pre`` joins the scoring terms (term dictionary)
 - ``term~``      — fuzzy: corpus terms within edit distance 1 join the
@@ -29,7 +32,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-_QUOTED = re.compile(r'"([^"]*)"')
+_QUOTED = re.compile(r'"([^"]*)"(?:~(\d+))?')
 
 
 @dataclass
@@ -38,6 +41,7 @@ class ParsedQuery:
     must: list[str] = field(default_factory=list)
     must_not: list[str] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)
+    nears: list[tuple[str, int]] = field(default_factory=list)  # (words, window)
     prefixes: list[str] = field(default_factory=list)
     fuzzies: list[str] = field(default_factory=list)
 
@@ -51,7 +55,10 @@ def parse_query(query: str) -> ParsedQuery:
     def grab_phrase(m: re.Match) -> str:
         body = m.group(1).strip()
         if body:
-            p.phrases.append(body)
+            if m.group(2) is not None:
+                p.nears.append((body, int(m.group(2))))
+            else:
+                p.phrases.append(body)
         return " "
 
     rest = _QUOTED.sub(grab_phrase, query)
@@ -91,9 +98,10 @@ def search_query(
     must/must_not plus per-phrase containment.  Deterministic end to end.
     """
     p = parse_query(query)
-    if p.phrases and positions is None:
+    if (p.phrases or p.nears) and positions is None:
         raise ValueError(
-            'query contains a "phrase" clause but no positions index was given'
+            'query contains a "phrase"/proximity clause but no positions '
+            "index was given"
         )
     tok = searcher.preprocess_query
     must = [t for w in p.must for t in tok(w)]
@@ -103,6 +111,16 @@ def search_query(
         scoring.extend(tok(w))
     for ph in p.phrases:
         scoring.extend(tok(ph))
+    near_pairs: list[tuple[str, str, int]] = []
+    for body, window in p.nears:
+        toks = tok(body)
+        if len(toks) != 2:
+            raise ValueError(
+                f'proximity clause "{body}"~{window} must contain exactly '
+                f"two words (got {len(toks)})"
+            )
+        near_pairs.append((toks[0], toks[1], window))
+        scoring.extend(toks)
     for pre in p.prefixes:
         for t in tok(pre):
             scoring.extend(searcher.expand_prefix(t, max_expand_per_token))
@@ -114,21 +132,28 @@ def search_query(
     scoring = list(dict.fromkeys(scoring))[:MAX_QUERY_TERMS]
     if not scoring:
         return []
-    want_all = bool(p.phrases)
+    want_all = bool(p.phrases or near_pairs)
     res = searcher.search_boolean(
         must=must,
         should=[t for t in scoring if t not in set(must)],
         must_not=must_not,
         k=searcher.live_doc_count if want_all else k,
     )
-    if p.phrases and res:
+    if (p.phrases or near_pairs) and res:
         import numpy as np
 
         keep_ids = None
         tomb = searcher._tombstones()
-        for ph in p.phrases:
-            occ = positions.phrase_occurrences(ph, deleted_doc_ids=tomb)
+        occ_tables = [
+            positions.phrase_occurrences(ph, deleted_doc_ids=tomb)
+            for ph in p.phrases
+        ] + [
+            positions.near_occurrences(a, b, w, deleted_doc_ids=tomb)
+            for a, b, w in near_pairs
+        ]
+        for occ in occ_tables:
             ids = occ.column("doc_id").to_numpy().astype(np.uint64)
+            ids = np.unique(ids)
             keep_ids = (
                 ids if keep_ids is None else np.intersect1d(keep_ids, ids)
             )
