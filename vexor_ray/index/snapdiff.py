@@ -72,7 +72,10 @@ def snapshot_diff(
     added_sample: list[str] = []
     removed_sample: list[str] = []
     if ds_a is not None or ds_b is not None:
-        both = ds_a.union(ds_b) if ds_a and ds_b else (ds_a or ds_b)
+        if ds_a is not None and ds_b is not None:
+            both = ds_a.union(ds_b)
+        else:
+            both = ds_a if ds_a is not None else ds_b
 
         def diff_part(df: pd.DataFrame) -> pd.DataFrame:
             g = df.groupby("url", sort=False)["side"].agg(["min", "max"])
