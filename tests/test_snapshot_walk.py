@@ -13,7 +13,6 @@ from __future__ import annotations
 import random
 
 import pyarrow.parquet as pq
-import pytest
 
 from vexor_ray.fixtures.pages import generate_pages, write_pages
 from vexor_ray.index.build import BuildConfig, build_index, compact_index
