@@ -404,3 +404,39 @@ def test_near_clause_requires_two_words(built_index, pos_index):
     pos = PositionsIndex(pos_index)
     with pytest.raises(ValueError, match="exactly"):
         search_query(s, '"one two three"~3', k=5, positions=pos)
+
+
+def test_suffix_and_contains_expansion(built_index, oracle_1k):
+    """expand_suffix / expand_contains match a python scan of the corpus
+    vocabulary, and the qlang *suf / *mid* forms compose onto scoring."""
+    from vexor_ray.query.qlang import parse_query, search_query
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    vocab = set(oracle_1k.postings)
+
+    got = s.expand_suffix("tion")
+    want = sorted(t for t in vocab if t.endswith("tion"))
+    assert got == want
+    got_c = s.expand_contains("ngin")
+    want_c = sorted(t for t in vocab if "ngin" in t)
+    assert got_c == want_c
+
+    p = parse_query("*tion *ngin* plain")
+    assert p.suffixes == ["tion"] and p.contains == ["ngin"]
+    assert p.should == ["plain"]
+
+    if want:
+        # the qlang query equals a hand-composed boolean over the expansion
+        direct = search_query(s, "*tion", k=10)
+        manual = s.search_boolean(must=[], should=want[:64], must_not=[], k=10)
+        assert direct == manual
+
+
+def test_suffix_empty_rejected(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    with pytest.raises(ValueError):
+        s.expand_suffix("")
+    with pytest.raises(ValueError):
+        s.expand_contains("")

@@ -12,6 +12,9 @@ Syntax (one line, whitespace-separated):
                    exactly two words per proximity clause
 - ``pre*``       — prefix wildcard: every corpus term starting with
                    ``pre`` joins the scoring terms (term dictionary)
+- ``*suf``       — suffix wildcard: corpus terms ending with ``suf``
+                   (one vectorized dictionary scan)
+- ``*mid*``      — contains wildcard: corpus terms containing ``mid``
 - ``term~``      — fuzzy: corpus terms within edit distance 1 join the
                    scoring terms (term dictionary)
 
@@ -43,6 +46,8 @@ class ParsedQuery:
     phrases: list[str] = field(default_factory=list)
     nears: list[tuple[str, int]] = field(default_factory=list)  # (words, window)
     prefixes: list[str] = field(default_factory=list)
+    suffixes: list[str] = field(default_factory=list)
+    contains: list[str] = field(default_factory=list)
     fuzzies: list[str] = field(default_factory=list)
 
 
@@ -68,7 +73,11 @@ def parse_query(query: str) -> ParsedQuery:
         word = raw[1:] if (neg or pos) else raw
         if not word:
             continue
-        if word.endswith("*") and len(word) > 1:
+        if word.startswith("*") and word.endswith("*") and len(word) > 2:
+            p.contains.append(word[1:-1])
+        elif word.startswith("*") and len(word) > 1:
+            p.suffixes.append(word[1:])
+        elif word.endswith("*") and len(word) > 1:
             p.prefixes.append(word[:-1])
         elif word.endswith("~") and len(word) > 1:
             p.fuzzies.append(word[:-1])
@@ -124,6 +133,12 @@ def search_query(
     for pre in p.prefixes:
         for t in tok(pre):
             scoring.extend(searcher.expand_prefix(t, max_expand_per_token))
+    for suf in p.suffixes:
+        for t in tok(suf):
+            scoring.extend(searcher.expand_suffix(t, max_expand_per_token))
+    for mid in p.contains:
+        for t in tok(mid):
+            scoring.extend(searcher.expand_contains(t, max_expand_per_token))
     for fz in p.fuzzies:
         for t in tok(fz):
             scoring.extend(searcher.expand_fuzzy(t, max_expand_per_token))

@@ -1240,6 +1240,60 @@ class Searcher:
             terms = terms[:max_terms]
         return terms
 
+    def expand_suffix(self, suffix: str, max_terms: int | None = None) -> list[str]:
+        """Sorted corpus terms ending with ``suffix`` (leading wildcard).
+
+        Unlike the prefix path, the forward-sorted dictionary cannot
+        range-prune a suffix predicate, so this is one vectorized columnar
+        scan of the term dictionary (vocabulary-sized, not corpus-sized)
+        per call — ``pc.ends_with`` over the dict column.  A production
+        index serving heavy leading-wildcard traffic would add a
+        reversed-term dictionary sidecar; the scan keeps this exact and
+        dependency-free."""
+        if not suffix:
+            raise ValueError("empty suffix would expand to the whole vocabulary")
+        return self._scan_dict_terms(
+            lambda col: pc.ends_with(col, pattern=suffix), max_terms
+        )
+
+    def expand_contains(self, infix: str, max_terms: int | None = None) -> list[str]:
+        """Sorted corpus terms containing ``infix`` (double wildcard)."""
+        if not infix:
+            raise ValueError("empty infix would expand to the whole vocabulary")
+        return self._scan_dict_terms(
+            lambda col: pc.match_substring(col, pattern=infix), max_terms
+        )
+
+    def _scan_dict_terms(self, pred, max_terms: int | None) -> list[str]:
+        """One columnar scan of the term dictionary (segment fallback),
+        filtered by ``pred(column) -> BooleanArray``."""
+        dict_files = [
+            f
+            for gens in self._wave_gens.values()
+            for g in gens
+            for f in g.get("termdict", [])
+        ]
+        if dict_files:
+            tbl = pads.dataset(dict_files, filesystem=self._fs).to_table(
+                columns=["term"]
+            )
+        else:
+            seg_files = [
+                f
+                for gens in self._wave_gens.values()
+                for g in gens
+                for f in g["files"]
+            ]
+            tbl = pads.dataset(seg_files, filesystem=self._fs).to_table(
+                columns=["term"]
+            )
+        col = tbl.column("term")
+        hits = col.filter(pred(col))
+        terms = sorted(set(hits.to_pylist()))
+        if max_terms is not None and len(terms) > max_terms:
+            terms = terms[:max_terms]
+        return terms
+
     def search_prefix(
         self, prefix: str, k: int = 10, max_terms: int | None = 1024
     ) -> list[tuple[int, float]]:
