@@ -1186,7 +1186,18 @@ def _q_decontaminate(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return decontaminate(corpus, eval_docs, window=8)
+    out = decontaminate(corpus, eval_docs, window=8)
+    # materialize with an EXPLICIT schema: Dataset.to_pandas() on an
+    # all-empty result drops the column set, which would schema-mismatch
+    # the oracle at scales where nothing is contaminated
+    import ray as _ray
+
+    tables = [
+        t for t in (_ray.get(r) for r in out.to_arrow_refs()) if t.num_rows
+    ]
+    if not tables:
+        return pa.schema([("doc_id", pa.int64())]).empty_table()
+    return pa.concat_tables(tables).sort_by("doc_id")
 
 
 def _q_cap_per_source(sf_dir: str):
@@ -2800,8 +2811,12 @@ sh AS (SELECT d.doc_id, CAST(COALESCE(sh0.s, 0) AS UBIGINT) AS s
        FROM documents d LEFT JOIN sh0 USING (doc_id)),
 bb AS (SELECT doc_id, s, unnest(generate_series(0, 3)) AS band FROM sh),
 bk AS (SELECT doc_id, s, band, CAST((s >> (band * 16)) & 65535 AS BIGINT) AS key FROM bb),
+bc AS (SELECT band, key, CAST(ceil(COUNT(*) / 256.0) AS BIGINT) AS m
+       FROM bk GROUP BY band, key),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.s AS sa, y.s AS sb
-         FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         JOIN bc ON bc.band = x.band AND bc.key = x.key
+         WHERE x.doc_id % bc.m = y.doc_id % bc.m)
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""",
         "hash_embed": """

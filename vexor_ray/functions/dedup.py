@@ -653,8 +653,12 @@ def simhash_dup_pairs(
 ) -> ray.data.Dataset:
     """Near-dup pairs by simhash: 16-bit band buckets → verify Hamming dist.
 
-    Returns a Dataset (doc_a, doc_b, hamming); buckets beyond ``bucket_cap``
-    are dropped and logged (same policy as MinHash-LSH).
+    Returns a Dataset (doc_a, doc_b, hamming); a band bucket of ``n >
+    bucket_cap`` docs is deterministically split into ``m = ceil(n/cap)``
+    sub-buckets by ``doc_id % m`` (pairs form only within a sub-bucket), so
+    per-bucket work stays O(cap²) with recall degrading gracefully ~1/m —
+    never a silent drop.  The split rule is SQL-trivial, so the value
+    oracle models it exactly.
     """
     sigs = simhash_signatures(docs, concurrency)
 
@@ -703,7 +707,7 @@ def simhash_dup_pairs(
 
         return batch.filter(pc.greater_equal(batch.column("n"), pa.scalar(2)))
 
-    bid_by_band: dict[int, dict[int, int]] = {}
+    bid_by_band: dict[int, dict[int, tuple[int, int]]] = {}
     n_buckets = 0
     for bt in counts.map_batches(
         only_multi, batch_format="pyarrow", zero_copy_batch=True
@@ -711,15 +715,18 @@ def simhash_dup_pairs(
         for band, key, n in zip(
             bt["band"].to_pylist(), bt["key"].to_pylist(), bt["n"].to_pylist()
         ):
-            if n > bucket_cap:
+            m = -(-int(n) // bucket_cap)  # ceil: sub-buckets of <= cap docs
+            if m > 1:
                 logger.warning(
-                    "simhash: dropping band bucket of %d docs (> cap %d)",
+                    "simhash: splitting band bucket of %d docs into %d "
+                    "sub-buckets (cap %d; recall ~1/%d inside it)",
                     n,
+                    m,
                     bucket_cap,
+                    m,
                 )
-                continue
-            bid_by_band.setdefault(band, {})[key] = n_buckets
-            n_buckets += 1
+            bid_by_band.setdefault(band, {})[key] = (n_buckets, m)
+            n_buckets += m
     if not n_buckets:
         return ray.data.from_arrow(
             pa.schema(
@@ -742,10 +749,12 @@ def simhash_dup_pairs(
         bids = np.empty(len(bandc), dtype=np.int64)
         keep = np.zeros(len(bandc), dtype=bool)
         for i, (bd, kk) in enumerate(zip(bandc, keyc)):
-            bid = wanted.get(bd, {}).get(kk)
-            if bid is not None:
+            entry = wanted.get(bd, {}).get(kk)
+            if entry is not None:
+                start, m = entry
                 keep[i] = True
-                bids[i] = bid
+                # over-cap buckets: deterministic doc_id % m sub-split
+                bids[i] = start + (int(docc[i]) % m if m > 1 else 0)
         bids = bids[keep]
         return pa.table(
             {

@@ -1471,15 +1471,18 @@ class Searcher:
         should: list[str] | None = None,
         must_not: list[str] | None = None,
         k: int = 10,
+        min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         """Boolean-filtered BM25 top-k (beyond-reference: the reference has
         no boolean operators, ``vexor/bm25.py:64-89`` is pure OR).
 
-        Result docs contain EVERY ``must`` term and NO ``must_not`` term;
-        ranking is the exact scorer over ``must + should`` (dedup
-        order-preserving, capped like ``preprocess_query``), tie-broken
-        (score desc, docID asc).  Filters are vectorized membership tests
-        against decoded posting docID arrays — no per-doc Python.
+        Result docs contain EVERY ``must`` term, NO ``must_not`` term, and
+        — when ``min_should_match`` > 0 — at least that many DISTINCT
+        ``should`` terms; ranking is the exact scorer over ``must +
+        should`` (dedup order-preserving, capped like
+        ``preprocess_query``), tie-broken (score desc, docID asc).
+        Filters are vectorized membership tests against decoded posting
+        docID arrays — no per-doc Python.
         """
         from ..spec import MAX_QUERY_TERMS
 
