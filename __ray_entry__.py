@@ -1927,9 +1927,13 @@ sig AS (SELECT doc_id, p_idx, MIN((a * h + b) % 2147483647) AS sv
 band AS (SELECT doc_id, p_idx // 4 AS band,
                 string_agg(sv::VARCHAR, '-' ORDER BY p_idx) AS key
          FROM sig GROUP BY doc_id, p_idx // 4),
+bcap AS (SELECT band, key, CAST(ceil(COUNT(*) / 256.0) AS BIGINT) AS m
+         FROM band GROUP BY band, key),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM band x JOIN band y
-           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         JOIN bcap ON bcap.band = x.band AND bcap.key = x.key
+         WHERE x.doc_id % bcap.m = y.doc_id % bcap.m),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM hv GROUP BY doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
           FROM cand c

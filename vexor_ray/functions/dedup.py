@@ -384,26 +384,34 @@ def minhash_lsh_pairs(
     )
 
     # collision-bucket key → integer bucket id: driver-bounded by the
-    # candidate-pair count (every kept bucket yields >= 1 pair); over-cap
-    # buckets are dropped here with their exact size logged
+    # candidate-pair count (every kept bucket yields >= 1 pair); a bucket
+    # of n > cap docs splits into ceil(n/cap) sub-buckets by doc_id % m —
+    # per-bucket work stays O(cap²), recall degrades ~1/m (never to zero),
+    # and the rule is SQL-trivial so the value oracle models it exactly
     bt_cols: dict[str, list] = {c: [] for c in group_cols}
+    starts: list[int] = []
+    ms: list[int] = []
     n_buckets = 0
     for b in multi.iter_batches(batch_size=8192, batch_format="pyarrow"):
         kvals = [b[c].to_pylist() for c in group_cols]
         for row in zip(*kvals, b["n"].to_pylist()):
             n = row[-1]
-            if n > bucket_cap:
+            m = -(-int(n) // bucket_cap)
+            if m > 1:
                 logger.warning(
-                    "minhash-lsh: dropping band bucket of %d docs (> cap %d); "
-                    "recall for members of this bucket relies on their other "
-                    "bands",
+                    "minhash-lsh: splitting band bucket of %d docs into %d "
+                    "sub-buckets (cap %d; recall ~1/%d inside it, other "
+                    "bands unaffected)",
                     n,
+                    m,
                     bucket_cap,
+                    m,
                 )
-                continue
             for c, v in zip(group_cols, row):
                 bt_cols[c].append(v)
-            n_buckets += 1
+            starts.append(n_buckets)
+            ms.append(m)
+            n_buckets += m
     if n_buckets:
         bucket_table = pd.DataFrame(
             {
@@ -412,7 +420,8 @@ def minhash_lsh_pairs(
                     c: pd.Series(bt_cols[c], dtype="int64")
                     for c in key_cols
                 },
-                "bid": pd.Series(range(n_buckets), dtype="int64"),
+                "bid": pd.Series(starts, dtype="int64"),
+                "m": pd.Series(ms, dtype="int64"),
             }
         )
         keys_ref = ray.put(bucket_table)
@@ -432,15 +441,16 @@ def minhash_lsh_pairs(
                 {c: batch.column(c).to_numpy() for c in group_cols}
             )
             df["doc_id"] = batch.column("doc_id").to_numpy()
-            m = df.merge(bt, on=group_cols, how="inner")
-            bids = m["bid"].to_numpy()
+            mg = df.merge(bt, on=group_cols, how="inner")
+            docs = mg["doc_id"].to_numpy()
+            mm = mg["m"].to_numpy()
+            # over-cap buckets: deterministic doc_id % m sub-split
+            bids = mg["bid"].to_numpy() + np.where(mm > 1, docs % mm, 0)
             return pa.table(
                 {
                     "pid": pa.array(bids % n_parts, type=pa.int64()),
                     "bid": pa.array(bids, type=pa.int64()),
-                    "doc_id": pa.array(
-                        m["doc_id"].to_numpy(), type=pa.int64()
-                    ),
+                    "doc_id": pa.array(docs, type=pa.int64()),
                 }
             )
 
