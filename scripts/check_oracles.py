@@ -59,6 +59,9 @@ def compare(name: str, sf_dir: str, qfn, sql: str | None) -> dict:
         out["status"] = "no_oracle"
         return out
     con = duckdb.connect()
+    # large-SF twins (recursive CTEs, wide self-joins) need disk spill
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         f = Path(sf_dir) / f"{t}.parquet"
         if f.exists():
