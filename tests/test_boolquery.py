@@ -440,3 +440,29 @@ def test_suffix_empty_rejected(built_index):
         s.expand_suffix("")
     with pytest.raises(ValueError):
         s.expand_contains("")
+
+
+def test_min_should_match(built_index, oracle_1k):
+    """min_should_match=m keeps only docs containing >= m distinct should
+    terms, ranked identically to the unfiltered boolean query."""
+    from vexor_ray.refimpl.bm25 import score_postings
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    should = ["needledften", "needledftwenty", "needledfthirty"]
+    base = s.search_boolean(should=should, k=s.live_doc_count)
+    for m in (1, 2, 3):
+        got = s.search_boolean(
+            should=should, k=s.live_doc_count, min_should_match=m
+        )
+
+        def n_terms(d):
+            return sum(
+                1
+                for t in should
+                if any(p[0] == d for p in oracle_1k.postings.get(t, ()))
+            )
+
+        want = [r for r in base if n_terms(r[0]) >= m]
+        assert got == want, m
+    assert s.search_boolean(should=should, k=10, min_should_match=4) == []

@@ -1492,7 +1492,7 @@ class Searcher:
         scoring = list(dict.fromkeys(must + should))[:MAX_QUERY_TERMS]
         if not scoring or self.live_doc_count == 0 or self.live_avg_doc_len <= 0:
             return []
-        all_terms = list(dict.fromkeys(scoring + must + must_not))
+        all_terms = list(dict.fromkeys(scoring + must + should + must_not))
         chunks_by_term = self.term_chunks(all_terms)
 
         def term_docs(term: str) -> np.ndarray:
@@ -1525,6 +1525,16 @@ class Searcher:
             idx = np.searchsorted(members, doc_ids)
             idx[idx >= members.size] = members.size - 1
             keep &= members[idx] != doc_ids
+        if min_should_match > 0 and should:
+            cnt = np.zeros(doc_ids.size, dtype=np.int32)
+            for t in dict.fromkeys(should):
+                members = term_docs(t)
+                if members.size == 0:
+                    continue
+                idx = np.searchsorted(members, doc_ids)
+                idx[idx >= members.size] = members.size - 1
+                cnt += (members[idx] == doc_ids).astype(np.int32)
+            keep &= cnt >= min_should_match
         if not keep.any():
             return []
         return self._top_k(doc_ids[keep], scores[keep], k)
