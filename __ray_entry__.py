@@ -461,6 +461,15 @@ def _q_boolean_topk(sf_dir: str):
     return boolean_topk_table(sf_dir, ["hash"], ["join", "scan"], ["slow"], k=10)
 
 
+def _q_boolean_msm(sf_dir: str):
+    """min_should_match=2 over three OR terms: docs containing at least
+    two distinct terms of 'hash join scan' (Searcher.search_boolean
+    min_should_match — the ES knob; beyond-reference)."""
+    from vexor_ray.pipelines.corpus import boolean_msm_topk_table
+
+    return boolean_msm_topk_table(sf_dir, ["hash", "join", "scan"], 2, k=10)
+
+
 def _q_prefix_topk(sf_dir: str):
     """Wildcard 's*' BM25: every corpus term with the prefix becomes a
     query term via the sorted term-dictionary sidecar (beyond-reference)."""
@@ -1553,6 +1562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": _q_bm25f_topk,
         "proximity_topk": _q_proximity_topk,
         "percolate": _q_percolate,
+        "boolean_msm": _q_boolean_msm,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -1784,6 +1794,25 @@ m AS (SELECT a.doc_id, MIN(ABS(a.pos - b.pos)) AS min_dist
       FROM pa_ a JOIN pb b USING (doc_id) GROUP BY a.doc_id)
 SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist
 FROM m WHERE min_dist <= {window} ORDER BY doc_id"""
+
+
+def _boolean_msm_sql(should: list[str], m: int, k: int) -> str:
+    """min_should_match twin: distinct-should-term count per doc >= m."""
+    terms = ", ".join(f"('{t}')" for t in should)
+    return (
+        "\nWITH "
+        + _bm25_cte(should)
+        + f""",
+msq(term) AS (VALUES {terms}),
+pres AS (SELECT doc_id, COUNT(DISTINCT term) AS c FROM toks
+         WHERE term IN (SELECT term FROM msq) GROUP BY doc_id)
+SELECT s.doc_id, ROUND(s.s, 6) AS score,
+       CAST(row_number() OVER (ORDER BY ROUND(s.s, 6) DESC, s.doc_id)
+            AS INT) AS rank
+FROM scores s JOIN pres USING (doc_id)
+WHERE pres.c >= {m}
+ORDER BY ROUND(s.s, 6) DESC, s.doc_id LIMIT {k}"""
+    )
 
 
 def _boolean_sql(
@@ -2580,6 +2609,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "bm25f_topk": _bm25f_sql(),
         "proximity_topk": _proximity_sql(_BM25_QUERY.split()),
         "percolate": _percolate_sql(),
+        "boolean_msm": _boolean_msm_sql(["hash", "join", "scan"], 2, 10),
         "search_after": (
             "\nWITH "
             + _bm25_cte(_BM25_QUERY.split())

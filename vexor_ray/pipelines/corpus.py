@@ -809,6 +809,29 @@ def boolean_topk_table(
     )
 
 
+def boolean_msm_topk_table(
+    sf_dir: str, should: list[str], min_should_match: int, k: int = 10
+) -> pa.Table:
+    """min_should_match boolean BM25 top-k: docs containing at least m
+    distinct should terms, ranked with the rounding-stable ranking."""
+    s = DocumentsSearcher(sf_dir)
+    res = s.searcher.search_boolean(
+        should=should,
+        k=s.searcher.doc_count,
+        min_should_match=min_should_match,
+    )
+    pairs = [(d, round(sc, 6)) for d, sc in s._to_orig(res)]
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    pairs = pairs[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "score": pa.array([p[1] for p in pairs], type=pa.float64()),
+            "rank": pa.array(range(1, len(pairs) + 1), type=pa.int32()),
+        }
+    )
+
+
 def prefix_topk_table(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
     """Wildcard ``prefix*`` BM25 top-k over the documents corpus, with the
     rounding-stable ranking of ``bm25_topk_table``."""
