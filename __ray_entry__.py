@@ -2159,8 +2159,8 @@ def _dup_clusters_sql() -> str:
     pair list — a transitive-closure recursive CTE on top of the SAME SQL
     that oracles ``minhash_pairs``."""
     return f"""
-WITH RECURSIVE pairs AS ({_minhash_sql(threshold=0.4)}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql(threshold=0.4)}),
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
   UNION SELECT doc_a, doc_a FROM pairs
@@ -2177,8 +2177,8 @@ def _clean_corpus_sql() -> str:
     MINUS non-canonical near-dup cluster members (the same recursive-CTE
     component computation as ``dup_clusters``)."""
     return f"""
-WITH RECURSIVE pairs AS ({_minhash_sql(threshold=0.4)}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql(threshold=0.4)}),
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
   UNION SELECT doc_a, doc_a FROM pairs
@@ -2205,8 +2205,8 @@ def _dedup_keep_best_sql() -> str:
     """Keep-best survivor policy: same recursive-CTE components as
     ``dup_clusters``, winner per component by (n_chars DESC, doc_id ASC)."""
     return f"""
-WITH RECURSIVE pairs AS ({_minhash_sql(threshold=0.4)}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql(threshold=0.4)}),
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
   UNION SELECT doc_a, doc_a FROM pairs

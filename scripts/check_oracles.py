@@ -61,7 +61,11 @@ def compare(name: str, sf_dir: str, qfn, sql: str | None) -> dict:
     con = duckdb.connect()
     # large-SF twins (recursive CTEs, wide self-joins) need disk spill
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
-    con.execute("SET max_temp_directory_size='40GB'")
+    con.execute("SET max_temp_directory_size='60GB'")
+    # leave headroom for the Ray session sharing the box; DuckDB's default
+    # limit otherwise collides with the object store at large SFs
+    con.execute("SET memory_limit='30GB'")
+    con.execute("SET threads=8")
     for t in TABLES:
         f = Path(sf_dir) / f"{t}.parquet"
         if f.exists():
