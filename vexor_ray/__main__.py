@@ -83,6 +83,18 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--from", dest="from_name", default=None, metavar="SNAPSHOT")
     sd.add_argument("--to", dest="to_name", default=None, metavar="SNAPSHOT")
 
+    pc_ = sub.add_parser(
+        "percolate",
+        help="reverse search: stream a parquet corpus against stored queries",
+    )
+    pc_.add_argument("--input", required=True, help="parquet file or dir")
+    pc_.add_argument(
+        "--queries", required=True,
+        help="text file: one stored query per line (line number = query_id)",
+    )
+    pc_.add_argument("--id-col", default="doc_id")
+    pc_.add_argument("--text-col", default="text")
+
     vc = sub.add_parser(
         "vacuum", help="delete orphaned attempt dirs a crash left behind"
     )
@@ -342,6 +354,31 @@ def main(argv: list[str] | None = None) -> int:
                 indent=1,
             )
         )
+        return 0
+
+    if args.cmd == "percolate":
+        import ray.data
+
+        from vexor_ray.functions.percolate import percolate
+
+        stored = [
+            (i, line.strip())
+            for i, line in enumerate(open(args.queries))
+            if line.strip()
+        ]
+        docs = ray.data.read_parquet(args.input)
+        out = percolate(
+            docs, stored, id_col=args.id_col, text_col=args.text_col
+        )
+        n = 0
+        for b in out.iter_batches(batch_format="pyarrow"):
+            for d, q in zip(
+                b.column("doc_id").to_pylist(),
+                b.column("query_id").to_pylist(),
+            ):
+                print(f"{d}\t{q}\t{stored[q][1]}")
+                n += 1
+        print(f"# {n} matches, {len(stored)} stored queries", flush=True)
         return 0
 
     if args.cmd == "vacuum":
