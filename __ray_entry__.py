@@ -461,6 +461,18 @@ def _q_boolean_topk(sf_dir: str):
     return boolean_topk_table(sf_dir, ["hash"], ["join", "scan"], ["slow"], k=10)
 
 
+_STOP_WORDS = ["table", "filter"]
+
+
+def _q_bm25_stopwords(sf_dir: str):
+    """BM25 over the stopword-analyzed index: 'table'/'filter' never
+    entered the postings (doc lengths shrink) and are dropped from the
+    query by the manifest-carried analyzer config."""
+    from vexor_ray.pipelines.corpus import bm25_stop_topk_table
+
+    return bm25_stop_topk_table(sf_dir, _BM25_QUERY, _STOP_WORDS, k=10)
+
+
 def _q_boolean_msm(sf_dir: str):
     """min_should_match=2 over three OR terms: docs containing at least
     two distinct terms of 'hash join scan' (Searcher.search_boolean
@@ -1564,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_topk": _q_proximity_topk,
         "percolate": _q_percolate,
         "boolean_msm": _q_boolean_msm,
+        "bm25_stopwords": _q_bm25_stopwords,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -1622,14 +1635,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _bm25_cte(query_terms: list[str], src: str = "documents") -> str:
+def _bm25_cte(
+    query_terms: list[str],
+    src: str = "documents",
+    stop: list[str] | None = None,
+) -> str:
     """Shared CTE block computing BM25 ``scores(doc_id, s)`` over ``src``
     (a table name or a parenthesized subquery — the deletion twin scores
-    the complement corpus)."""
-    terms_values = ", ".join(f"('{t}')" for t in query_terms)
-    return f"""toks AS (
+    the complement corpus).  ``stop``: analyzer-chain stopword filter —
+    removed from BOTH the token stream (doc lengths shrink) and the query
+    term set, mirroring the engine's manifest-carried tokenizer config."""
+    if stop:
+        stops = set(stop)
+        query_terms = [t for t in query_terms if t not in stops]
+        stop_list = ", ".join(f"'{t}'" for t in sorted(stops))
+        toks_cte = f"""toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM {src} AS src_docs)
+  WHERE term NOT IN ({stop_list})
+),"""
+    else:
+        toks_cte = f"""toks AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM {src} AS src_docs
-),
+),"""
+    terms_values = ", ".join(f"('{t}')" for t in query_terms)
+    return toks_cte + f"""
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT (SELECT COUNT(*) FROM {src} AS src_n) AS n, AVG(dl) AS avgdl FROM dl),
@@ -2611,6 +2641,15 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "proximity_topk": _proximity_sql(_BM25_QUERY.split()),
         "percolate": _percolate_sql(),
         "boolean_msm": _boolean_msm_sql(["hash", "join", "scan"], 2, 10),
+        "bm25_stopwords": (
+            "\nWITH "
+            + _bm25_cte(_BM25_QUERY.split(), stop=_STOP_WORDS)
+            + """
+SELECT doc_id, ROUND(s, 6) AS score,
+       CAST(row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id)
+            AS INT) AS rank
+FROM scores ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 10"""
+        ),
         "search_after": (
             "\nWITH "
             + _bm25_cte(_BM25_QUERY.split())

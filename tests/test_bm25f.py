@@ -102,3 +102,42 @@ def test_proximity_boost_orders_adjacent_terms_first(ray_session, tmp_path):
     )
     t = proximity_topk_table(str(tmp_path), "alpha beta", k=3)
     assert t.column("doc_id").to_pylist() == [1, 2, 0]
+
+
+def test_stopword_index_semantics(ray_session, tmp_path):
+    """stop_words analyzer: stopped terms never match, don't count toward
+    doc length, and the query side drops them identically."""
+    import pyarrow.parquet as _pq
+
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.query.searcher import Searcher
+
+    rows = ["the alpha beta", "the the gamma alpha", "beta gamma delta"]
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([f"{i:03d}" for i in range(len(rows))]),
+                "text": pa.array(rows).cast(pa.large_string()),
+            }
+        ),
+        pages / "part-000.parquet",
+    )
+    idx = tmp_path / "idx"
+    build_index(
+        pages,
+        idx,
+        BuildConfig(
+            pre_extracted=True, text_only=True, num_waves=1,
+            partitions_per_wave=2, shard_group_size=1,
+            tokenize_concurrency=2, stop_words=["the"],
+        ),
+    )
+    s = Searcher(idx)
+    assert s.search("the", k=5) == []  # stopped at query time too
+    assert s.preprocess_query("the alpha") == ["alpha"]
+    # doc lengths exclude 'the': total tokens = 2 + 2 + 3
+    assert s.live_total_doc_len == 7
+    assert s.df("the") == 0  # never indexed
+    assert [d for d, _ in s.search("alpha", k=5)] != []

@@ -72,6 +72,10 @@ class BuildConfig:
     # learned BPE merge list for tokenizer="bpe" (functions/bpe.py::bpe_train);
     # JSON-safe, recorded in the manifest so query tokenization matches
     bpe_merges: list | None = None
+    # analyzer-chain stopword list (JSON-safe): dropped at tokenize time
+    # AND at query time (the manifest carries it, so query tokenization
+    # always matches the build) — doc lengths/stats see the filtered stream
+    stop_words: list | None = None
     embed_dim: int = 0  # > 0 → store a dense hash-embedding column per doc
     # word_mix (unigrams ∪ bigrams) is the measured-best featurizer: eval
     # MRR@10 0.93 vs 0.29 for pure word bigrams at the same dim budget
@@ -787,6 +791,7 @@ def build_index(
         f"|E{cfg.embed_dim}:{cfg.embed_mode}"
         f"|M{hashlib.sha1(_tokfp_json.dumps(cfg.bpe_merges).encode()).hexdigest() if cfg.bpe_merges else ''}"
         f"|P{_tokfp_json.dumps(cfg.embed_provider, sort_keys=True)}"
+        f"|S{_tokfp_json.dumps(sorted(cfg.stop_words)) if cfg.stop_words else ''}"
     )
     group_fp_now: dict[str, str] = {}
     group_file_indices: dict[str, list[int]] = {}
@@ -851,6 +856,7 @@ def build_index(
                 "embed_mode": cfg.embed_mode,
                 "embed_provider": cfg.embed_provider,
                 "bpe_merges": cfg.bpe_merges,
+                "stop_words": cfg.stop_words,
             },
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,

@@ -84,16 +84,22 @@ def write_pages_shards(pages: ray.data.Dataset, out_dir: Path) -> list[str]:
     return sorted(str(f) for f in out_dir.glob("pages-*.parquet"))
 
 
-def documents_index(sf_dir: str, impact: bool = False) -> Path:
+def documents_index(
+    sf_dir: str, impact: bool = False, stop_words: list | None = None
+) -> Path:
     """Build (or reuse) the BM25 index over ``{sf_dir}/documents.parquet``.
 
     ``impact=True`` builds (and caches separately) the variant carrying the
-    impact-ordered companion layout for the Threshold-Algorithm scorer.
+    impact-ordered companion layout for the Threshold-Algorithm scorer;
+    ``stop_words`` builds the analyzer-chain variant (separate cache key,
+    list recorded in the manifest so query tokenization matches).
     """
     src = f"{sf_dir}/documents.parquet"
     fp = file_fingerprint([src])
     from ..spec import INDEX_FORMAT_VERSION
     tag = "imp|" if impact else ""
+    if stop_words:
+        tag += "stop:" + ",".join(sorted(stop_words)) + "|"
     key = hashlib.sha1(f"{tag}{fp}|v{INDEX_FORMAT_VERSION}".encode()).hexdigest()[:16]
     idx_dir = _CACHE_ROOT / f"docs_index_{key}"
     if not (idx_dir / MANIFEST_NAME).exists():
@@ -107,6 +113,7 @@ def documents_index(sf_dir: str, impact: bool = False) -> Path:
             shard_group_size=8,
             tokenize_concurrency=2,
             impact_postings=impact,
+            stop_words=sorted(stop_words) if stop_words else None,
         )
         build_index(files, idx_dir, cfg)
     return idx_dir
@@ -1010,6 +1017,27 @@ def bm25_topk_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     float sums differ in the last bits (DuckDB SUM order is unspecified).
     """
     s = DocumentsSearcher(sf_dir)
+    pairs = [(d, round(sc, 6)) for d, sc in s.scores(query)]
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    pairs = pairs[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "score": pa.array([p[1] for p in pairs], type=pa.float64()),
+            "rank": pa.array(range(1, len(pairs) + 1), type=pa.int32()),
+        }
+    )
+
+
+def bm25_stop_topk_table(
+    sf_dir: str, query: str, stop_words: list, k: int = 10
+) -> pa.Table:
+    """Top-k over the STOPWORD-analyzed index: stop words never entered the
+    postings (doc lengths and stats see the filtered stream) and are
+    dropped from the query by the manifest-carried analyzer config."""
+    s = DocumentsSearcher(
+        sf_dir, index_dir=documents_index(sf_dir, stop_words=stop_words)
+    )
     pairs = [(d, round(sc, 6)) for d, sc in s.scores(query)]
     pairs.sort(key=lambda p: (-p[1], p[0]))
     pairs = pairs[:k]

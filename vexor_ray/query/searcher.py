@@ -284,6 +284,7 @@ class Searcher:
             cfg.get("tokenizer", "regex"),
             cfg.get("token_pattern"),
             bpe_merges=cfg.get("bpe_merges"),
+            stop_words=cfg.get("stop_words"),
         )
         # small decoded-chunk LRU: repeated query terms skip the parquet read
         # (the analogue of the reference's query cache, scoped per process)

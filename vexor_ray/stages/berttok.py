@@ -79,7 +79,8 @@ TOKENIZERS = ("regex", "bert_union", "bpe")
 
 
 def make_tokenizer(
-    name: str, token_pattern: str | None = None, *, bpe_merges=None
+    name: str, token_pattern: str | None = None, *, bpe_merges=None,
+    stop_words=None,
 ):
     """Tokenizer factory for the build/query stages.
 
@@ -88,7 +89,27 @@ def make_tokenizer(
     ``bpe``: regex words re-segmented into learned subword units
     (``functions/bpe.py`` — pass the merge list via ``bpe_merges``; the
     manifest carries it so query tokenization always matches the build).
+
+    ``stop_words``: analyzer-chain stopword filter applied AFTER the base
+    tokenizer — dropped at index time and at query time alike (both sides
+    construct their tokenizer from the same manifest config, so parity is
+    structural).  Doc lengths, stats, and scoring all see the filtered
+    stream, exactly as if the corpus never contained those words.
     """
+    base = _make_base_tokenizer(name, token_pattern, bpe_merges=bpe_merges)
+    if not stop_words:
+        return base
+    stops = frozenset(stop_words)
+
+    def _stopped(text: str) -> list[str]:
+        return [t for t in base(text) if t not in stops]
+
+    return _stopped
+
+
+def _make_base_tokenizer(
+    name: str, token_pattern: str | None = None, *, bpe_merges=None
+):
     if name == "bert_union":
         return tokenize_bert_union
     if name == "bpe":

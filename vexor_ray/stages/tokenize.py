@@ -47,11 +47,13 @@ class TokenizeDocs:
         embed_mode: str = "word",
         embed_provider: dict | None = None,
         bpe_merges: list | None = None,
+        stop_words: list | None = None,
     ):
         from .berttok import make_tokenizer
 
         self._tokenize = make_tokenizer(
-            tokenizer, token_pattern, bpe_merges=bpe_merges
+            tokenizer, token_pattern, bpe_merges=bpe_merges,
+            stop_words=stop_words,
         )
         self._builder = "text" if text_only else doc_builder
         if self._builder not in DOC_BUILDERS:
