@@ -462,6 +462,16 @@ def _q_boolean_topk(sf_dir: str):
 
 
 _STOP_WORDS = ["table", "filter"]
+_SYNONYMS = {"table": ["grid"], "join": ["merge", "combine"]}
+
+
+def _q_bm25_synonyms(sf_dir: str):
+    """Query-time synonym expansion: 'table'->grid, 'join'->merge/combine
+    pulled into the scoring set, plain exact scorer ranks
+    (pipelines/corpus.py::synonym_topk_table)."""
+    from vexor_ray.pipelines.corpus import synonym_topk_table
+
+    return synonym_topk_table(sf_dir, _BM25_QUERY, _SYNONYMS, k=10)
 
 
 def _q_bm25_stopwords(sf_dir: str):
@@ -1577,6 +1587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _q_percolate,
         "boolean_msm": _q_boolean_msm,
         "bm25_stopwords": _q_bm25_stopwords,
+        "bm25_synonyms": _q_bm25_synonyms,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -1639,6 +1650,7 @@ def _bm25_cte(
     query_terms: list[str],
     src: str = "documents",
     stop: list[str] | None = None,
+    qt_override: str | None = None,
 ) -> str:
     """Shared CTE block computing BM25 ``scores(doc_id, s)`` over ``src``
     (a table name or a parenthesized subquery — the deletion twin scores
@@ -1659,11 +1671,12 @@ def _bm25_cte(
   SELECT doc_id, unnest({_TOKS}) AS term FROM {src} AS src_docs
 ),"""
     terms_values = ", ".join(f"('{t}')" for t in query_terms)
+    qt_cte = qt_override or f"qt(term) AS (VALUES {terms_values})"
     return toks_cte + f"""
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT (SELECT COUNT(*) FROM {src} AS src_n) AS n, AVG(dl) AS avgdl FROM dl),
-qt(term) AS (VALUES {terms_values}),
+{qt_cte},
 df AS (SELECT term, COUNT(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
 scores AS (
   SELECT tf.doc_id,
@@ -2641,6 +2654,29 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "proximity_topk": _proximity_sql(_BM25_QUERY.split()),
         "percolate": _percolate_sql(),
         "boolean_msm": _boolean_msm_sql(["hash", "join", "scan"], 2, 10),
+        "bm25_synonyms": (
+            "\nWITH "
+            + _bm25_cte(
+                _BM25_QUERY.split(),
+                qt_override=(
+                    "syn(term, s) AS (VALUES "
+                    + ", ".join(
+                        f"('{t}', '{x}')"
+                        for t, xs in _SYNONYMS.items()
+                        for x in xs
+                    )
+                    + "),\nqt0(term) AS (VALUES "
+                    + ", ".join(f"('{t}')" for t in _BM25_QUERY.split())
+                    + "),\nqt AS (SELECT term FROM qt0 UNION "
+                    "SELECT syn.s FROM syn JOIN qt0 USING (term))"
+                ),
+            )
+            + """
+SELECT doc_id, ROUND(s, 6) AS score,
+       CAST(row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id)
+            AS INT) AS rank
+FROM scores ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 10"""
+        ),
         "bm25_stopwords": (
             "\nWITH "
             + _bm25_cte(_BM25_QUERY.split(), stop=_STOP_WORDS)

@@ -1050,6 +1050,44 @@ def bm25_stop_topk_table(
     )
 
 
+def synonym_topk_table(
+    sf_dir: str, query: str, synonyms: dict[str, list[str]], k: int = 10
+) -> pa.Table:
+    """Query-time synonym expansion: each query term pulls its mapped
+    synonyms into the scoring set (order-preserving dedup, standard
+    MAX_QUERY_TERMS cap), then the plain exact scorer ranks — the
+    analyzer-chain synonyms feature at query time (no reindex)."""
+    from ..spec import MAX_QUERY_TERMS
+
+    s = DocumentsSearcher(sf_dir)
+    sr = s.searcher
+    terms = sr.preprocess_query(query)
+    expanded = list(
+        dict.fromkeys(
+            terms + [syn for t in terms for syn in synonyms.get(t, ())]
+        )
+    )[:MAX_QUERY_TERMS]
+    if not expanded:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int32()),
+            }
+        )
+    ids, sc = sr._exact_scores(expanded, sr.term_chunks(expanded))
+    pairs = [(d, round(float(x), 6)) for d, x in s._to_orig(list(zip(ids.tolist(), sc.tolist())))]
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    pairs = pairs[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "score": pa.array([p[1] for p in pairs], type=pa.float64()),
+            "rank": pa.array(range(1, len(pairs) + 1), type=pa.int32()),
+        }
+    )
+
+
 def bm25_topk_impact_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     """Top-k via the Threshold-Algorithm scorer — same contract (and SQL
     twin) as ``bm25_topk_table``, but the ranking is produced by early
