@@ -1501,12 +1501,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # simhash, minhash_pairs, ann_lsh, multimodal_decode, sample_frames,
     # doc_keywords, hybrid_rrf, chunked_bm25, simhash_pairs), so every
     # query has been driver-checked at least once by end of round 4.
-    # ROUND-5 ROTATION TODO: after CORRECTNESS_r04 lands, swap the 13
+    # ROUND-5 ROTATION TODO: after CORRECTNESS_r04 lands, swap the 15
     # still-unhashed tail entries (bm25_from_warc, url_normalize, mmr_topk,
     # robots_filter, search_after, crawl_export, anchor_terms_real,
     # anchor_boosted_real, bm25f_topk, proximity_topk, percolate,
-    # boolean_msm, lm_bigram_quality-if-unhashed) into the first 50,
-    # displacing rows r4 hashed green.
+    # boolean_msm, bm25_stopwords, bm25_synonyms, and pq_topk-rows-only if
+    # a slot remains) into the first 50, displacing rows r4 hashed green.
     # Seventh session: anchor_terms + anchor_boosted + lm_bigram_quality
     # swap in for cms_counts + substring_dup + doc_df (all driver-hashed
     # green in r1-r3); then html_text + extract_links + pagerank_links
