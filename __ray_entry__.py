@@ -1231,6 +1231,42 @@ def _q_decontaminate(sf_dir: str):
     return pa.concat_tables(tables).sort_by("doc_id")
 
 
+def _q_decontaminate_spans(sf_dir: str):
+    """Decontamination audit trail: (doc_id, window_hash) per distinct
+    contaminated 8-token span (broadcast sorted-probe, one scan;
+    functions/dedup.py::decontaminate_spans).  Explicit-schema
+    materialization like decontaminate (empty at scales with no hits)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from vexor_ray.functions.dedup import decontaminate_spans
+
+    cut = pa.scalar(10, type=pa.int64())
+    all_docs = _docs_ds(sf_dir)
+    eval_docs = all_docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], cut)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    corpus = all_docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], cut)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = decontaminate_spans(corpus, eval_docs, window=8)
+    tables = [
+        t for t in (_ray.get(r) for r in out.to_arrow_refs()) if t.num_rows
+    ]
+    if not tables:
+        return pa.schema(
+            [("doc_id", pa.int64()), ("window_hash", pa.uint64())]
+        ).empty_table()
+    return pa.concat_tables(tables).sort_by(
+        [("doc_id", "ascending"), ("window_hash", "ascending")]
+    )
+
+
 def _q_cap_per_source(sf_dir: str):
     from vexor_ray.pipelines.relational import cap_per_source
 
@@ -1588,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_msm": _q_boolean_msm,
         "bm25_stopwords": _q_bm25_stopwords,
         "bm25_synonyms": _q_bm25_synonyms,
+        "decontaminate_spans": _q_decontaminate_spans,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
@@ -3175,6 +3212,17 @@ evalw AS (SELECT DISTINCT wh FROM win WHERE doc_id < 10)
 SELECT DISTINCT doc_id FROM win
 WHERE doc_id >= 10 AND wh IN (SELECT wh FROM evalw)
 ORDER BY doc_id""",
+        "decontaminate_spans": f"""
+WITH tl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+       FROM tl WHERE len(toks) >= 8),
+win AS (SELECT doc_id,
+               md5_number_lower(array_to_string(toks[i:i+7], ' ')) AS wh
+        FROM w0),
+evalw AS (SELECT DISTINCT wh FROM win WHERE doc_id < 10)
+SELECT DISTINCT doc_id, CAST(wh AS UBIGINT) AS window_hash FROM win
+WHERE doc_id >= 10 AND wh IN (SELECT wh FROM evalw)
+ORDER BY doc_id, window_hash""",
         "cap_per_source": """
 SELECT doc_id, source FROM (
   SELECT doc_id, source,

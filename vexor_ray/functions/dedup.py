@@ -1345,6 +1345,57 @@ def decontaminate(
     return docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def decontaminate_spans(
+    docs: ray.data.Dataset,
+    eval_docs: ray.data.Dataset,
+    *,
+    window: int = 8,
+) -> ray.data.Dataset:
+    """Decontamination with SPAN EVIDENCE: (doc_id, window_hash) per
+    distinct contaminated ``window``-token span — the audit-trail form of
+    :func:`decontaminate` (which only lists doc ids).  Same broadcast
+    sorted-probe shape: eval window hashes are computed once and shipped
+    by ``ray.put``; the corpus streams through one column-pruned scan, and
+    each task emits its batch's distinct (doc, span) hits.  md5 window
+    hashes only (the SQL-reproducible arm)."""
+    eval_hashes: set[int] = set()
+    for b in eval_docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for t in b.column("text").to_pylist():
+            eval_hashes.update(_token_window_hashes(t, window))
+    probe = np.sort(
+        np.fromiter(eval_hashes, dtype=np.uint64, count=len(eval_hashes))
+    )
+    probe_ref = ray.put(probe)
+
+    def spans(batch: pa.Table) -> pa.Table:
+        probe_arr = ray.get(probe_ref)
+        out_id = np.zeros(0, dtype=np.int64)
+        out_wh = np.zeros(0, dtype=np.uint64)
+        if probe_arr.size:
+            whs, ids = _explode_window_hashes(batch, window, "md5")
+            whs = np.asarray(whs, dtype=np.uint64)
+            ids = np.asarray(ids, dtype=np.int64)
+            if whs.size:
+                pos = np.searchsorted(probe_arr, whs)
+                pos[pos == probe_arr.size] = 0
+                hit = probe_arr[pos] == whs
+                if hit.any():
+                    pairs = np.unique(
+                        np.stack([ids[hit].astype(np.uint64), whs[hit]]),
+                        axis=1,
+                    )
+                    out_id = pairs[0].astype(np.int64)
+                    out_wh = pairs[1]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "window_hash": pa.array(out_wh, type=pa.uint64()),
+            }
+        )
+
+    return docs.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def substring_dup_stats(
     docs: ray.data.Dataset,
     *,
