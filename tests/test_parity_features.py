@@ -237,3 +237,69 @@ def test_cli_positions_phrase_expand(ray_session, tmp_path):
     out = run("expand", "--index", str(idx), "--term", "needledf",
               "--mode", "prefix", timeout=120)
     assert "needledfone" in json.loads(out)["result"]
+
+
+def test_cli_snapshots_vacuum_explain_percolate(ray_session, tmp_path):
+    """Eighth-session CLI surfaces: snapshots listing, snapshot-pinned
+    search, snapshot-diff, vacuum --dry-run, explain, percolate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from vexor_ray.fixtures.pages import generate_pages
+
+    pages = write_pages(tmp_path / "pages", 120, seed=42, rows_per_file=60)
+    idx = tmp_path / "idx_cli3"
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+
+    def run(*args, timeout=300):
+        r = subprocess.run(
+            [sys.executable, "-m", "vexor_ray", *args],
+            capture_output=True, text=True, env=env, timeout=timeout,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    run("--num-cpus", "2", "build", "--input", str(pages), "--out", str(idx),
+        "--waves", "1")
+    shards = sorted(pages.glob("part-*.parquet"))
+    pq_.write_table(generate_pages(200, seed=9).slice(0, 60), shards[0])
+    run("--num-cpus", "2", "build", "--input", str(pages), "--out", str(idx),
+        "--waves", "1")
+
+    snaps = [l for l in run("snapshots", "--index", str(idx)).splitlines() if l]
+    assert len(snaps) == 2 and snaps[-1].startswith("*")
+    old_name = snaps[0].split()[2]
+
+    hits = run("search", "--index", str(idx), "--query", "needledfone",
+               "-k", "2", "--at", old_name, "--porcelain")
+    doc = hits.splitlines()[0].split("\t")[1]
+
+    def _json(out):  # Ray may emit log lines on stdout before the JSON
+        return json.loads(out[out.find("{"):])
+
+    diff = _json(run("snapshot-diff", "--index", str(idx),
+                     "--from", old_name))
+    assert diff["added"] > 0 and diff["removed"] > 0
+
+    vac = _json(run("vacuum", "--index", str(idx), "--dry-run"))
+    assert vac["dry_run"] and vac["kept_referenced"] > 0
+
+    ex = _json(run("explain", "--index", str(idx),
+                   "--query", "needledfone", "--doc", doc))
+    assert ex["score"] > 0 and ex["terms"][0]["tf"] >= 1
+
+    qf = tmp_path / "stored.txt"
+    qf.write_text("needledfone\nqqqabsent zz\n")
+    docs_pq = tmp_path / "docs.parquet"
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["has needledfone inside", "nothing"]),
+            }
+        ),
+        docs_pq,
+    )
+    out = run("percolate", "--input", str(docs_pq), "--queries", str(qf))
+    assert "1\t0\tneedledfone" in out and "# 1 matches" in out
