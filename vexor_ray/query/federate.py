@@ -47,7 +47,7 @@ class FederatedSearcher:
         for s in self.searchers[1:]:
             cfg = s.manifest["config"]
             for key in ("k1", "b", "tokenizer", "token_pattern", "doc_builder",
-                        "text_only"):
+                        "text_only", "stop_words", "bpe_merges"):
                 if cfg.get(key) != cfg0.get(key):
                     raise ValueError(
                         f"federated indexes disagree on {key!r}: "
