@@ -141,3 +141,42 @@ def test_stopword_index_semantics(ray_session, tmp_path):
     assert s.live_total_doc_len == 7
     assert s.df("the") == 0  # never indexed
     assert [d for d, _ in s.search("alpha", k=5)] != []
+
+
+def test_stopword_positions_phrase(ray_session, tmp_path):
+    """Positions sidecar built with the same stop_words list: phrase
+    positions index the FILTERED token stream, so phrases spanning a
+    removed stopword match ('alpha beta' in 'alpha the beta')."""
+    import pyarrow.parquet as _pq
+
+    from vexor_ray.index.positions import (
+        PositionsConfig,
+        PositionsIndex,
+        build_positions_index,
+    )
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(["000", "001"]),
+                "text": pa.array(
+                    ["alpha the beta gamma", "beta alpha delta"]
+                ).cast(pa.large_string()),
+            }
+        ),
+        pages / "part-000.parquet",
+    )
+    pos_dir = tmp_path / "pos"
+    build_positions_index(
+        pages,
+        pos_dir,
+        PositionsConfig(
+            pre_extracted=True, num_waves=1, partitions_per_wave=2,
+            shard_group_size=1, tokenize_concurrency=2, stop_words=["the"],
+        ),
+    )
+    p = PositionsIndex(pos_dir)
+    occ = p.phrase_occurrences("alpha beta")
+    assert occ.num_rows == 1  # doc 0: 'the' removed -> alpha,beta adjacent

@@ -58,6 +58,9 @@ _POS_BASE = np.uint64(1) << np.uint64(32)  # doc-index stride in chain keys
 class PositionsConfig:
     token_pattern: str = TOKEN_PATTERN
     tokenizer: str = "regex"  # regex | bert_union (must match the BM25 index)
+    # analyzer stopword list — MUST match the paired BM25 index's, or
+    # phrase/NEAR position arithmetic diverges from query tokenization
+    stop_words: list | None = None
     text_only: bool = True  # phrase semantics over the text itself
     pre_extracted: bool = False
     char_limit: int = FULL_CHAR_LIMIT
@@ -87,10 +90,13 @@ class TokenizePositions:
         text_only: bool = True,
         token_pattern: str = TOKEN_PATTERN,
         tokenizer: str = "regex",
+        stop_words: list | None = None,
     ):
         from ..stages.berttok import make_tokenizer
 
-        self._tokenize = make_tokenizer(tokenizer, token_pattern)
+        self._tokenize = make_tokenizer(
+            tokenizer, token_pattern, stop_words=stop_words
+        )
         self._text_only = text_only
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -352,6 +358,7 @@ def build_positions_index(
                 "text_only": cfg.text_only,
                 "token_pattern": cfg.token_pattern,
                 "tokenizer": cfg.tokenizer,
+                "stop_words": cfg.stop_words,
             },
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
@@ -611,7 +618,9 @@ class PositionsIndex:
         from ..stages.berttok import make_tokenizer
 
         self._tokenize = make_tokenizer(
-            cfg.get("tokenizer", "regex"), cfg.get("token_pattern")
+            cfg.get("tokenizer", "regex"),
+            cfg.get("token_pattern"),
+            stop_words=cfg.get("stop_words"),
         )
         self.salt_shift = int(cfg.get("salt_shift", DEFAULT_SALT_SHIFT))
         raw_gens = self.manifest.get("pos_wave_gens")
