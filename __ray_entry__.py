@@ -642,6 +642,33 @@ def _q_knn_cosine(sf_dir: str):
     )
 
 
+def _q_ivf_pq_topk(sf_dir: str):
+    """IVFADC(+R): IVF coarse probe restricts the scan to nprobe cells'
+    m-byte PQ codes, exact rerank on the ADC candidates — the composed
+    100 TB ANN architecture.  Iterative k-means → rows-only check;
+    recall/reproducibility contracts in tests/test_ivf.py."""
+    import pyarrow as pa
+    import ray.data
+
+    from vexor_ray.functions.ann import ivf_pq_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tbl = ivf_pq_topk(
+        emb, _knn_queries(sf_dir), k=10,
+        k_cells=16, nprobe=4, m_subspaces=8, k_codes=64,
+    )
+    return tbl.cast(
+        pa.schema(
+            [
+                ("query_idx", pa.int64()),
+                ("rank", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("cosine", pa.float64()),
+            ]
+        )
+    )
+
+
 def _q_pq_topk(sf_dir: str):
     """Product-quantized ANN (ADC candidates + exact rerank, Jégou 2011):
     the 32×-compressed scan path for embedding search at 100 TB.  Training
@@ -1626,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "decontaminate_spans": _q_decontaminate_spans,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
+        "ivf_pq_topk": _q_ivf_pq_topk,  # rows-only (iterative k-means)
         "doc_term_tf": _q_doc_term_tf,
         "doc_stats": _q_doc_stats,
         "cms_counts": _q_cms_counts,

@@ -66,3 +66,28 @@ def test_ivf_topk_recall_vs_bruteforce(clustered):
         # the query vector itself must always come back first
         assert ap[qi][0] == qi
     assert hits / total >= 0.8  # nprobe=3 of 8 cells on clustered data
+
+
+def test_ivf_pq_topk_recall_and_reproducibility(clustered):
+    from vexor_ray.functions.ann import ivf_pq_topk
+
+    ds, vecs = clustered
+    q = vecs[:5].astype(np.float64)
+    exact = brute_force_topk(ds, q, k=5)
+    a1 = ivf_pq_topk(ds, q, k=5, k_cells=8, nprobe=3, m_subspaces=8,
+                     k_codes=64, rerank_factor=10)
+    a2 = ivf_pq_topk(ds, q, k=5, k_cells=8, nprobe=3, m_subspaces=8,
+                     k_codes=64, rerank_factor=10)
+    assert a1.to_pandas().equals(a2.to_pandas())  # bit-reproducible
+    ex = exact.to_pandas().groupby("query_idx")["vec_id"].apply(list)
+    ap = a1.to_pandas().groupby("query_idx")["vec_id"].apply(list)
+    hits = total = 0
+    for qi in range(5):
+        got = set(ap.get(qi, []))
+        want = ex[qi]
+        hits += sum(1 for v in want if v in got)
+        total += len(want)
+        assert ap[qi][0] == qi  # exact rerank: the query vector wins
+    assert hits / total >= 0.8
+    # exact-rerank output column is the true cosine
+    assert "cosine" in a1.column_names

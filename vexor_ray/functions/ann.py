@@ -789,6 +789,110 @@ def _bucket_pairs_df(keys: np.ndarray, ids: np.ndarray, cap: int):
     )
 
 
+def ivf_pq_topk(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    k_cells: int = 16,
+    nprobe: int = 4,
+    m_subspaces: int = 8,
+    k_codes: int = 256,
+    iters: int = 2,
+    rerank_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> pa.Table:
+    """IVFADC(+R) — the composed 100 TB ANN architecture (Jégou et al.
+    2011): an IVF coarse quantizer restricts the scan to ``nprobe`` cells,
+    the scan itself reads only m-byte PQ codes (ADC lookup sums), and the
+    top ``k × rerank_factor`` ADC candidates are exact-cosine reranked
+    from their true embeddings.
+
+    One combined encode pass emits (id, cell, code); at query time only
+    the probed-cell UNION's codes are scanned (the same union-probe
+    semantics as :func:`ivf_topk` — per-query cell masks would prune
+    slightly tighter at the cost of per-query scans).  Training is the
+    deterministic integer-sum Lloyd of :func:`ivf_train` /
+    :func:`pq_train`, so results are bit-reproducible run to run.  Pass
+    ``centroids`` / ``codebooks`` to reuse trained quantizers.
+    """
+    if centroids is None:
+        centroids = ivf_train(
+            embeddings, k_cells=k_cells, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, m_subspaces=m_subspaces, k_codes=k_codes,
+            iters=iters, id_col=id_col, vec_col=vec_col,
+        )
+    m, _, dsub = codebooks.shape
+    c_ref = ray.put(centroids)
+    b_ref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        bks = ray.get(b_ref)
+        ids = batch.column(id_col)
+        mat = embedding_matrix(batch.column(vec_col))
+        if mat.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "cell": pa.array([], type=pa.int32()),
+                    "code": pa.array([], type=pa.list_(pa.uint8(), m)),
+                }
+            )
+        nmat = _normalize(mat)
+        cells = ivf_assign_cells(mat, cents).astype(np.int32)
+        codes = np.empty((nmat.shape[0], m), dtype=np.uint8)
+        for s_ in range(m):
+            codes[:, s_] = pq_assign_codes(
+                nmat[:, s_ * dsub : (s_ + 1) * dsub], bks[s_]
+            )
+        return pa.table(
+            {
+                id_col: ids,
+                "cell": pa.array(cells, type=pa.int32()),
+                "code": pa.array(
+                    list(codes), type=pa.list_(pa.uint8(), m)
+                ),
+            }
+        )
+
+    codes_ds = embeddings.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qsims = q @ centroids.T
+    probe = np.argsort(np.round(-qsims, 9), axis=1, kind="stable")[:, :nprobe]
+    probed_union = np.unique(probe)
+    wanted = ray.put(probed_union.astype(np.int32))
+
+    def filter_cells(batch: pa.Table) -> pa.Table:
+        want = ray.get(wanted)
+        cells = batch.column("cell").to_numpy()
+        return batch.filter(pa.array(np.isin(cells, want)))
+
+    cands = codes_ds.map_batches(
+        filter_cells, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pq_adc_topk(
+        cands,
+        codebooks,
+        np.asarray(queries, dtype=np.float64),
+        k,
+        id_col=id_col,
+        rerank_embeddings=embeddings,
+        rerank_factor=rerank_factor,
+        vec_col=vec_col,
+    )
+
+
 def embedding_dup_pairs(
     embeddings: ray.data.Dataset,
     *,
