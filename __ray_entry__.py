@@ -200,6 +200,16 @@ def _q_search_after(sf_dir: str):
     return search_after_table(sf_dir, _BM25_QUERY, k=10, pages=2)
 
 
+def _q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier expansion: min discovery depth within 3 hops of
+    seeds {0,1,2} over the REAL extracted link graph — level-synchronous
+    distributed BFS, two coarse exchanges per level
+    (functions/graph.py::crawl_frontier)."""
+    from vexor_ray.pipelines.web import crawl_frontier_table
+
+    return crawl_frontier_table(sf_dir, [0, 1, 2], max_depth=3)
+
+
 def _q_anchor_terms_real(sf_dir: str):
     """Anchor-text aggregation over REAL extracted <a> elements (the
     crawl-native arm of anchor_terms): canonicalized href → url→doc_id
@@ -1644,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": _q_search_after,
         "crawl_export": _q_crawl_export,
         "anchor_terms_real": _q_anchor_terms_real,
+        "crawl_frontier": _q_crawl_frontier,
         "anchor_boosted_real": _q_anchor_boosted_real,
         "bm25f_topk": _q_bm25f_topk,
         "proximity_topk": _q_proximity_topk,
@@ -2539,6 +2550,12 @@ def _crawl_export_sql() -> str:
     return crawl_export_sql()
 
 
+def _crawl_frontier_sql() -> str:
+    from vexor_ray.pipelines.web import crawl_frontier_sql
+
+    return crawl_frontier_sql([0, 1, 2], 3)
+
+
 def _anchor_terms_real_sql() -> str:
     from vexor_ray.pipelines.web import anchor_terms_real_sql
 
@@ -2714,6 +2731,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "robots_filter": _robots_filter_sql(),
         "crawl_export": _crawl_export_sql(),
         "anchor_terms_real": _anchor_terms_real_sql(),
+        "crawl_frontier": _crawl_frontier_sql(),
         "anchor_boosted_real": _anchor_boosted_real_sql(),
         "bm25f_topk": _bm25f_sql(),
         "proximity_topk": _proximity_sql(_BM25_QUERY.split()),

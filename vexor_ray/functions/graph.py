@@ -353,3 +353,144 @@ def _ranks_topk(ranks: ray.data.Dataset, k: int) -> pa.Table:
 def pagerank_topk(sf_dir: str, k: int = 100, iters: int = 5) -> pa.Table:
     """Top-k documents by hash-graph PageRank → (doc_id, rank)."""
     return _ranks_topk(pagerank(sf_dir, iters=iters), k)
+
+
+def crawl_frontier(
+    edges: ray.data.Dataset,
+    seeds: list[int],
+    max_depth: int = 3,
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """Crawl-frontier expansion: min discovery depth per page reachable
+    from ``seeds`` within ``max_depth`` hops of the link graph — the
+    BFS/scheduling primitive of a crawler ("what does the next fetch round
+    reach?").
+
+    Level-synchronous distributed BFS, two coarse exchanges per level
+    (the PageRank discipline, block-coalesced): (1) co-partition edges
+    with the current frontier by SOURCE id and emit each frontier node's
+    out-neighbors (dedup inside the partition); (2) co-partition the
+    candidates with the visited set by node id and keep only unseen nodes
+    — they form the next frontier at depth d+1.  State is (doc_id, depth)
+    datasets; nothing corpus-sized touches the driver.  Early-exits when
+    a level adds nothing.
+    """
+    from .groups import coarse_grouped, compact_blocks, int_pid
+
+    seed_ids = sorted(set(int(x) for x in seeds))
+    best = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(seed_ids, type=pa.int64()),
+                "depth": pa.array([0] * len(seed_ids), type=pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = best
+    edges = compact_blocks(edges.materialize())
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("src").cast(pa.int64()),
+                "dst": b.column("dst").cast(pa.int64()),
+                "flag": pa.array(
+                    np.ones(b.num_rows, dtype=np.int8), type=pa.int8()
+                ),
+            }
+        )
+
+    def tag_node(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b.column(col).cast(pa.int64()),
+                    "dst": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int64), type=pa.int64()
+                    ),
+                    "flag": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    def expand_part(df: pd.DataFrame) -> pd.DataFrame:
+        is_front = df["flag"].to_numpy() == 0
+        front = set(df["key"].to_numpy()[is_front].tolist())
+        if not front:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        ed = df[~is_front]
+        hit = ed[ed["key"].isin(front)]
+        return pd.DataFrame({"doc_id": hit["dst"].unique()})
+
+    def unseen_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key")["flag"].min()
+        fresh = g[g == 1].index.to_numpy()
+        return pd.DataFrame({"doc_id": fresh})
+
+    for depth in range(1, max_depth + 1):
+        tagged = frontier.map_batches(
+            tag_node("doc_id"), batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            edges.map_batches(
+                tag_edge, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        cand = coarse_grouped(
+            tagged, lambda b: int_pid(b, ["key"], n_parts), expand_part
+        )
+
+        def tag_cand(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b.column("doc_id").cast(pa.int64()),
+                    "flag": pa.array(
+                        np.ones(b.num_rows, dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            )
+
+        def tag_best(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b.column("doc_id").cast(pa.int64()),
+                    "flag": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            )
+
+        merged = cand.map_batches(
+            tag_cand, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            best.map_batches(
+                tag_best, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        fresh = coarse_grouped(
+            merged, lambda b: int_pid(b, ["key"], n_parts), unseen_part
+        )
+
+        def with_depth(b: pa.Table, d=depth) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id").cast(pa.int64()),
+                    "depth": pa.array(
+                        np.full(b.num_rows, d, dtype=np.int64),
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        new_frontier = compact_blocks(
+            fresh.map_batches(
+                with_depth, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+        )
+        if new_frontier.count() == 0:
+            break
+        best = compact_blocks(best.union(new_frontier).materialize())
+        frontier = new_frontier
+    return best

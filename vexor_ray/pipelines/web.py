@@ -895,6 +895,65 @@ at AS (SELECT dst, UNNEST(regexp_extract_all(lower(anchor), '[a-z0-9_]+')) AS te
        FROM rl)"""
 
 
+def crawl_frontier_table(
+    sf_dir: str, seeds: list[int], max_depth: int = 3
+) -> pa.Table:
+    """Driver query ``crawl_frontier``: min discovery depth per page
+    reachable from the seeds over the REAL extracted link graph
+    (functions/graph.py::crawl_frontier — level-synchronous BFS)."""
+    import numpy as np
+
+    import ray as _ray
+
+    from ..functions.graph import crawl_frontier
+
+    edges = link_edges(sf_dir)
+    out = crawl_frontier(edges, seeds, max_depth=max_depth)
+    tables = [
+        t for t in (_ray.get(r) for r in out.to_arrow_refs()) if t.num_rows
+    ]
+    if not tables:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "depth": pa.array([], type=pa.int64()),
+            }
+        )
+    tbl = pa.concat_tables(tables)
+    ids = tbl.column("doc_id").to_numpy()
+    dep = tbl.column("depth").to_numpy()
+    order = np.argsort(ids, kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "depth": pa.array(dep[order], type=pa.int64()),
+        }
+    )
+
+
+def crawl_frontier_sql(seeds: list[int], max_depth: int = 3) -> str:
+    """Recursive-CTE twin: min depth per reachable node over the SAME
+    rendered link graph; UNION (not UNION ALL) bounds the recursion by
+    distinct (node, depth) pairs under cycles."""
+    seed_vals = ", ".join(f"({int(x)})" for x in sorted(set(seeds)))
+    return (
+        "WITH RECURSIVE "
+        + _html_ctes()
+        + _links_cte()
+        + f""",
+ledges AS MATERIALIZED (SELECT h.doc_id AS src, m.doc_id AS dst
+  FROM hrefs h JOIN hpages m ON h.href = m.url),
+seeds(doc_id) AS (VALUES {seed_vals}),
+walk(doc_id, depth) AS (
+  SELECT doc_id, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN ledges e ON e.src = w.doc_id
+  WHERE w.depth < {int(max_depth)})
+SELECT doc_id, MIN(depth) AS depth FROM walk
+GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
 def anchor_terms_real_sql() -> str:
     return (
         "WITH "
