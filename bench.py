@@ -386,6 +386,18 @@ def bench_operators() -> dict:
     pq_adc_topk(codes, books, q, k=10, rerank_embeddings=emb, rerank_factor=10)
     out["pq_topk"] = round(time.perf_counter() - t0, 3)
 
+    from vexor_ray.functions.ann import ivf_pq_topk
+
+    t0 = time.perf_counter()
+    ivf_pq_topk(emb, q, k=10, k_cells=16, nprobe=4, m_subspaces=8, k_codes=64)
+    out["ivf_pq_topk"] = round(time.perf_counter() - t0, 3)
+
+    from vexor_ray.pipelines.web import crawl_frontier_table
+
+    t0 = time.perf_counter()
+    crawl_frontier_table(SF_DIR, [0, 1, 2], max_depth=3)
+    out["crawl_frontier"] = round(time.perf_counter() - t0, 3)
+
     import tempfile
 
     from vexor_ray.sinks import export_parquet_resumable
