@@ -149,9 +149,24 @@ def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
     for qi, vid in zip(pt["query_idx"], pt["vec_id"]):
         pq_by_q.setdefault(qi, []).append(vid)
 
+    # IVF-PQ arm: the fully composed 100 TB shape — coarse probe restricts
+    # the ADC scan to nprobe cells before the exact rerank
+    from vexor_ray.functions.ann import ivf_pq_topk
+
+    ivfpq_top = ivf_pq_topk(
+        emb_ds_pq, qemb_pq.astype(np.float64), k=50,
+        k_cells=16, nprobe=4, m_subspaces=64, k_codes=256,
+        rerank_factor=4, id_col="doc_id",
+    )
+    ivfpq_by_q: dict[int, list[int]] = {}
+    it = ivfpq_top.to_pydict()
+    for qi, vid in zip(it["query_idx"], it["vec_id"]):
+        ivfpq_by_q.setdefault(qi, []).append(vid)
+
     arms: dict[str, list[list[int]]] = {
         "bm25_exact": [], "bm25_wand": [], "bm25_prf": [], "dense": [],
-        "dense_idf": [], "dense_idf_pq": [], "hybrid": [], "hybrid_idf": [],
+        "dense_idf": [], "dense_idf_pq": [], "dense_idf_ivfpq": [],
+        "hybrid": [], "hybrid_idf": [],
         "rerank_bm25l": [],
     }
     for qi, qtext in enumerate(qtexts):
@@ -170,6 +185,7 @@ def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
         idf_order = idf_by_q.get(qi, [])
         arms["dense_idf"].append(idf_order[:10])
         arms["dense_idf_pq"].append(pq_by_q.get(qi, [])[:10])
+        arms["dense_idf_ivfpq"].append(ivfpq_by_q.get(qi, [])[:10])
         arms["hybrid_idf"].append(
             [d for d, _ in s.search_hybrid(qtext, idf_order, k=10)]
         )
