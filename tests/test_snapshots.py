@@ -196,3 +196,33 @@ def snap_setup_urls_gen0(snap_setup):
     for rb in s._docs_ds.to_batches(columns=["url"], batch_size=4096):
         urls.extend(rb.column("url").to_pylist())
     return set(urls)
+
+
+def test_expire_snapshots_admin(ray_session, tmp_path):
+    from vexor_ray.index.manifest import expire_snapshots, manifest_data_dirs
+    from vexor_ray.index.storage import Store
+
+    pages = write_pages(tmp_path / "pages", 300, seed=42, rows_per_file=100)
+    idx = tmp_path / "idx"
+    cfg = _cfg(manifest_history=10)
+    build_index(pages, idx, cfg)
+    gen0_dirs = manifest_data_dirs(load_manifest(idx))
+    shards = sorted(pages.glob("part-*.parquet"))
+    for seed in (101, 102):
+        pq.write_table(generate_pages(200, seed=seed).slice(0, 100), shards[0])
+        build_index(pages, idx, cfg)
+    assert len(list_manifests(idx)) == 3
+
+    res = expire_snapshots(idx, keep=1)
+    hist = list_manifests(idx)
+    assert len(hist) == 1 and hist[0]["current"]
+    assert len(res["expired"]) == 2
+    # current snapshot still serves; expired-only dirs swept
+    s = Searcher(idx)
+    assert s.search("needledfone", k=3)
+    store = Store.resolve(idx)
+    kept = manifest_data_dirs(load_manifest(idx))
+    for d in gen0_dirs - kept:
+        assert not store.exists_abs(d), d
+    # idempotent
+    assert expire_snapshots(idx, keep=1)["expired"] == []

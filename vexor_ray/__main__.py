@@ -75,6 +75,10 @@ def main(argv: list[str] | None = None) -> int:
         "snapshots", help="list retained index snapshots (time-travel pins)"
     )
     sn.add_argument("--index", required=True)
+    sn.add_argument(
+        "--expire-keep", type=int, default=None, metavar="N",
+        help="prune history to the newest N snapshots and sweep their data",
+    )
 
     sd = sub.add_parser(
         "snapshot-diff", help="docs added/removed between two snapshots"
@@ -332,7 +336,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "snapshots":
-        from vexor_ray.index.manifest import list_manifests, load_manifest
+        from vexor_ray.index.manifest import (
+            expire_snapshots,
+            list_manifests,
+            load_manifest,
+        )
+
+        if args.expire_keep is not None:
+            import json as _json
+
+            print(_json.dumps(expire_snapshots(args.index, keep=args.expire_keep)))
+            return 0
 
         for e in list_manifests(args.index):
             man = load_manifest(args.index, at=e["name"])

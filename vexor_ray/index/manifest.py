@@ -308,6 +308,58 @@ def protected_data_dirs(
     return out
 
 
+def expire_snapshots(
+    index_dir: str | Path | Store,
+    *,
+    keep: int = 1,
+    filesystem=None,
+) -> dict:
+    """Admin expiry: prune retained snapshots down to the newest ``keep``
+    (the committed pointer target always survives) and sweep data
+    directories only the expired snapshots referenced — the standalone
+    form of the GC ``finalize`` performs on every commit, for reclaiming
+    time-travel storage without writing a new snapshot.
+
+    Returns ``{"expired": [names], "swept_dirs": n, "kept": [names]}``.
+    """
+    store = Store.resolve(index_dir, filesystem)
+    keep = max(1, int(keep))
+    hist = list_manifests(store)
+    if not hist:
+        return {"expired": [], "swept_dirs": 0, "kept": []}
+    current = [e for e in hist if e["current"]]
+    ordered = sorted(hist, key=lambda e: e["seq"], reverse=True)
+    survivors = {e["name"] for e in ordered[:keep]} | {
+        e["name"] for e in current
+    }
+    pruned = [e["name"] for e in hist if e["name"] not in survivors]
+    pruned_dirs: set[str] = set()
+    for b in pruned:
+        try:
+            pruned_dirs |= manifest_data_dirs(store.read_json(b))
+        except (json.JSONDecodeError, FileNotFoundError, OSError):
+            continue
+    keep_dirs: set[str] = set()
+    for b in survivors:
+        try:
+            keep_dirs |= manifest_data_dirs(store.read_json(b))
+        except (json.JSONDecodeError, FileNotFoundError, OSError):
+            continue
+    for b in pruned:
+        store.delete_file(b)
+    swept = 0
+    for d in sorted(pruned_dirs - keep_dirs):
+        if d == store.base:
+            continue
+        store.delete_dir_abs(d)
+        swept += 1
+    return {
+        "expired": sorted(pruned),
+        "swept_dirs": swept,
+        "kept": sorted(survivors),
+    }
+
+
 def list_manifests(
     index_dir: str | Path | Store, *, filesystem=None
 ) -> list[dict]:
