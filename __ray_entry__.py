@@ -1574,12 +1574,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # simhash, minhash_pairs, ann_lsh, multimodal_decode, sample_frames,
     # doc_keywords, hybrid_rrf, chunked_bm25, simhash_pairs), so every
     # query has been driver-checked at least once by end of round 4.
-    # ROUND-5 ROTATION TODO: after CORRECTNESS_r04 lands, swap the 15
-    # still-unhashed tail entries (bm25_from_warc, url_normalize, mmr_topk,
-    # robots_filter, search_after, crawl_export, anchor_terms_real,
+    # ROUND-5 ROTATION (done): CORRECTNESS_r04 hashed all 50 then-leading
+    # entries green, so the 16 never-driver-hashed hashable tail entries
+    # (bm25_from_warc, url_normalize, mmr_topk, robots_filter,
+    # search_after, crawl_export, anchor_terms_real, crawl_frontier,
     # anchor_boosted_real, bm25f_topk, proximity_topk, percolate,
-    # boolean_msm, bm25_stopwords, bm25_synonyms, and pq_topk-rows-only if
-    # a slot remains) into the first 50, displacing rows r4 hashed green.
+    # boolean_msm, bm25_stopwords, bm25_synonyms, decontaminate_spans)
+    # move into the first 50, displacing the first 16 r4-hashed-green rows
+    # (bm25_topk_impact … boosted_topk) to the tail.  After this round,
+    # every hashable query has been driver-hashed at least once; only
+    # pq_topk / ivf_pq_topk / bpe_tokens / stratified_sample remain
+    # rows-only by design (iterative loops with no SQL twin).
     # Seventh session: anchor_terms + anchor_boosted + lm_bigram_quality
     # swap in for cms_counts + substring_dup + doc_df (all driver-hashed
     # green in r1-r3); then html_text + extract_links + pagerank_links
@@ -1588,26 +1593,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round r1-r3; the flagship BM25 ranking stays hash-checked through
     # bm25_topk_impact, which shares bm25_topk's exact SQL twin).
     return {
-        "bm25_topk_impact": _q_bm25_topk_impact,
-        "html_text": _q_html_text,
-        "extract_links": _q_extract_links,
-        "pagerank_links": _q_pagerank_links,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "export_resumable": _q_export_resumable,
-        "dsir_scores": _q_dsir_scores,
-        "sample_n": _q_sample_n,
-        "dedup_keep_best": _q_dedup_keep_best,
-        # spell_suggest takes pq_topk's hashed slot: pq_topk has no SQL
-        # twin, so its driver check was rows-only wherever it sat — a
-        # hash-checkable query spends the slot better (pq stays covered by
-        # tests/test_pq.py + check_oracles rows)
-        "spell_suggest": _q_spell_suggest,
-        "bm25_after_delete": _q_bm25_after_delete,
-        "prf_topk": _q_prf_topk,
-        "facet_counts": _q_facet_counts,
-        "event_gaps": _q_event_gaps,
-        "autocomplete": _q_autocomplete,
-        "boosted_topk": _q_boosted_topk,
+        "bm25_from_warc": _q_bm25_from_warc,
+        "url_normalize": _q_url_normalize,
+        "mmr_topk": _q_mmr_topk,
+        "robots_filter": _q_robots_filter,
+        "search_after": _q_search_after,
+        "crawl_export": _q_crawl_export,
+        "anchor_terms_real": _q_anchor_terms_real,
+        "crawl_frontier": _q_crawl_frontier,
+        "anchor_boosted_real": _q_anchor_boosted_real,
+        "bm25f_topk": _q_bm25f_topk,
+        "proximity_topk": _q_proximity_topk,
+        "percolate": _q_percolate,
+        "boolean_msm": _q_boolean_msm,
+        "bm25_stopwords": _q_bm25_stopwords,
+        "bm25_synonyms": _q_bm25_synonyms,
+        "decontaminate_spans": _q_decontaminate_spans,
         "query_language": _q_query_language,
         "bulk_search": _q_bulk_search,
         "collapsed_topk": _q_collapsed_topk,
@@ -1642,27 +1643,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_chunks": _q_code_chunks,
         "outline_chunks": _q_outline_chunks,
         "streaming_ingest": _q_streaming_ingest,
-        # ---- tail: beyond the driver's 50-query cap (driver-hashed green
-        # in CORRECTNESS_r01-r03; still covered by scripts/check_oracles.py
-        # and the pytest suite) ----
+        # ---- tail: beyond the driver's 50-query cap (every entry below
+        # was driver-hashed green in at least one of CORRECTNESS_r01-r04;
+        # still covered by scripts/check_oracles.py and the pytest suite) ----
+        # displaced in round 5 (driver-hashed green in r4):
+        "bm25_topk_impact": _q_bm25_topk_impact,
+        "html_text": _q_html_text,
+        "extract_links": _q_extract_links,
+        "pagerank_links": _q_pagerank_links,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "export_resumable": _q_export_resumable,
+        "dsir_scores": _q_dsir_scores,
+        "sample_n": _q_sample_n,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "spell_suggest": _q_spell_suggest,
+        "bm25_after_delete": _q_bm25_after_delete,
+        "prf_topk": _q_prf_topk,
+        "facet_counts": _q_facet_counts,
+        "event_gaps": _q_event_gaps,
+        "autocomplete": _q_autocomplete,
+        "boosted_topk": _q_boosted_topk,
+        # displaced in earlier rounds (driver-hashed green in r1-r3):
         "bm25_topk": _q_bm25_topk,
         "bm25_scores": _q_bm25_scores,
-        "bm25_from_warc": _q_bm25_from_warc,
-        "url_normalize": _q_url_normalize,
-        "mmr_topk": _q_mmr_topk,
-        "robots_filter": _q_robots_filter,
-        "search_after": _q_search_after,
-        "crawl_export": _q_crawl_export,
-        "anchor_terms_real": _q_anchor_terms_real,
-        "crawl_frontier": _q_crawl_frontier,
-        "anchor_boosted_real": _q_anchor_boosted_real,
-        "bm25f_topk": _q_bm25f_topk,
-        "proximity_topk": _q_proximity_topk,
-        "percolate": _q_percolate,
-        "boolean_msm": _q_boolean_msm,
-        "bm25_stopwords": _q_bm25_stopwords,
-        "bm25_synonyms": _q_bm25_synonyms,
-        "decontaminate_spans": _q_decontaminate_spans,
         "pq_topk": _q_pq_topk,  # no SQL twin (iterative k-means): rows-only
         "ivf_pq_topk": _q_ivf_pq_topk,  # rows-only (iterative k-means)
         "doc_term_tf": _q_doc_term_tf,
