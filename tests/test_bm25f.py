@@ -104,6 +104,63 @@ def test_proximity_boost_orders_adjacent_terms_first(ray_session, tmp_path):
     assert t.column("doc_id").to_pylist() == [1, 2, 0]
 
 
+def test_proximity_block_partial_is_capped_at_k(ray_session):
+    """The scale contract of proximity_topk_table: each block emits at most
+    k fused rows (the driver merges blocks×k partials, never the full
+    (doc_id, mindist) match table)."""
+    import numpy as np
+    import ray as _ray
+
+    from vexor_ray.pipelines.corpus import _ProximityBlockTopK
+    from vexor_ray.spec import TOKEN_RE
+
+    n, k = 40, 3
+    ids = np.arange(n, dtype=np.int64)
+    sc = np.round(np.linspace(1.0, 2.0, n), 6)
+    fn = _ProximityBlockTopK(
+        _ray.put((ids, sc)), {"alpha": 0, "beta": 1}, TOKEN_RE, 0.25, k
+    )
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), type=pa.int64()),
+            "text": pa.array([f"alpha pad{i} beta" for i in range(n)]),
+        }
+    )
+    out = fn(batch)
+    assert out.num_rows == k  # all 40 docs boosted, only k survive
+    # the k rows are the top-k under (-fused, doc_id): highest base scores
+    assert out.column("doc_id").to_pylist() == [n - 1, n - 2, n - 3]
+
+
+def test_proximity_unboosted_doc_can_win(ray_session, tmp_path):
+    """Merge correctness: a single-term doc (never boosted, so absent from
+    every block partial) still outranks boosted docs when its base BM25
+    exceeds their fused scores."""
+    from vexor_ray.pipelines.corpus import proximity_topk_table
+
+    pad = " ".join(f"pad{i}" for i in range(200))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha alpha alpha",  # high tf, one term: unboosted
+                        f"alpha beta {pad}",  # boosted, long → low base
+                        f"alpha {pad} beta",  # boosted, long → low base
+                        "beta",  # equalizes df(alpha)=df(beta)
+                    ]
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    t = proximity_topk_table(str(tmp_path), "alpha beta", k=4, weight=0.01)
+    got = t.column("doc_id").to_pylist()
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == 0  # unboosted high-tf doc wins the merge
+
+
 def test_stopword_index_semantics(ray_session, tmp_path):
     """stop_words analyzer: stopped terms never match, don't count toward
     doc length, and the query side drops them identically."""

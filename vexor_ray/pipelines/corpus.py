@@ -421,9 +421,19 @@ def proximity_topk_table(
     query terms (single-term docs get no boost).  The min over all
     distinct-term pairs equals the min over ADJACENT entries of the
     position-sorted occurrence list with differing terms, so the per-doc
-    kernel is one ``np.diff`` over the query-term positions — one streamed
-    column-pruned scan, no shuffle, driver state bounded by the
-    multi-term-match set (the same size class as the fused score array)."""
+    kernel is one ``np.diff`` over the query-term positions.
+
+    Scale shape (the ``bm25f_topk`` pattern): the base-score arrays
+    ``(ids, sc)`` ship ONCE via ``ray.put`` (narrow int64/float64, read
+    zero-copy in every task); each block fuses its own boosted docs and
+    emits only its top-k rows, so the driver merges ≤ blocks×k boosted
+    partials plus its own top-k unboosted candidates — never the full
+    ``(doc_id, mindist)`` match table.  Exactness: a boosted doc in the
+    global top-k is within its block's top-k under the same
+    ``(-fused, doc_id)`` comparator; an unboosted doc in the global top-k
+    has < k docs above it, each of which has base score above its own, so
+    it is within the driver's top-k by base score (boosts are strictly
+    positive)."""
     import numpy as np
 
     from ..spec import TOKEN_RE
@@ -434,16 +444,74 @@ def proximity_topk_table(
     iid, raw = sr._exact_scores(terms, sr.term_chunks(terms))
     ids = orig_ids_streamed(sr, iid)  # ascending (url order = id order)
     sc = np.round(raw, 6)
-    fused = sc.copy()
     t_idx = {t: i for i, t in enumerate(terms)}
+    base_ref = ray.put((ids, sc))
+    block_fn = _ProximityBlockTopK(base_ref, t_idx, TOKEN_RE, weight, k)
 
-    def min_dists(batch: pa.Table) -> pa.Table:
+    prox = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
+    refs = prox.to_arrow_refs()
+    # ≤ k rows per block by construction (asserted in tests)
+    tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+
+    # unboosted candidates: top-k by base score over the match set the
+    # driver already holds (boost > 0, so boosted entries win the dedupe)
+    order0 = np.lexsort((ids, -sc))[:k]
+    cand_ids = [ids[order0]]
+    cand_f = [sc[order0]]
+    for t in tables:
+        cand_ids.append(t.column("doc_id").to_numpy())
+        cand_f.append(t.column("fused").to_numpy())
+    c_ids = np.concatenate(cand_ids) if cand_ids else np.empty(0, np.int64)
+    c_f = np.concatenate(cand_f) if cand_f else np.empty(0, np.float64)
+    if c_ids.size:
+        # keep the best (max-fused) entry per doc_id
+        byid = np.lexsort((-c_f, c_ids))
+        ids_sorted = c_ids[byid]
+        first = np.ones(ids_sorted.size, dtype=bool)
+        first[1:] = ids_sorted[1:] != ids_sorted[:-1]
+        c_ids = ids_sorted[first]
+        c_f = c_f[byid][first]
+    order = np.lexsort((c_ids, -c_f))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(c_ids[order], type=pa.int64()),
+            "fused": pa.array(c_f[order], type=pa.float64()),
+            "rank": pa.array(
+                np.arange(1, order.size + 1, dtype=np.int32), type=pa.int32()
+            ),
+        }
+    )
+
+
+class _ProximityBlockTopK:
+    """Per-block proximity fusion + top-k partial (``proximity_topk_table``).
+
+    Shipped as a callable instance; the base-score arrays arrive as ONE
+    object-store ref (zero-copy per task), not re-pickled per batch."""
+
+    def __init__(self, base_ref, t_idx, token_re, weight: float, k: int):
+        self._base_ref = base_ref
+        self._base = None
+        self.t_idx = t_idx
+        self.token_re = token_re
+        self.weight = weight
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if self._base is None:
+            self._base = ray.get(self._base_ref)
+        ids, sc = self._base
+        t_idx = self.t_idx
         out_id, out_d = [], []
         for did, text in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),
         ):
-            toks = TOKEN_RE.findall((text or "").lower())
+            toks = self.token_re.findall((text or "").lower())
             pos, tid = [], []
             for p, t in enumerate(toks):
                 i = t_idx.get(t)
@@ -457,39 +525,28 @@ def proximity_topk_table(
             neq = t_np[1:] != t_np[:-1]
             out_id.append(int(did))
             out_d.append(int(np.diff(p_np)[neq].min()))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "mindist": pa.array(out_d, type=pa.int64()),
-            }
-        )
-
-    prox = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(min_dists, batch_format="pyarrow", zero_copy_batch=True)
-    refs = prox.to_arrow_refs()
-    tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
-    if tables and ids.size:
-        tbl = pa.concat_tables(tables)
-        p_dst = tbl.column("doc_id").to_numpy()
-        p_d = tbl.column("mindist").to_numpy()
+        if not out_id or not ids.size:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "fused": pa.array([], type=pa.float64()),
+                }
+            )
+        p_dst = np.asarray(out_id, dtype=np.int64)
+        p_d = np.asarray(out_d, dtype=np.int64)
         pos = np.searchsorted(ids, p_dst)
         pos[pos >= ids.size] = ids.size - 1
         live = ids[pos] == p_dst
         # same expression tree as the twin: weight / (1.0 + mindist)
-        fused[pos[live]] = sc[pos[live]] + weight / (
-            1.0 + p_d[live].astype(np.float64)
+        fused = sc[pos[live]] + self.weight / (1.0 + p_d[live].astype(np.float64))
+        f_ids = p_dst[live]
+        order = np.lexsort((f_ids, -fused))[: self.k]
+        return pa.table(
+            {
+                "doc_id": pa.array(f_ids[order], type=pa.int64()),
+                "fused": pa.array(fused[order], type=pa.float64()),
+            }
         )
-    order = np.lexsort((ids, -fused))[:k]
-    return pa.table(
-        {
-            "doc_id": pa.array(ids[order], type=pa.int64()),
-            "fused": pa.array(fused[order], type=pa.float64()),
-            "rank": pa.array(
-                np.arange(1, order.size + 1, dtype=np.int32), type=pa.int32()
-            ),
-        }
-    )
 
 
 def query_language_table(sf_dir: str, query: str, k: int = 10) -> pa.Table:
