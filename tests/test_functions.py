@@ -64,6 +64,39 @@ def test_minhash_lsh_finds_near_dup(docs_ds):
     )
 
 
+def test_minhash_shuffle_arm_on_dup_heavy_corpus(ray_session):
+    """Pathological shape for the candidate-set guard: EVERY doc is a
+    near-dup candidate (candidates = O(corpus)).  The shuffle arm
+    (broadcast_cands_threshold=0) must never collect the id set on the
+    driver and still match the broadcast arm pair-for-pair."""
+    import ray.data
+
+    from vexor_ray.functions.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = {
+        "doc_id": pa.array(range(30), type=pa.int64()),
+        # 15 dup families of 2: every doc collides with its twin
+        "text": pa.array([f"{base} family{i // 2}" for i in range(30)]),
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    kw = dict(threshold=0.5, bands=16, num_perm=64)
+    bcast = (
+        minhash_lsh_pairs(ds, **kw)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    shuffled = (
+        minhash_lsh_pairs(ds, broadcast_cands_threshold=0, **kw)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(bcast) >= 15  # every twin pair verified
+    assert bcast.equals(shuffled)
+
+
 def test_simhash_and_pairs(docs_ds):
     from vexor_ray.functions.dedup import simhash_dup_pairs, simhash_signatures
 

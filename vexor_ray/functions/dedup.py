@@ -291,13 +291,16 @@ def minhash_lsh_pairs(
     Dataset → exact-Jaccard verification.
 
     Verification picks a join strategy by candidate count (classic
-    broadcast-vs-shuffle join split): ``<= broadcast_cands_threshold``
-    candidates ship as one compact ``{doc_id: shingle_bytes}`` broadcast
-    and verify is a single map over the pair Dataset; above it (the 100 TB
-    path; force with ``broadcast_cands_threshold=0``) the shingle arrays
-    stay a Dataset and attach to each pair side via two coarse-partitioned
-    hash joins.  Driver-side state is bounded by the number of
-    near-duplicates either way, never corpus size.
+    broadcast-vs-shuffle join split), with the count computed DISTRIBUTED
+    (doc_a ∪ doc_b → coarse-partitioned distinct) before anything is
+    collected: ``<= broadcast_cands_threshold`` candidates ship as one
+    compact ``{doc_id: shingle_bytes}`` broadcast and verify is a single
+    map over the pair Dataset; above it (the 100 TB path; force with
+    ``broadcast_cands_threshold=0``) shingles are computed for every doc
+    in one streamed scan and stay a Dataset, attached to each pair side
+    via two coarse-partitioned hash joins.  Driver-side state is bounded
+    by the broadcast threshold on the first arm and is ZERO on the second
+    — never corpus-sized.
     """
     rows_per_band = num_perm // bands
     sigs = _launch_stage(
@@ -480,36 +483,59 @@ def minhash_lsh_pairs(
             )
         )
 
-    # candidate ids: small driver-side list (bounded by #near-dups)
-    cand_ids: set[int] = set()
-    for b in pairs.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        cand_ids.update(b["doc_a"].to_pylist())
-        cand_ids.update(b["doc_b"].to_pylist())
-    cand_ref = ray.put(frozenset(cand_ids))
+    # candidate ids as a DATASET first (doc_a ∪ doc_b → coarse-partitioned
+    # distinct): the driver learns only the COUNT before choosing a verify
+    # strategy — on a dup-heavy crawl the candidate set is O(corpus) and
+    # must never be materialized driver-side just to decide the split
+    from .groups import dedup_int_pairs as _dedup_ids
 
-    def cand_shingles(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(cand_ref)
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_id, out_sh = [], []
-        for d, t in zip(ids, texts):
-            if d in wanted:
-                out_id.append(d)
-                # raw uint64 bytes: a simple nullable binary column joins
-                # through pandas without list/tensor type coercion
-                out_sh.append(_shingle_hashes(t, shingle_n).tobytes())
+    def pair_ids(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "shingles": pa.array(out_sh, type=pa.binary()),
+                "doc_id": pa.concat_arrays(
+                    [
+                        batch.column("doc_a").combine_chunks(),
+                        batch.column("doc_b").combine_chunks(),
+                    ]
+                )
             }
         )
 
-    if len(cand_ids) <= broadcast_cands_threshold:
-        # broadcast-join verify: the shingle map ships once as compact raw
-        # bytes (unpickle ≈ memcpy, unlike a dict of frozensets) and the
-        # verify is ONE map over the pair Dataset — the right strategy while
-        # the candidate side fits a worker heap
+    cands_ds = _dedup_ids(
+        pairs.map_batches(pair_ids, batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_id"],
+    ).materialize()
+    n_cands = cands_ds.count()
+
+    if n_cands <= broadcast_cands_threshold:
+        # broadcast-join verify: the candidate-id set is PROVEN bounded by
+        # the threshold before it is collected; the shingle map ships once
+        # as compact raw bytes (unpickle ≈ memcpy, unlike a dict of
+        # frozensets) and the verify is ONE map over the pair Dataset —
+        # the right strategy while the candidate side fits a worker heap
+        cand_ids: set[int] = set()
+        for b in cands_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            cand_ids.update(b["doc_id"].to_pylist())
+        cand_ref = ray.put(frozenset(cand_ids))
+
+        def cand_shingles(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(cand_ref)
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_id, out_sh = [], []
+            for d, t in zip(ids, texts):
+                if d in wanted:
+                    out_id.append(d)
+                    # raw uint64 bytes: a simple nullable binary column
+                    # joins through pandas without list/tensor coercion
+                    out_sh.append(_shingle_hashes(t, shingle_n).tobytes())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, type=pa.int64()),
+                    "shingles": pa.array(out_sh, type=pa.binary()),
+                }
+            )
+
         sh_map: dict[int, bytes] = {}
         for b in docs.map_batches(
             cand_shingles, batch_format="pyarrow", zero_copy_batch=True
@@ -546,11 +572,25 @@ def minhash_lsh_pairs(
             verify_bcast, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    # shuffle-join verify: full corpus streams through the filter; only
-    # candidate rows (bounded by #near-dups) survive.  Their shingle arrays
-    # stay a DATASET — nothing corpus- or candidate-sized on the driver.
+    # shuffle-join verify (the 100 TB path): above the broadcast budget the
+    # candidate set is within a constant factor of the corpus, so shingles
+    # are computed for EVERY doc in one streamed scan — zero driver state,
+    # no id broadcast — and stay a DATASET; the coarse hash joins below
+    # attach them to pair sides and drop everything unpaired.
+    def all_shingles(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "shingles": pa.array(
+                    [_shingle_hashes(t, shingle_n).tobytes() for t in texts],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
     shingles = docs.map_batches(
-        cand_shingles, batch_format="pyarrow", zero_copy_batch=True
+        all_shingles, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     # attach each side's shingles with a coarse-partitioned hash join
