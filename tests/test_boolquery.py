@@ -466,3 +466,22 @@ def test_min_should_match(built_index, oracle_1k):
         want = [r for r in base if n_terms(r[0]) >= m]
         assert got == want, m
     assert s.search_boolean(should=should, k=10, min_should_match=4) == []
+
+
+def test_min_should_match_beyond_scoring_cap(built_index):
+    """Docs matching >= m should terms exclusively via terms capped out of
+    the MAX_QUERY_TERMS scoring set must still be candidates (score 0.0 —
+    the scoring terms don't occur in them)."""
+    from vexor_ray.spec import MAX_QUERY_TERMS
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    # 32 corpus-absent fillers occupy the whole scoring cap; the df=1
+    # needle term lands beyond it
+    should = [f"zzqxabsent{i}" for i in range(MAX_QUERY_TERMS)] + [
+        "needledfone"
+    ]
+    got = s.search_boolean(should=should, k=10, min_should_match=1)
+    want_docs = [d for d, _ in s.search_boolean(should=["needledfone"], k=10)]
+    assert [d for d, _ in got] == want_docs
+    assert all(x == 0.0 for _, x in got)  # capped-out terms score zero

@@ -99,6 +99,37 @@ class TestCheckpointedIterations:
         )
         return docs, eds
 
+    def test_unknown_edge_sources_are_dropped(self, ray_session):
+        """pagerank_edges is public API over arbitrary (src, dst) rows: an
+        edge whose src is absent from the node table must contribute
+        nothing — not crash or read a neighbour's rank."""
+        import ray
+
+        from vexor_ray.functions.graph import pagerank_edges
+
+        docs, eds = self._graph(ray_session)
+        clean = (
+            pagerank_edges(docs, eds, iters=3, n_parts=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # add edges from phantom nodes (one past the end, one far out)
+        extra = pa.table(
+            {
+                "src": pa.array([40, 10_000], type=pa.int64()),
+                "dst": pa.array([0, 1], type=pa.int64()),
+            }
+        )
+        eds2 = eds.union(ray.data.from_arrow(extra))
+        got = (
+            pagerank_edges(docs, eds2, iters=3, n_parts=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["rank"].tolist() == clean["rank"].tolist()
+
     def test_checkpoint_equals_plain_and_resumes(self, ray_session, tmp_path):
         from vexor_ray.functions.graph import pagerank_edges
 

@@ -96,3 +96,25 @@ class TestStage:
         )
         # h1: /a/x blocked, /a/ok/x allowed; h2 allow-all; h3 no robots row
         assert got["allowed"].tolist() == [False, True, True, True]
+
+
+class TestCrawlExportDedup:
+    def test_boilerplate_rows_actually_dedup(self, ray_session):
+        """The capstone's exact-text dedup stage must be LIVE: boilerplate
+        docs (doc_id % 7 == 3) render with a shared body AND shared page
+        identity, so at most one of them survives per robots outcome."""
+        from vexor_ray.pipelines.web import crawl_export_table
+
+        sf = "/root/testdata/sf0.001"
+        got = crawl_export_table(sf).to_pandas()
+        boiler = [d for d in got["doc_id"] if d % 7 == 3]
+        assert len(boiler) == 1  # all allowed boilerplate pages collapse
+        # and it is the LOWEST allowed boilerplate doc_id (keep-first rule)
+        import pyarrow.parquet as pq2
+
+        all_ids = pq2.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_pylist()
+        cands = sorted(d for d in all_ids if d % 7 == 3)
+        assert boiler[0] in cands
+        assert boiler[0] <= min(got_d for got_d in cands if got_d in set(boiler))

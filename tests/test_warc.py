@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import gzip
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -122,6 +123,41 @@ class TestRayRoundtrip:
         # WARC-Date is second-resolution; fixture timestamps are whole
         # seconds so the round-trip is exact
         assert back["warc_ts"].tolist() == want_us.tolist()
+
+
+    def test_shard_names_survive_duplicate_first_url(self, ray_session, tmp_path):
+        """Shards are content-addressed: batches sharing their FIRST url
+        (the old naming key) land in distinct files and no records are
+        lost; a re-run into the same dir is idempotent."""
+        import ray
+
+        from vexor_ray.warc import read_warc, write_warc_dataset
+
+        def mk_ds():
+            t1 = pa.table(
+                {
+                    "url": pa.array(["https://corpus.example/a", "https://corpus.example/b"]),
+                    "html": pa.array([b"batch-one-a", b"batch-one-b"]),
+                }
+            )
+            t2 = pa.table(
+                {
+                    "url": pa.array(["https://corpus.example/a", "https://corpus.example/c"]),
+                    "html": pa.array([b"batch-two-a", b"batch-two-c"]),
+                }
+            )
+            return ray.data.from_arrow([t1, t2])
+
+        out = tmp_path / "warc_dup"
+        paths = write_warc_dataset(mk_ds(), out, ts_col=None)
+        assert len(set(paths)) == 2  # distinct content -> distinct names
+        back = read_warc(sorted(set(paths))).to_pandas()
+        assert len(back) == 4  # no batch silently overwritten
+        # idempotent re-run: same content, same names, still 4 records
+        paths2 = write_warc_dataset(mk_ds(), out, ts_col=None)
+        assert sorted(set(paths2)) == sorted(set(paths))
+        assert len(list(out.glob("*.warc.gz"))) == 2
+        assert not list(out.glob("*.tmp"))
 
 
 class TestWarcStreaming:

@@ -375,11 +375,15 @@ def main(argv: list[str] | None = None) -> int:
 
         from vexor_ray.functions.percolate import percolate
 
+        # query_id = physical line number; blank lines are skipped but keep
+        # their ordinal, and the echo goes through a {qid: text} dict so a
+        # blank line can never shift the id→text mapping
         stored = [
             (i, line.strip())
             for i, line in enumerate(open(args.queries))
             if line.strip()
         ]
+        qtext = dict(stored)
         docs = ray.data.read_parquet(args.input)
         out = percolate(
             docs, stored, id_col=args.id_col, text_col=args.text_col
@@ -390,7 +394,7 @@ def main(argv: list[str] | None = None) -> int:
                 b.column("doc_id").to_pylist(),
                 b.column("query_id").to_pylist(),
             ):
-                print(f"{d}\t{q}\t{stored[q][1]}")
+                print(f"{d}\t{q}\t{qtext[q]}")
                 n += 1
         print(f"# {n} matches, {len(stored)} stored queries", flush=True)
         return 0

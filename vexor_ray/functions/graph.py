@@ -138,27 +138,34 @@ def _iterate(
         rk_keys = rk_keys[order]
         rk_vals = df["rank"].to_numpy()[is_rank][order]
         ed_src = keys[~is_rank]
-        if ed_src.size:
+        ed_dst = df["dst"].to_numpy()[~is_rank]
+        if ed_src.size and rk_keys.size:
             # out-degree per edge, counted within the partition: every edge
             # of one src co-partitions here, so the count is global
             _, inv, cnt = np.unique(
                 ed_src, return_inverse=True, return_counts=True
             )
             pos = np.searchsorted(rk_keys, ed_src)
-            contrib = rk_vals[pos] // cnt[inv]
+            # pagerank_edges is public API over arbitrary (src, dst) rows:
+            # an edge whose src has no node row must contribute nothing,
+            # not index past rk_vals or read a neighbour's rank (the
+            # resolve_links live-check pattern)
+            pos = np.minimum(pos, rk_keys.size - 1)
+            live = rk_keys[pos] == ed_src
+            contrib = rk_vals[pos[live]] // cnt[inv[live]]
+            ed_dst = ed_dst[live]
         else:
             contrib = np.array([], dtype=np.int64)
+            ed_dst = ed_dst[:0]
         return pd.DataFrame(
             {
-                "dst": np.concatenate(
-                    [df["dst"].to_numpy()[~is_rank], rk_keys]
-                ),
+                "dst": np.concatenate([ed_dst, rk_keys]),
                 "contrib": np.concatenate(
                     [contrib, np.zeros(rk_keys.size, dtype=np.int64)]
                 ),
                 "seed": np.concatenate(
                     [
-                        np.zeros(ed_src.size, dtype=np.int8),
+                        np.zeros(ed_dst.size, dtype=np.int8),
                         np.ones(rk_keys.size, dtype=np.int8),
                     ]
                 ),

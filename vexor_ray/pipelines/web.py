@@ -666,10 +666,17 @@ def crawl_export_table(sf_dir: str) -> ray.data.Dataset:
         hosts, paths, htmls = [], [], []
         for d, s, t in zip(ids, srcs, texts):
             d = int(d)
-            body = _BOILERPLATE if d % 7 == 3 else t
+            # boilerplate docs share body AND render identity (title, h1,
+            # links), so their EXTRACTED texts are byte-identical and the
+            # dedup stage genuinely removes rows; host/path stay per-doc
+            # (the robots stage needs them)
+            if d % 7 == 3:
+                body, rid = _BOILERPLATE, 3
+            else:
+                body, rid = t, d
             hosts.append(f"{s}.example")
             paths.append(_page_path(d))
-            htmls.append(render_page(d, body, n)[1])
+            htmls.append(render_page(rid, body, n)[1])
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -759,7 +766,7 @@ def crawl_export_sql() -> str:
     strip_set = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
     x = f"trim(regexp_replace({x}, '{_sql_quote(WS_RE)}', ' ', 'g'), {strip_set})"
     dst = lambda off: (  # noqa: E731
-        f"CAST((b.doc_id*131 + {off}) % (SELECT c FROM hn) AS VARCHAR)"
+        f"CAST((b.rid*131 + {off}) % (SELECT c FROM hn) AS VARCHAR)"
     )
     return f"""
 WITH hn AS (SELECT COUNT(*) AS c FROM documents),
@@ -770,7 +777,8 @@ rules AS (
   UNION ALL SELECT source || '.example', FALSE, '/c/' FROM src
    WHERE CAST(substr(source, 4) AS INT) % 2 = 0),
 body AS (SELECT doc_id, source,
-  CASE WHEN doc_id % 7 = 3 THEN '{_BOILERPLATE}' ELSE text END AS btext
+  CASE WHEN doc_id % 7 = 3 THEN '{_BOILERPLATE}' ELSE text END AS btext,
+  CASE WHEN doc_id % 7 = 3 THEN 3 ELSE doc_id END AS rid
   FROM documents),
 hl AS (SELECT b.doc_id, COALESCE(string_agg(CASE
    WHEN js.j = 0 THEN '<A HREF="HTTPS://CORPUS.example/d/' || {dst(7)} || '#top">see d' || {dst(7)} || ' guide</A>'
@@ -778,7 +786,7 @@ hl AS (SELECT b.doc_id, COALESCE(string_agg(CASE
    WHEN js.j = 2 THEN '<a rel="nofollow" href="https://corpus.example/d/' || {dst(41)} || '">more about d' || {dst(41)} || '</a>'
   END, '' ORDER BY js.j), '') AS links
   FROM body b LEFT JOIN (SELECT UNNEST(range(3)) AS j) js
-    ON js.j < b.doc_id % 4
+    ON js.j < b.rid % 4
   GROUP BY b.doc_id),
 cp AS (SELECT b.doc_id, b.source || '.example' AS host,
   CASE b.doc_id % 4
@@ -786,9 +794,9 @@ cp AS (SELECT b.doc_id, b.source || '.example' AS host,
     WHEN 1 THEN '/a/ok/' || CAST(b.doc_id AS VARCHAR)
     WHEN 2 THEN '/b/' || CAST(b.doc_id AS VARCHAR)
     ELSE '/c/' || CAST(b.doc_id AS VARCHAR) END AS path,
-  '<html><head><title>T ' || CAST(b.doc_id AS VARCHAR)
+  '<html><head><title>T ' || CAST(b.rid AS VARCHAR)
   || '</title><style type="text/css">p {{color:red}}</style><script src="/j.js">var i = 1 < 2;</script></head><body><h1>Doc '
-  || CAST(b.doc_id AS VARCHAR) || '</h1><p id="b">' || b.btext
+  || CAST(b.rid AS VARCHAR) || '</h1><p id="b">' || b.btext
   || '</p><!-- c -->' || hl.links
   || '<a href="mailto:x@y.z">m</a><a href="//cdn.example/x">p</a> &amp;amp; 1 &lt; 2&nbsp;&#39;&quot;</body></html>'
   AS html

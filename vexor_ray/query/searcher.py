@@ -1510,6 +1510,25 @@ class Searcher:
             if not chunks_by_term.get(t):
                 return []  # a must term absent from the corpus matches nothing
         doc_ids, scores = self._exact_scores(scoring, chunks_by_term)
+        if min_should_match > 0:
+            # should terms capped out of the scoring set must still seed
+            # candidates: a doc matching >= m should terms exclusively via
+            # capped-out terms is a valid result (its score is 0.0 — the
+            # scoring terms simply don't occur in it)
+            in_scoring = set(scoring)
+            capped_out = [
+                t for t in dict.fromkeys(should) if t not in in_scoring
+            ]
+            extra = [term_docs(t) for t in capped_out]
+            extra = [e for e in extra if e.size]
+            if extra:
+                ex = np.unique(np.concatenate(extra))
+                new = ex[~np.isin(ex, doc_ids)]
+                if new.size:
+                    doc_ids = np.concatenate([doc_ids, new])
+                    scores = np.concatenate(
+                        [scores, np.zeros(new.size, dtype=scores.dtype)]
+                    )
         if doc_ids.size == 0:
             return []
         keep = np.ones(doc_ids.size, dtype=bool)

@@ -31,6 +31,8 @@ granule).  Writing keeps a batch's records in memory once (bounded by
 from __future__ import annotations
 
 import hashlib
+import os
+import uuid
 import zlib
 from datetime import datetime, timezone
 from pathlib import Path
@@ -173,6 +175,16 @@ def write_warc_dataset(
     """Pages Dataset → ``.warc.gz`` shards under ``out_dir`` (one gzip
     member per record, one file per batch); returns the file list.
 
+    Shards are CONTENT-ADDRESSED: the filename is the md5 of the complete
+    compressed shard bytes, so two different batches can never collide on
+    a name (same name ⇒ same bytes, and the write is tmp-file + atomic
+    rename, so a re-run is idempotent rather than corrupting).  Byte-
+    identical duplicate batches — possible only on pathological input —
+    coalesce into one shard.  ``out_dir`` should be empty (or dedicated to
+    this dataset) when the shards are later ingested by glob: stale shards
+    from a PREVIOUS run with different content keep their distinct names
+    and would be picked up too.
+
     ``ts_col=None`` stamps every record with the epoch (deterministic
     corpora without a crawl timestamp, e.g. the ``documents`` table).
     """
@@ -199,10 +211,15 @@ def write_warc_dataset(
             if isinstance(p, str):
                 p = p.encode("utf-8")
             buf += gzip.compress(build_record(u, int(t), p), mtime=0)
-        name = hashlib.md5(urls[0].encode("utf-8")).hexdigest()[:16]
+        # content-addressed name: distinct content can never collide, and
+        # an identical re-write (re-run into the same out_dir) is a no-op
+        data = bytes(buf)
+        name = hashlib.md5(data).hexdigest()[:24]
         path = f"{out_str}/crawl-{name}.warc.gz"
-        with open(path, "wb") as f:
-            f.write(bytes(buf))
+        tmp = f"{out_str}/.crawl-{name}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
         return pa.table(
             {
                 "path": pa.array([path], type=pa.string()),
