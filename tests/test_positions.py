@@ -311,3 +311,57 @@ def test_phrase_and_near_respect_deleted_doc_ids(pos_index, pos_oracle):
         got2 = idx.near_occurrences(w1, w2, 5, deleted_doc_ids=v2)
         assert v2[0] not in got2.column("doc_id").to_pylist()
         assert got2.num_rows == near.num_rows - 1
+
+
+def test_shared_tokenize_pass_parity(ray_session, pages_1k, pos_index, tmp_path_factory):
+    """Sidecar built from the BM25 build's docs_tok checkpoint
+    (BuildConfig(emit_positions=True) → build_positions_from_index) must
+    answer phrase queries identically to the standalone sidecar that
+    re-extracts and re-tokenizes the corpus."""
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.index.positions import build_positions_from_index
+
+    root = tmp_path_factory.mktemp("sharedpos")
+    bm = root / "bm25"
+    build_index(
+        pages_1k,
+        bm,
+        BuildConfig(
+            text_only=True,
+            emit_positions=True,
+            num_waves=1,
+            partitions_per_wave=4,
+            shard_group_size=2,
+            tokenize_concurrency=2,
+        ),
+    )
+    shared = root / "pos_shared"
+    build_positions_from_index(bm, shared)
+
+    standalone = PositionsIndex(pos_index)
+    from_pass = PositionsIndex(shared)
+    for phrase in ("fox jumps", "the quick brown", "needledfone", "jumps over the"):
+        a = standalone.phrase_occurrences(phrase)
+        b = from_pass.phrase_occurrences(phrase)
+        assert a == b, phrase
+    # near/NEAR parity too (uses the same decoded positions)
+    assert standalone.near_occurrences("quick", "lazy", 8).equals(
+        from_pass.near_occurrences("quick", "lazy", 8)
+    )
+
+
+def test_build_positions_from_index_requires_flag(ray_session, pages_1k, tmp_path_factory):
+    """An index built WITHOUT emit_positions must be refused with a clear
+    error (its docs checkpoint has no poss column)."""
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.index.positions import build_positions_from_index
+
+    root = tmp_path_factory.mktemp("sharedpos_noflag")
+    bm = root / "bm25"
+    build_index(
+        pages_1k,
+        bm,
+        BuildConfig(text_only=True, num_waves=1, shard_group_size=4),
+    )
+    with pytest.raises(ValueError, match="emit_positions"):
+        build_positions_from_index(bm, root / "pos")

@@ -103,6 +103,12 @@ class BuildConfig:
     # re-read saves), so this defaults OFF; it exists for high-W builds
     # where W-fold read amplification dominates.
     wave_bucketed_tok: bool = False
+    # emit_positions → the docs_tok checkpoint carries a ``poss`` column
+    # (1-based positions per distinct term), so the positions sidecar can
+    # be built from this ONE tokenize pass
+    # (positions.build_positions_from_index) instead of re-extracting and
+    # re-tokenizing the corpus.  Incompatible with wave_bucketed_tok.
+    emit_positions: bool = False
     partitions_per_wave: int = 8
     # "sort": range-partitioned sort by (term, salt) — robust, skew splits
     #   into multiple chunks per key which the query layer merges;
@@ -788,6 +794,7 @@ def build_index(
         f"|{cfg.token_pattern}|{cfg.text_only}|{cfg.doc_builder}|{cfg.tokenizer}"
         f"|{cfg.char_limit}|{cfg.pre_extracted}|W{cfg.num_waves}"
         f"|B{int(cfg.wave_bucketed_tok)}"
+        f"|X{int(cfg.emit_positions)}"
         f"|E{cfg.embed_dim}:{cfg.embed_mode}"
         f"|M{hashlib.sha1(_tokfp_json.dumps(cfg.bpe_merges).encode()).hexdigest() if cfg.bpe_merges else ''}"
         f"|P{_tokfp_json.dumps(cfg.embed_provider, sort_keys=True)}"
@@ -857,6 +864,7 @@ def build_index(
                 "embed_provider": cfg.embed_provider,
                 "bpe_merges": cfg.bpe_merges,
                 "stop_words": cfg.stop_words,
+                "emit_positions": cfg.emit_positions,
             },
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,

@@ -63,6 +63,11 @@ class PositionsConfig:
     stop_words: list | None = None
     text_only: bool = True  # phrase semantics over the text itself
     pre_extracted: bool = False
+    # tokenized_source → ``source`` is a docs_tok checkpoint that already
+    # carries (doc_id, terms, poss) — a BM25 build with
+    # ``BuildConfig(emit_positions=True)``.  Stage 1 (extract + tokenize)
+    # is skipped entirely: ONE tokenize pass serves both indexes.
+    tokenized_source: bool = False
     char_limit: int = FULL_CHAR_LIMIT
     salt_shift: int = DEFAULT_SALT_SHIFT
     num_waves: int = 1
@@ -316,6 +321,24 @@ def build_positions_index(
     group_fp_now: dict[str, str] = {}
     group_parts: dict[str, list[str]] = {}
     group_file_idx: dict[str, list[int]] = {}
+    if cfg.tokenized_source:
+        # the source files ARE the tokenized checkpoint (shared with the
+        # BM25 build): no pos_tok stage, stage 2 reads them directly
+        for gi, group in enumerate(groups):
+            pid = f"group-{gi:05d}"
+            fp = hashlib.sha1(
+                (file_fingerprint(group, src_fs) + tok_fp).encode()
+            ).hexdigest()
+            group_fp_now[pid] = fp
+            group_file_idx[pid] = list(
+                range(
+                    gi * cfg.shard_group_size,
+                    gi * cfg.shard_group_size + len(group),
+                )
+            )
+            group_parts[pid] = [str(f) for f in group]
+            parts_files.extend(str(f) for f in group)
+        groups = []
     for gi, group in enumerate(groups):
         pid = f"group-{gi:05d}"
         fp = hashlib.sha1(
@@ -446,8 +469,11 @@ def build_positions_index(
         t0 = time.perf_counter()
         ds = ray.data.read_parquet(
             dirty_files,
+            columns=["doc_id", "terms", "poss"],
             override_num_blocks=cfg.partitions_per_wave * 2,
-            filesystem=store.fs,
+            # tokenized_source reads the BM25 build's checkpoint in place
+            # (its store may be a different pyarrow.fs than ours)
+            filesystem=src_fs if cfg.tokenized_source else store.fs,
         )
         ds = ds.map_batches(
             explode_position_postings,
@@ -545,6 +571,57 @@ def build_positions_index(
             },
             "input_files": files,
         },
+    )
+
+
+def build_positions_from_index(
+    index_dir: str | Path | Store,
+    out_dir: str | Path | Store,
+    cfg: PositionsConfig | None = None,
+    *,
+    filesystem=None,
+    index_filesystem=None,
+) -> dict:
+    """Build the positional sidecar from a BM25 index's docs_tok checkpoint
+    — the SHARED-tokenize-pass path.
+
+    Requires the index to have been built with
+    ``BuildConfig(emit_positions=True)`` (its docs checkpoint then carries
+    the ``poss`` column).  The tokenizer configuration (pattern, tokenizer,
+    stop words, doc builder) is taken from the INDEX manifest, never from
+    the caller, so phrase/NEAR position arithmetic can't diverge from the
+    paired BM25 index's query tokenization.  Extract + tokenize are skipped
+    entirely: positions go straight to the sorted exchange + encode.
+    """
+    idx_store = Store.resolve(index_dir, index_filesystem)
+    man = load_manifest(idx_store)
+    docs_files = man.get("docs_files")
+    if not docs_files:
+        raise ValueError(f"no docs_files in manifest at {index_dir}")
+    bc = man.get("config", {})
+    if not bc.get("emit_positions"):
+        raise ValueError(
+            "index was not built with emit_positions=True — its docs "
+            "checkpoint has no poss column (rebuild with "
+            "BuildConfig(emit_positions=True) or use build_positions_index)"
+        )
+    base = cfg or PositionsConfig()
+    cfg = dataclasses.replace(
+        base,
+        tokenized_source=True,
+        pre_extracted=True,
+        token_pattern=bc.get("token_pattern", base.token_pattern),
+        tokenizer=bc.get("tokenizer", base.tokenizer),
+        stop_words=bc.get("stop_words"),
+        text_only=bc.get("text_only", bc.get("doc_builder") == "text"),
+        salt_shift=bc.get("salt_shift", base.salt_shift),
+    )
+    return build_positions_index(
+        docs_files,
+        out_dir,
+        cfg,
+        filesystem=filesystem,
+        source_filesystem=idx_store.fs,
     )
 
 

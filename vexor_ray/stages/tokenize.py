@@ -48,6 +48,7 @@ class TokenizeDocs:
         embed_provider: dict | None = None,
         bpe_merges: list | None = None,
         stop_words: list | None = None,
+        emit_positions: bool = False,
     ):
         from .berttok import make_tokenizer
 
@@ -77,6 +78,18 @@ class TokenizeDocs:
         # posting build's per-wave read PRUNES to 1/W of the term data via
         # parquet column selection instead of re-reading everything W times
         self._num_waves = int(num_waves)
+        # emit_positions → a ``poss`` column (1-based token positions per
+        # distinct term, aligned with ``terms``) rides along in the docs
+        # checkpoint, so the positions sidecar can build from THIS pass
+        # instead of re-extracting and re-tokenizing the corpus.  The
+        # position dict yields terms in first-appearance order — identical
+        # to Counter insertion order — so terms/tfs stay bit-compatible.
+        if emit_positions and self._num_waves > 1:
+            raise ValueError(
+                "emit_positions is incompatible with wave_bucketed_tok "
+                "(positions align with the flat terms column)"
+            )
+        self._emit_positions = bool(emit_positions)
         # per-actor metrics (exposed in logs; stage-level metrics are
         # aggregated from dataset counts in the manifest)
         self.n_docs = 0
@@ -141,12 +154,24 @@ class TokenizeDocs:
             docs = [f"{u} {head_snippet(t) or ''}" for u, t in zip(urls, texts)]
         else:
             docs = [f"{u} {t}" for u, t in zip(urls, texts)]
-        for doc in docs:
-            tokens = tokenize(doc)
-            counts = Counter(tokens)
-            doc_lens.append(len(tokens))
-            terms_col.append(list(counts.keys()))
-            tfs_col.append(list(counts.values()))
+        poss_col: list[list[list[int]]] = []
+        if self._emit_positions:
+            for doc in docs:
+                tokens = tokenize(doc)
+                by_term: dict[str, list[int]] = {}
+                for i, tok in enumerate(tokens, start=1):
+                    by_term.setdefault(tok, []).append(i)
+                doc_lens.append(len(tokens))
+                terms_col.append(list(by_term.keys()))
+                tfs_col.append([len(p) for p in by_term.values()])
+                poss_col.append(list(by_term.values()))
+        else:
+            for doc in docs:
+                tokens = tokenize(doc)
+                counts = Counter(tokens)
+                doc_lens.append(len(tokens))
+                terms_col.append(list(counts.keys()))
+                tfs_col.append(list(counts.values()))
         self.n_docs += len(docs)
         self.n_tokens += sum(doc_lens)
         cols = {
@@ -156,6 +181,10 @@ class TokenizeDocs:
         if W == 1:
             cols["terms"] = pa.array(terms_col, type=pa.list_(pa.string()))
             cols["tfs"] = pa.array(tfs_col, type=pa.list_(pa.uint32()))
+            if self._emit_positions:
+                cols["poss"] = pa.array(
+                    poss_col, type=pa.list_(pa.list_(pa.uint32()))
+                )
         else:
             cols.update(self._bucket_by_wave(terms_col, tfs_col, W))
         if self._provider is not None:
