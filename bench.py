@@ -442,6 +442,29 @@ def bench_operators() -> dict:
     proximity_topk_table(SF_DIR, "table query join", k=10)
     out["proximity_topk"] = round(time.perf_counter() - t0, 3)
 
+    # percolation at alerting scale: 10k stored queries in ONE corpus scan
+    # via the inverted query index (the Elasticsearch-percolator shape)
+    import random as _rnd
+
+    from vexor_ray.functions.percolate import percolate
+
+    _rng = _rnd.Random(42)
+    _vocab = (
+        "data table query join index search engine result page link "
+        "filter sort group count text token term score rank doc"
+    ).split()
+    stored = [
+        (i, " ".join(_rng.sample(_vocab, _rng.randint(2, 4))))
+        for i in range(10_000)
+    ]
+    docs_ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t0 = time.perf_counter()
+    n_pairs = percolate(docs_ds, stored).count()
+    out["percolate_10k"] = round(time.perf_counter() - t0, 3)
+    out["percolate_10k_pairs"] = int(n_pairs)
+
     # WARC source throughput over the PAGES corpus (the volume-bearing
     # table at this sf): write one-member-per-record shards, read+parse back
     from vexor_ray.warc import read_warc, write_warc_dataset

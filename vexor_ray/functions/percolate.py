@@ -7,20 +7,93 @@ a stored query iff EVERY query term occurs in the document (conjunctive
 bag-of-words, the common default).
 
 Ray-Data shape: the stored-query set is orders of magnitude smaller than
-the corpus, so it is broadcast inside the task closure (compiled to
-per-query frozensets once per task); the corpus streams through ONE
+the corpus, so it ships once per task and the corpus streams through ONE
 column-pruned ``map_batches`` scan emitting (doc_id, query_id) pairs — no
-shuffle, no driver state beyond the result.  At 100 TB this is the same
-shape as the engine's other single-scan operators; ten thousand stored
-queries are a few hundred KB of closure.
+shuffle, no driver state beyond the result.  Two matching strategies,
+switched automatically on stored-query count:
+
+- **broadcast-loop** (small sets): per-query frozensets compiled once per
+  task; each doc's token set is tested against every query — O(docs ×
+  queries), unbeatable constant for a handful of alerts;
+- **query-index** (the Elasticsearch-percolator shape, default above
+  ``INDEXED_THRESHOLD``): the stored queries are themselves inverted into
+  a term → query-ids index (built once per actor in ``__init__``); per
+  doc, the hit lists of its dictionary-matched tokens are concatenated
+  and counted with one ``np.unique`` — a query matches iff its hit count
+  equals its distinct-term count.  Per-doc cost is proportional to the
+  ACTUAL term hits, not the stored-query count, so 10⁵ stored queries
+  match in the same single corpus scan.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
 from ..spec import TOKEN_RE
+
+# above this many stored queries the per-doc all-queries loop loses to the
+# inverted query index (measured: break-even well under 100 at typical
+# 2-4-term queries)
+INDEXED_THRESHOLD = 64
+
+
+class PercolateIndexed:
+    """Actor-pool callable: corpus scan against an INVERTED stored-query
+    index (term → query ids), built once per actor."""
+
+    def __init__(self, queries: list[tuple[int, str]], id_col: str, text_col: str):
+        self._id_col = id_col
+        self._text_col = text_col
+        qids: list[int] = []
+        sizes: list[int] = []
+        by_term: dict[str, list[int]] = {}
+        for qid, q in queries:
+            terms = frozenset(TOKEN_RE.findall(q.lower()))
+            if not terms:
+                continue
+            row = len(qids)
+            qids.append(int(qid))
+            sizes.append(len(terms))
+            for t in terms:
+                by_term.setdefault(t, []).append(row)
+        self._qids = np.asarray(qids, dtype=np.int64)
+        self._sizes = np.asarray(sizes, dtype=np.int64)
+        self._postings = {
+            t: np.asarray(rows, dtype=np.int64) for t, rows in by_term.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        postings = self._postings
+        sizes = self._sizes
+        qids = self._qids
+        out_d, out_q = [], []
+        for did, text in zip(
+            batch.column(self._id_col).to_pylist(),
+            batch.column(self._text_col).to_pylist(),
+        ):
+            toks = frozenset(TOKEN_RE.findall((text or "").lower()))
+            hit_lists = [postings[t] for t in toks if t in postings]
+            if not hit_lists:
+                continue
+            hits = (
+                hit_lists[0]
+                if len(hit_lists) == 1
+                else np.concatenate(hit_lists)
+            )
+            rows, cnt = np.unique(hits, return_counts=True)
+            matched = rows[cnt == sizes[rows]]
+            if matched.size:
+                did = int(did)
+                out_d.extend([did] * matched.size)
+                out_q.extend(qids[matched].tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "query_id": pa.array(out_q, type=pa.int64()),
+            }
+        )
 
 
 def percolate(
@@ -29,13 +102,33 @@ def percolate(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    indexed_threshold: int = INDEXED_THRESHOLD,
+    concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     """(doc_id, query_id) pairs for every stored query a doc satisfies."""
+    from ._pool import launch_stage
+
     compiled = [
         (int(qid), frozenset(TOKEN_RE.findall(q.lower())))
         for qid, q in queries
     ]
     compiled = [(qid, ts) for qid, ts in compiled if ts]
+    if len(compiled) > indexed_threshold:
+        # elastic by default (launch_stage ships the pre-built index in the
+        # task closure — one serialize, zero reserved CPUs); an explicit
+        # ``concurrency`` keeps the actor-pool path for huge query sets
+        return launch_stage(
+            docs,
+            PercolateIndexed,
+            {
+                "queries": list(queries),
+                "id_col": id_col,
+                "text_col": text_col,
+            },
+            concurrency=concurrency,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     def match(batch: pa.Table) -> pa.Table:
         out_d, out_q = [], []
