@@ -207,11 +207,97 @@ def run_eval(n_pages: int = 10_000, n_queries: int = 30) -> dict:
             [c["doc_id"] for c in rerank_bm25l(qtext, cands)[:10]]
         )
 
+    # provider arms: a SECOND index whose embeddings come through the
+    # OpenAI-compatible HTTP provider seam (an in-process stub serving the
+    # hash featurizer), then search_dense / search_hybrid_text against it —
+    # the e2e wire path the reference drives in scripts/eval_hybrid.py.
+    prov_arms = _provider_arms(pages, n_pages, qtexts)
+    for name, ranked in prov_arms.items():
+        arms[name] = ranked
+
     return {
         "n_pages": n_pages,
         "n_queries": len(qtexts),
         "arms": {name: metrics(ranked, relevant) for name, ranked in arms.items()},
     }
+
+
+def _provider_arms(pages, n_pages: int, qtexts: list[str]) -> dict:
+    """dense_provider / hybrid_provider ranked lists via an in-process
+    OpenAI-compatible stub that serves the word_mix hash featurizer
+    (dim 1024) — so the row measures the WIRE PATH, not a new model."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from vexor_ray.functions.embed import hash_embed
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.index.manifest import MANIFEST_NAME
+    from vexor_ray.query.searcher import Searcher
+
+    DIM = 1024
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            payload = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            vecs = hash_embed(payload["input"], dim=DIM, n=2, mode="word_mix")
+            body = _json.dumps(
+                {
+                    "data": [
+                        {"index": i, "embedding": v.tolist()}
+                        for i, v in enumerate(vecs)
+                    ]
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base_url = f"http://127.0.0.1:{srv.server_port}/v1"
+    try:
+        idx = Path(f"/tmp/vx_eval_idx_prov_{n_pages}")
+        if not (idx / MANIFEST_NAME).exists():
+            build_index(
+                pages,
+                idx,
+                BuildConfig(
+                    text_only=True,
+                    embed_provider={
+                        "kind": "openai",
+                        "base_url": base_url,
+                        "model": "stub-hash-1024",
+                        "batch_size": 64,
+                        "require_key": False,
+                    },
+                    num_waves=1,
+                    partitions_per_wave=8,
+                    tokenize_concurrency=8,
+                ),
+            )
+        sp = Searcher(idx)
+        # the searcher embeds queries through the SAME provider spec the
+        # manifest recorded; point it at this process's stub port
+        sp.manifest["config"]["embed_provider"]["base_url"] = base_url
+        out = {"dense_provider": [], "hybrid_provider": []}
+        for qtext in qtexts:
+            out["dense_provider"].append(
+                [d for d, _ in sp.search_dense(qtext, k=10)]
+            )
+            out["hybrid_provider"].append(
+                [d for d, _ in sp.search_hybrid_text(qtext, k=10)]
+            )
+        return out
+    finally:
+        srv.shutdown()
 
 
 def main():

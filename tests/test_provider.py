@@ -264,3 +264,47 @@ def test_dense_build_via_stub_provider(ray_session, tmp_path, stub_server):
     res = s.search_dense(f"{url} {text}", k=3)
     assert res[0][0] == (1 << 32) | row
     assert res[0][1] > 0.999  # provider-identical query vector
+
+
+def test_hybrid_text_via_stub_provider(ray_session, tmp_path, stub_server):
+    """search_hybrid_text end-to-end through the provider seam: the dense
+    arm embeds the QUERY via the same HTTP provider the index was built
+    with, fuses with BM25 via RRF, and self-retrieval ranks first."""
+    from vexor_ray.fixtures.pages import write_pages
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.query.searcher import Searcher
+    from vexor_ray.refimpl.textnorm import extract_text
+
+    import pyarrow.parquet as pq
+
+    pages = write_pages(tmp_path / "pages_h", 200, seed=7, rows_per_file=100)
+    idx = tmp_path / "idx_h"
+    build_index(
+        pages,
+        idx,
+        BuildConfig(
+            embed_provider={
+                "kind": "openai",
+                "base_url": stub_server,
+                "model": "fake-model",
+                "batch_size": 64,
+                "require_key": False,
+            },
+            num_waves=1,
+            partitions_per_wave=2,
+            shard_group_size=2,
+            tokenize_concurrency=2,
+            salt_shift=8,
+        ),
+    )
+    s = Searcher(idx)
+    f = sorted(pages.glob("part-*.parquet"))[0]
+    t = pq.read_table(f, columns=["url", "html"])
+    row = 5
+    text = extract_text(t["html"][row].as_py())
+    url = t["url"][row].as_py()
+    res = s.search_hybrid_text(f"{url} {text}", k=5)
+    assert res and res[0][0] == row  # file 0 → docID == row
+    # the dense arm inside the fusion really used the provider
+    assert getattr(s, "_dense_provider", None) is not None
+    assert s._dense_provider.n_requests > 0
