@@ -126,3 +126,64 @@ def test_registry_routes_pdf(ray_session):
         assert texts["b.txt"] == "plain text body"
     finally:
         clear_extractors()
+
+
+def test_cid_tounicode_extraction():
+    """Type0/Identity-H text decodes through the ToUnicode CMap: the
+    2-byte CIDs are offset from ASCII, so a latin-1 decode of the raw
+    string bytes could never produce the expected text."""
+    from vexor_ray.stages.pdftext import extract_pdf_text, make_cid_pdf
+
+    pdf = make_cid_pdf(["Hello CID world", "second line 123"])
+    assert extract_pdf_text(pdf) == "Hello CID world second line 123"
+    # uncompressed variant exercises the same path without Flate
+    pdf2 = make_cid_pdf(["plain zlib off"], compress=False)
+    assert extract_pdf_text(pdf2) == "plain zlib off"
+
+
+def test_cid_without_tounicode_skipped():
+    """A Type0 font with no usable ToUnicode map must yield NO text from
+    its strings (documented refusal — never garbled 2-byte soup)."""
+    from vexor_ray.stages.pdftext import extract_pdf_text, make_cid_pdf
+
+    assert extract_pdf_text(make_cid_pdf(["junk"], with_tounicode=False)) is None
+
+
+def test_cid_and_simple_fonts_mix():
+    """Font switches inside one content stream: simple-font text keeps the
+    latin-1 path while the CID font's strings go through its CMap."""
+    import zlib as _z
+
+    from vexor_ray.stages.pdftext import extract_pdf_text, make_cid_pdf
+
+    pdf = bytearray(make_cid_pdf(["cid part"]))
+    # append a second content-bearing object using a simple font name that
+    # has no Type0 binding (F1): latin-1 path
+    extra = b"BT /F1 10 Tf (simple part) Tj ET"
+    comp = _z.compress(extra)
+    obj = (
+        b"9 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(comp)).encode()
+        + b" >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    at = bytes(pdf).find(b"xref")
+    pdf[at:at] = obj
+    text = extract_pdf_text(bytes(pdf))
+    assert "cid part" in text and "simple part" in text
+
+
+def test_cid_bfchar_and_array_bfrange():
+    """bfchar pairs and the explicit-array bfrange form both parse."""
+    from vexor_ray.stages.pdftext import _parse_tounicode
+
+    cmap = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0041> <0061> <0042> <00660066> endbfchar\n"
+        b"1 beginbfrange <0100> <0102> [<0058> <0059> <005A>] endbfrange\n"
+    )
+    width, m = _parse_tounicode(cmap)
+    assert width == 2
+    assert m[0x41] == "a" and m[0x42] == "ff"
+    assert (m[0x100], m[0x101], m[0x102]) == ("X", "Y", "Z")

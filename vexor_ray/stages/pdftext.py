@@ -9,8 +9,17 @@ modern xref-stream PDFs whose page/font dicts live in object streams still
 yield their content text (content streams themselves can never live inside
 an ObjStm — §7.5.7 — so the linear stream scan finds them regardless).
 Encrypted PDFs (``/Encrypt`` in the trailer) return ``None`` outright
-rather than garbled ciphertext.  CID/Type0 composite-font encodings
-(2-byte codes needing a ToUnicode CMap) remain out of scope —
+rather than garbled ciphertext.  CID/Type0 composite fonts ARE supported
+on unencrypted documents when they carry a ``/ToUnicode`` CMap (the
+overwhelmingly common case for machine-generated CID PDFs): the object
+graph is scanned for font dicts, each font name is bound to its parsed
+CMap (``bfchar``/``bfrange``, codespace width from
+``begincodespacerange``), and content streams track the active font via
+the ``Tf`` operator, decoding its strings through the CMap.  A Type0 font
+WITHOUT a usable ToUnicode map has its strings skipped entirely (never
+garbled 2-byte soup); simple fonts keep the latin-1 path.  Encrypted CID
+documents fall back to the simple-font path (the CMap streams are
+object-encrypted and not re-associated after decryption).
 ``extract_pdf_text`` returns whatever text it can find, or ``None`` when
 there is none (the extractor-registry contract: ``stages/extract.py``).
 
@@ -110,15 +119,231 @@ def _string_bytes(lit: bytes) -> bytes:
     return _unescape(lit[1:-1])
 
 
-def _stream_text(stream: bytes) -> list[str]:
+def _stream_text(stream: bytes, fonts: dict | None = None) -> list[str]:
+    """Text pieces of one content stream.
+
+    ``fonts``: font name (without slash) → parsed ToUnicode CMap
+    ``(code_width, {code: str})``, or ``None`` for a Type0 font whose
+    ToUnicode is absent/unusable (its strings are SKIPPED — 2-byte CIDs
+    decoded as latin-1 would be garbage).  Names not in ``fonts`` are
+    simple fonts → latin-1, the pre-CID behavior.
+    """
     out: list[str] = []
-    for m in _TEXT_OP_RE.finditer(stream):
+    if not fonts:
+        for m in _TEXT_OP_RE.finditer(stream):
+            parts = [
+                _string_bytes(lit.group(0))
+                for lit in _LITERAL_RE.finditer(m.group(0))
+            ]
+            if parts:
+                out.append(b"".join(parts).decode("latin-1"))
+        return out
+    cur: tuple | None | str = "simple"  # active font state
+    for m in _TF_OR_TEXT_RE.finditer(stream):
+        if m.group("tfname") is not None:
+            name = m.group("tfname").decode("latin-1")
+            cur = fonts[name] if name in fonts else "simple"
+            continue
+        if cur is None:
+            continue  # Type0 without ToUnicode: skip its strings
         parts = [
-            _string_bytes(lit.group(0)) for lit in _LITERAL_RE.finditer(m.group(0))
+            _string_bytes(lit.group(0))
+            for lit in _LITERAL_RE.finditer(m.group(0))
         ]
-        if parts:
-            out.append(b"".join(parts).decode("latin-1"))
+        if not parts:
+            continue
+        raw = b"".join(parts)
+        if cur == "simple":
+            out.append(raw.decode("latin-1"))
+        else:
+            width, cmap = cur
+            out.append(_decode_with_cmap(raw, width, cmap))
     return out
+
+
+# Tf operator (font switch) OR a text-showing op, in stream order
+_TF_OR_TEXT_RE = re.compile(
+    rb"/(?P<tfname>[^\s/<>\[\]()]+)\s+[0-9.+-]+\s+Tf"
+    rb"|(?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s*(?:Tj|')"
+    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ",
+    re.S,
+)
+
+
+def _decode_with_cmap(raw: bytes, width: int, cmap: dict) -> str:
+    """CID string bytes → text via the ToUnicode map (unmapped codes drop)."""
+    out: list[str] = []
+    for i in range(0, len(raw) - width + 1, width):
+        code = int.from_bytes(raw[i : i + width], "big")
+        u = cmap.get(code)
+        if u:
+            out.append(u)
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# CID/Type0 support: object graph → font name → parsed ToUnicode CMap
+# ---------------------------------------------------------------------------
+
+_OBJSTM_PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S
+)
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_TOUNI_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONTREF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _collect_objects(payload: bytes) -> dict[int, bytes]:
+    """obj number → body bytes (top-level objects + ObjStm members)."""
+    objs: dict[int, bytes] = {}
+    for om in _OBJ_RE.finditer(payload):
+        num = int(om.group(1))
+        end = payload.find(b"endobj", om.end())
+        body = payload[om.end() : end if end >= 0 else len(payload)]
+        objs.setdefault(num, body)
+    # expand object streams: header /N n /First f, then n (num, offset)
+    # pairs followed by the packed dict bodies
+    for m in _STREAM_RE.finditer(payload):
+        head = m.group(1)
+        if b"/ObjStm" not in head:
+            continue
+        start = m.end()
+        end = payload.find(b"endstream", start)
+        if end < 0:
+            continue
+        body = payload[start:end].rstrip(b"\r\n")
+        if b"/FlateDecode" in head:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        if not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        pairs = _OBJSTM_PAIR_RE.findall(body[:first])[:n]
+        offs = [(int(a), int(b)) for a, b in pairs]
+        for i, (num, off) in enumerate(offs):
+            nxt = offs[i + 1][1] if i + 1 < len(offs) else len(body) - first
+            objs.setdefault(num, body[first + off : first + nxt])
+    return objs
+
+
+def _decoded_stream_of(body: bytes) -> bytes | None:
+    """The (Flate-decoded) stream payload inside one object body."""
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    start = m.end()
+    end = body.find(b"endstream", start)
+    raw = body[start : end if end >= 0 else len(body)].rstrip(b"\r\n")
+    if b"/FlateDecode" in m.group(1):
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            return None
+    return raw
+
+
+def _parse_tounicode(cmap_bytes: bytes) -> tuple[int, dict[int, str]] | None:
+    """ToUnicode CMap → (code width, {code: unicode string}).
+
+    Handles ``bfchar`` pairs, both ``bfrange`` forms (incrementing dst and
+    explicit dst array), and takes the code width from the first
+    ``codespacerange`` token (Identity-H's ``<0000> <FFFF>`` → 2)."""
+    cs = _CODESPACE_RE.search(cmap_bytes)
+    width = (len(cs.group(1)) + 1) // 2 if cs else 2
+    out: dict[int, str] = {}
+
+    def utf16(hexs: bytes) -> str:
+        try:
+            return bytes.fromhex(hexs.decode("ascii")).decode(
+                "utf-16-be", "ignore"
+            )
+        except ValueError:
+            return ""
+
+    for sec in _BFCHAR_RE.finditer(cmap_bytes):
+        toks = _HEXTOK_RE.findall(sec.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            out[int(toks[i], 16)] = utf16(toks[i + 1])
+    for sec in _BFRANGE_RE.finditer(cmap_bytes):
+        body = sec.group(1)
+        # explicit-array form: <lo> <hi> [<d0> <d1> ...]
+        pos = 0
+        while True:
+            am = re.search(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+                body[pos:],
+                re.S,
+            )
+            if not am:
+                break
+            lo, hi = int(am.group(1), 16), int(am.group(2), 16)
+            dst = am.group(3)
+            if dst.startswith(b"["):
+                dsts = _HEXTOK_RE.findall(dst)
+                for k, d in enumerate(dsts):
+                    if lo + k > hi:
+                        break
+                    out[lo + k] = utf16(d)
+            else:
+                base_hex = dst[1:-1]
+                base = int(base_hex, 16)
+                # increment applies to the LAST code unit (PDF 32000-1
+                # §9.10.3); spans beyond it are clipped defensively
+                n_units = max(1, (len(base_hex) + 3) // 4)
+                for k in range(hi - lo + 1):
+                    val = base + k
+                    try:
+                        out[lo + k] = val.to_bytes(
+                            2 * n_units, "big"
+                        ).decode("utf-16-be", "ignore")
+                    except OverflowError:
+                        break
+            pos += am.end()
+    return (width, out) if out else None
+
+
+def _font_cmaps(payload: bytes) -> dict[str, tuple | None]:
+    """Font NAME → parsed ToUnicode CMap for every Type0 font, ``None``
+    when the font is Type0 but its map is absent/unusable (skip its text).
+    Names bound in any ``/Font`` resource dict; a name bound to multiple
+    DIFFERENT Type0 fonts keeps the first (rare; simple fonts win ties
+    by absence).  Returns {} when the document has no Type0 fonts at all —
+    the caller then skips font tracking entirely."""
+    objs = _collect_objects(payload)
+    type0: dict[int, tuple | None] = {}
+    for num, body in objs.items():
+        head = body.split(b"stream", 1)[0]
+        if not _TYPE0_RE.search(head):
+            continue
+        ref = _TOUNI_REF_RE.search(head)
+        parsed = None
+        if ref:
+            tobj = objs.get(int(ref.group(1)))
+            if tobj is not None:
+                raw = _decoded_stream_of(tobj)
+                if raw:
+                    parsed = _parse_tounicode(raw)
+        type0[num] = parsed
+    if not type0:
+        return {}
+    fonts: dict[str, tuple | None] = {}
+    for body in objs.values():
+        for fd in _FONTDICT_RE.finditer(body):
+            for fm in _FONTREF_RE.finditer(fd.group(1)):
+                name = fm.group(1).decode("latin-1")
+                ref = int(fm.group(2))
+                if ref in type0 and name not in fonts:
+                    fonts[name] = type0[ref]
+    return fonts
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
@@ -173,16 +398,19 @@ def extract_pdf_text(payload: bytes, char_limit: int = 0) -> str | None:
     crypto = examine(payload)
     if crypto is REFUSED:
         return None
-    streams = (
-        _content_streams(payload)
-        if crypto is None
-        else _decrypted_streams(payload, crypto)
-    )
+    if crypto is None:
+        streams = _content_streams(payload)
+        # CID/Type0: font-name → ToUnicode CMap bindings ({} for the
+        # overwhelmingly common no-composite-font case — zero overhead)
+        fonts = _font_cmaps(payload)
+    else:
+        streams = _decrypted_streams(payload, crypto)
+        fonts = {}
     pieces: list[str] = []
     for stream in streams:
         if b"Tj" not in stream and b"TJ" not in stream and b"'" not in stream:
             continue
-        pieces.extend(_stream_text(stream))
+        pieces.extend(_stream_text(stream, fonts))
     if not pieces:
         return None
     text = " ".join(p.strip() for p in pieces if p.strip())
@@ -343,6 +571,87 @@ def make_simple_pdf(lines: list[str], compress: bool = True) -> bytes:
         + b"\nendstream",
     ]
     out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size "
+        + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n"
+        + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def make_cid_pdf(
+    lines: list[str],
+    *,
+    cid_offset: int = 0x100,
+    with_tounicode: bool = True,
+    compress: bool = True,
+) -> bytes:
+    """One-page PDF whose text uses a CID/Type0 font (Identity-H): each
+    character is written as the 2-byte code ``ord(ch) + cid_offset``, so a
+    naive latin-1 decode of the string bytes would be garbage — correct
+    extraction REQUIRES the ToUnicode CMap (test fixture).
+
+    ``with_tounicode=False`` builds the refusal case: a Type0 font without
+    a usable map, whose strings the extractor must skip entirely.
+    """
+    hexes = [
+        "".join(f"{ord(ch) + cid_offset:04X}" for ch in line) for line in lines
+    ]
+    content = b"BT /F9 12 Tf 72 720 Td " + b" T* ".join(
+        f"<{h}> Tj".encode("ascii") for h in hexes
+    ) + b" ET"
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    # ToUnicode CMap: one bfrange covering the printable ASCII band shifted
+    # by cid_offset (dst increments from U+0020)
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n"
+        + f"<{0x20 + cid_offset:04X}> <{0x7E + cid_offset:04X}> <0020>\n".encode()
+        + b"endbfrange\nendcmap\nend\n"
+    )
+    font = b"<< /Type /Font /Subtype /Type0 /BaseFont /Stub-Identity-H "
+    font += b"/Encoding /Identity-H "
+    if with_tounicode:
+        font += b"/ToUnicode 6 0 R "
+    font += b">>"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F9 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< "
+        + filt
+        + b"/Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+        font,
+        b"<< /Length "
+        + str(len(cmap)).encode()
+        + b" >>\nstream\n"
+        + cmap
+        + b"\nendstream",
+    ]
+    if not with_tounicode:
+        objs = objs[:5]
+    out = bytearray(b"%PDF-1.5\n")
     offsets = []
     for i, body in enumerate(objs, start=1):
         offsets.append(len(out))
