@@ -81,3 +81,66 @@ def test_config_mismatch_rejected(fed_setup, tmp_path, ray_session):
     build_index(pages, idx, _cfg(k1=2.0))
     with pytest.raises(ValueError, match="k1"):
         FederatedSearcher([fed_setup["fed"].searchers[0].index_dir, idx])
+
+
+def test_serving_composition_smoke(ray_session, tmp_path_factory):
+    """The README deployment story end to end: build + append (snapshot
+    history) → clone to a serving store → QueryPool pinned to the OLD
+    snapshot on the clone → snapshot-aware federation with a pinned
+    member → analyzer guard still fires across it all."""
+    from vexor_ray.index.clone import clone_index
+    from vexor_ray.index.manifest import list_manifests
+    from vexor_ray.query.server import QueryPool
+
+    tmp = tmp_path_factory.mktemp("compose")
+    pages_v1 = write_pages(tmp / "p1", 150, seed=3, rows_per_file=75)
+    idx = tmp / "idx"
+    build_index(pages_v1, idx, _cfg())
+    s_v1_results = Searcher(idx).search("needledften needledfhundred", k=5)
+    assert s_v1_results  # fixture needles guarantee matches
+
+    # incremental append commits a second manifest (history retained)
+    write_pages(tmp / "p1", 225, seed=3, rows_per_file=75)
+    build_index(tmp / "p1", idx, _cfg())
+    names = [m["name"] for m in list_manifests(idx)]
+    assert len(names) >= 2
+    old_name = names[-2]
+
+    # clone carries the snapshot history to the serving store (non-current
+    # snapshots keep their ORIGINAL names; the clone's current manifest is
+    # its own commit)
+    serve = tmp / "serve"
+    clone_index(idx, serve)
+    clone_names = [m["name"] for m in list_manifests(serve)]
+    assert old_name in clone_names and len(clone_names) >= 2
+
+    # pool pinned to the old snapshot answers exactly the v1 results,
+    # even though CURRENT on the clone is the appended index
+    pool = QueryPool(str(serve), num_workers=2, manifest_name=old_name)
+    try:
+        got = pool.search_many([{"query": "needledften needledfhundred", "k": 5}])[0]
+        assert got == s_v1_results
+        # unpinned pool sees the appended corpus (different doc_count path)
+        live = QueryPool(str(serve), num_workers=1)
+        try:
+            live_got = live.search_many([{"query": "needledften needledfhundred", "k": 5}])[0]
+            assert live_got == Searcher(idx).search("needledften needledfhundred", k=5)
+        finally:
+            live.shutdown()
+    finally:
+        pool.shutdown()
+
+    # snapshot-aware federation: a pinned member composes with a live one
+    pages_c = write_pages(tmp / "pc", 150, seed=77, rows_per_file=75)
+    idx_c = tmp / "idx_c"
+    build_index(pages_c, idx_c, _cfg())
+    pinned = Searcher(serve, manifest_name=old_name)
+    fed = FederatedSearcher([pinned, idx_c])
+    assert fed.doc_count == pinned.live_doc_count + Searcher(idx_c).live_doc_count
+    assert fed.search("needledften needledfhundred", k=5)
+
+    # the analyzer guard refuses a mixed-analyzer member even when pinned
+    idx_stop = tmp / "idx_stop"
+    build_index(pages_c, idx_stop, _cfg(stop_words=["the"]))
+    with pytest.raises(ValueError, match="stop_words"):
+        FederatedSearcher([pinned, idx_stop])

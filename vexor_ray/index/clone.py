@@ -117,7 +117,26 @@ def clone_index(
     man = load_manifest(src)
     records = BuildManifest(src).load_partitions()
 
-    files = sorted(_collect_files(man, records, src))
+    files = set(_collect_files(man, records, src))
+    # retained snapshot history rides along: each NON-current snapshot
+    # object is replicated under its ORIGINAL name (so pinned
+    # manifest_name readers work on the clone) together with any extra
+    # data files only it references — serving-tier rollback on the
+    # replica (README "Deploying the query tier")
+    from .manifest import list_manifests
+
+    history: list[tuple[str, dict]] = []
+    for e in list_manifests(src):
+        if e["current"]:
+            continue
+        try:
+            old_man = src.read_json(e["name"])
+        except (FileNotFoundError, OSError, ValueError):
+            continue  # torn/expired snapshot object protects nothing
+        history.append((e["name"], old_man))
+        files |= _collect_files(old_man, {}, src)
+
+    files = sorted(files)
     copied = 0
     nbytes = 0
     dst.mkdirs()
@@ -126,6 +145,10 @@ def clone_index(
         if _copy_file(src, dst, f, dst.path(rel)):
             copied += 1
             nbytes += src.fs.get_file_info(f).size
+
+    for name, old_man in history:
+        dst_store_man = _rewrite_paths(old_man, src.base, dst.base)
+        dst.write_json_atomic(name, dst_store_man)
 
     # partition records with rewritten output paths — committed before the
     # manifest so a visible clone is always a complete, maintainable one

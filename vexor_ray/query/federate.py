@@ -37,10 +37,15 @@ class FederatedSearcher:
     ):
         if not index_dirs:
             raise ValueError("need at least one index directory")
-        # entries may be local paths, Stores, or plain paths on an explicit
-        # shared filesystem — the 100 TB shape is N object-store shards
+        # entries may be local paths, Stores, plain paths on an explicit
+        # shared filesystem — the 100 TB shape is N object-store shards —
+        # or pre-built Searcher instances (e.g. pinned to a retained
+        # snapshot via Searcher(manifest_name=...): snapshot-aware
+        # federation for consistent cross-shard serving)
         self.searchers = [
-            Searcher(d, max_dense_docs=max_dense_docs, filesystem=filesystem)
+            d
+            if isinstance(d, Searcher)
+            else Searcher(d, max_dense_docs=max_dense_docs, filesystem=filesystem)
             for d in index_dirs
         ]
         cfg0 = self.searchers[0].manifest["config"]

@@ -17,8 +17,16 @@ from .searcher import Searcher
 
 @ray.remote
 class QueryWorker:
-    def __init__(self, index_dir: str, warm_terms: int = 64):
-        self.searcher = Searcher(index_dir)
+    def __init__(
+        self,
+        index_dir: str,
+        warm_terms: int = 64,
+        manifest_name: str | None = None,
+    ):
+        # manifest_name pins a retained snapshot: every worker in the pool
+        # serves the SAME committed manifest even while builds/compactions
+        # advance CURRENT underneath (deploy-time consistency)
+        self.searcher = Searcher(index_dir, manifest_name=manifest_name)
         if warm_terms:
             # move the cold first-decode tail of hot (stop-word-class)
             # terms to actor startup — steady-state latency from query one
@@ -34,11 +42,21 @@ class QueryWorker:
 
 
 class QueryPool:
-    """Round-robin pool of ``QueryWorker`` actors over one index."""
+    """Round-robin pool of ``QueryWorker`` actors over one index.
 
-    def __init__(self, index_dir: str, num_workers: int = 4, warm_terms: int = 64):
+    ``manifest_name`` (from ``index.manifest.list_manifests``) pins every
+    worker to one retained snapshot — the deployment story's consistency
+    anchor (see README "Deploying the query tier")."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_workers: int = 4,
+        warm_terms: int = 64,
+        manifest_name: str | None = None,
+    ):
         self.workers = [
-            QueryWorker.remote(str(index_dir), warm_terms)
+            QueryWorker.remote(str(index_dir), warm_terms, manifest_name)
             for _ in range(num_workers)
         ]
 
