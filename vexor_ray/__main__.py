@@ -196,6 +196,10 @@ def main(argv: list[str] | None = None) -> int:
     cl = sub.add_parser("clear", help="delete a persisted index directory")
     cl.add_argument("--index", required=True)
 
+    sub.add_parser(
+        "mcp", help="serve the MCP agent surface (ndjson JSON-RPC on stdio)"
+    )
+
     po = sub.add_parser(
         "positions", help="build (resume/compact) the positional sidecar"
     )
@@ -225,6 +229,12 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "mcp":
+        from vexor_ray.mcp import serve_stdio
+
+        serve_stdio()
+        return 0
 
     if args.cmd == "clear":
         from vexor_ray.api import clear_index
