@@ -308,3 +308,108 @@ def test_hybrid_text_via_stub_provider(ray_session, tmp_path, stub_server):
     # the dense arm inside the fusion really used the provider
     assert getattr(s, "_dense_provider", None) is not None
     assert s._dense_provider.n_requests > 0
+
+
+# ---------------------------------------------------------------------------
+# Gemini / Voyage wire variants (same retry core, different shapes)
+# ---------------------------------------------------------------------------
+
+
+def test_voyage_payload_and_parse():
+    from vexor_ray.providers import VoyageEmbeddingProvider
+
+    seen = []
+
+    def transport(payload):
+        seen.append(payload)
+        return 200, _ok_body(payload["input"])
+
+    p = VoyageEmbeddingProvider(
+        "https://api.example/v1", "voyage-3", require_key=False,
+        transport=transport, sleep=lambda s: None,
+        input_type="document", dimensions=DIM,
+    )
+    out = p.embed(["a", "b"])
+    assert out.shape == (2, DIM)
+    assert seen[0]["input_type"] == "document"
+    assert seen[0]["output_dimension"] == DIM
+    assert "dimensions" not in seen[0]
+
+
+def test_gemini_payload_parse_and_endpoint(monkeypatch):
+    from vexor_ray.providers import GeminiEmbeddingProvider
+
+    monkeypatch.setenv("GEMINI_API_KEY", "g-key")
+    seen = []
+
+    def transport(payload):
+        seen.append(payload)
+        vecs = [_fake_embedding(r["content"]["parts"][0]["text"])
+                for r in payload["requests"]]
+        return 200, {"embeddings": [{"values": v} for v in vecs]}
+
+    p = GeminiEmbeddingProvider(
+        "https://api.example/v1beta", "emb-001",
+        transport=transport, sleep=lambda s: None,
+    )
+    texts = ["hello", "world", "three"]
+    out = p.embed(texts)
+    want = np.asarray([_fake_embedding(t) for t in texts], dtype=np.float32)
+    np.testing.assert_array_equal(out, want)
+    assert seen[0]["requests"][0]["model"] == "models/emb-001"
+    assert p._endpoint().endswith("/models/emb-001:batchEmbedContents")
+    assert p._headers()["x-goog-api-key"] == "g-key"
+
+
+def test_gemini_retry_and_count_mismatch(monkeypatch):
+    from vexor_ray.providers import GeminiEmbeddingProvider
+    from vexor_ray.providers.openai_http import ProviderError
+
+    monkeypatch.setenv("GEMINI_API_KEY", "g-key")
+    calls = {"n": 0}
+
+    def flaky(payload):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 429, None
+        return 200, {"embeddings": [{"values": _fake_embedding("x")}]}
+
+    p = GeminiEmbeddingProvider(
+        "https://api.example/v1beta", "emb-001",
+        transport=flaky, sleep=lambda s: None,
+    )
+    assert p.embed(["x"]).shape == (1, DIM)
+    assert p.n_retries == 1
+
+    def short(payload):
+        return 200, {"embeddings": []}
+
+    p2 = GeminiEmbeddingProvider(
+        "https://api.example/v1beta", "emb-001",
+        transport=short, sleep=lambda s: None,
+    )
+    with pytest.raises(ProviderError, match="0 embeddings"):
+        p2.embed(["x"])
+
+
+def test_make_provider_new_kinds(monkeypatch):
+    from vexor_ray.providers import make_provider
+    from vexor_ray.providers.openai_http import (
+        GeminiEmbeddingProvider,
+        ProviderError,
+        VoyageEmbeddingProvider,
+    )
+
+    monkeypatch.setenv("VOYAGE_API_KEY", "v")
+    monkeypatch.setenv("GEMINI_API_KEY", "g")
+    assert isinstance(
+        make_provider({"kind": "voyage", "base_url": "u", "model": "m"}),
+        VoyageEmbeddingProvider,
+    )
+    assert isinstance(
+        make_provider({"kind": "gemini", "base_url": "u", "model": "m"}),
+        GeminiEmbeddingProvider,
+    )
+    # local-onnx import-gates cleanly in this environment
+    with pytest.raises((ProviderError, NotImplementedError)):
+        make_provider({"kind": "local-onnx", "model_path": "/tmp/x.onnx"})

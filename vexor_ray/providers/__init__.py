@@ -7,9 +7,17 @@ float32.  See ``openai_http.OpenAIEmbeddingProvider`` for the network arm.
 """
 
 from .openai_http import (
+    GeminiEmbeddingProvider,
     OpenAIEmbeddingProvider,
     ProviderError,
+    VoyageEmbeddingProvider,
     make_provider,
 )
 
-__all__ = ["OpenAIEmbeddingProvider", "ProviderError", "make_provider"]
+__all__ = [
+    "GeminiEmbeddingProvider",
+    "OpenAIEmbeddingProvider",
+    "ProviderError",
+    "VoyageEmbeddingProvider",
+    "make_provider",
+]

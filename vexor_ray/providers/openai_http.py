@@ -85,9 +85,34 @@ class OpenAIEmbeddingProvider:
         self.n_requests = 0
         self.n_retries = 0
 
-    # -- wire ---------------------------------------------------------------
+    # -- wire hooks (overridden by the Gemini/Voyage variants) ---------------
+    def _endpoint(self) -> str:
+        return f"{self.base_url}/embeddings"
+
+    def _headers(self) -> dict:
+        return {
+            "Content-Type": "application/json",
+            "Authorization": f"Bearer {self._api_key}",
+        }
+
+    def _payload(self, batch: Sequence[str]) -> dict:
+        payload: dict = {"model": self.model, "input": list(batch)}
+        if self.dimensions is not None:
+            payload["dimensions"] = self.dimensions
+        return payload
+
+    def _parse(self, body: dict, n: int) -> np.ndarray:
+        """200-response body → (n, dim) float32 in input order."""
+        data = body.get("data") or []
+        if len(data) != n:
+            raise ProviderError(
+                f"provider returned {len(data)} embeddings for {n} inputs"
+            )
+        data = sorted(data, key=lambda d: d.get("index", 0))
+        return np.asarray([d["embedding"] for d in data], dtype=np.float32)
+
     def _post(self, payload: dict) -> tuple[int, dict | None]:
-        """One POST to ``{base_url}/embeddings`` → (status, parsed body).
+        """One POST to the endpoint → (status, parsed body).
 
         Transport-level failures (refused connection, socket timeout) raise —
         the retry loop treats them as retryable, mirroring the reference's
@@ -96,12 +121,9 @@ class OpenAIEmbeddingProvider:
         if self._transport is not None:
             return self._transport(payload)
         req = urllib.request.Request(
-            f"{self.base_url}/embeddings",
+            self._endpoint(),
             data=json.dumps(payload).encode(),
-            headers={
-                "Content-Type": "application/json",
-                "Authorization": f"Bearer {self._api_key}",
-            },
+            headers=self._headers(),
             method="POST",
         )
         try:
@@ -111,9 +133,7 @@ class OpenAIEmbeddingProvider:
             return exc.code, None
 
     def _embed_batch(self, batch: Sequence[str]) -> np.ndarray:
-        payload: dict = {"model": self.model, "input": list(batch)}
-        if self.dimensions is not None:
-            payload["dimensions"] = self.dimensions
+        payload = self._payload(batch)
         delay = BACKOFF_INITIAL_S
         last = "no attempt"
         for attempt in range(MAX_RETRIES + 1):
@@ -125,16 +145,7 @@ class OpenAIEmbeddingProvider:
                 last = f"transport error: {exc}"
             else:
                 if status == 200 and body is not None:
-                    data = body.get("data") or []
-                    if len(data) != len(batch):
-                        raise ProviderError(
-                            f"provider returned {len(data)} embeddings "
-                            f"for {len(batch)} inputs"
-                        )
-                    data = sorted(data, key=lambda d: d.get("index", 0))
-                    return np.asarray(
-                        [d["embedding"] for d in data], dtype=np.float32
-                    )
+                    return self._parse(body, len(batch))
                 last = f"status {status}"
                 if status != -1 and status not in RETRYABLE_STATUSES:
                     raise ProviderError(f"embedding request failed ({last})")
@@ -186,18 +197,115 @@ class HashEmbeddingProvider:
         pass
 
 
+class VoyageEmbeddingProvider(OpenAIEmbeddingProvider):
+    """Voyage AI wire variant (public REST: ``POST /v1/embeddings``).
+
+    OpenAI-shaped request/response with two extra parameters:
+    ``input_type`` ("document" at index time, "query" at search time) and
+    ``output_dimension``.  Auth is the same Bearer header, key from
+    ``VOYAGE_API_KEY`` by default (reference arm: ``providers/``; wire
+    format from the public Voyage API docs)."""
+
+    def __init__(self, *args, input_type: str | None = None, **kw):
+        kw.setdefault("api_key_env", "VOYAGE_API_KEY")
+        super().__init__(*args, **kw)
+        self.input_type = input_type
+
+    def _payload(self, batch: Sequence[str]) -> dict:
+        payload: dict = {"model": self.model, "input": list(batch)}
+        if self.input_type:
+            payload["input_type"] = self.input_type
+        if self.dimensions is not None:
+            payload["output_dimension"] = self.dimensions
+        return payload
+
+
+class GeminiEmbeddingProvider(OpenAIEmbeddingProvider):
+    """Gemini wire variant (public Generative Language REST API).
+
+    ``POST {base}/models/{model}:batchEmbedContents`` with
+    ``{"requests": [{"model": "models/<m>", "content": {"parts":
+    [{"text": t}]}}]}``; the response's ``embeddings[].values`` are in
+    request order (no index field).  Auth via the ``x-goog-api-key``
+    header, key from ``GEMINI_API_KEY`` by default (reference arm:
+    ``vexor/providers/gemini.py``; wire format from the public API docs).
+    """
+
+    def __init__(self, *args, **kw):
+        kw.setdefault("api_key_env", "GEMINI_API_KEY")
+        super().__init__(*args, **kw)
+
+    def _endpoint(self) -> str:
+        return f"{self.base_url}/models/{self.model}:batchEmbedContents"
+
+    def _headers(self) -> dict:
+        return {
+            "Content-Type": "application/json",
+            "x-goog-api-key": self._api_key,
+        }
+
+    def _payload(self, batch: Sequence[str]) -> dict:
+        reqs = []
+        for t in batch:
+            r: dict = {
+                "model": f"models/{self.model}",
+                "content": {"parts": [{"text": t}]},
+            }
+            if self.dimensions is not None:
+                r["outputDimensionality"] = self.dimensions
+            reqs.append(r)
+        return {"requests": reqs}
+
+    def _parse(self, body: dict, n: int) -> np.ndarray:
+        rows = body.get("embeddings") or []
+        if len(rows) != n:
+            raise ProviderError(
+                f"provider returned {len(rows)} embeddings for {n} inputs"
+            )
+        return np.asarray([r["values"] for r in rows], dtype=np.float32)
+
+
+class LocalOnnxEmbeddingProvider:
+    """Local ONNX inference arm (reference ``providers/local.py:75-133``).
+
+    The sandbox has no ``onnxruntime``/``tokenizers``; the constructor
+    import-gates and raises a clear error when they are absent, keeping
+    the spec registrable (the actor-pool pattern it would run under is the
+    same as every other provider: construct once per actor, batch in
+    ``__call__``)."""
+
+    def __init__(self, model_path: str, tokenizer_path: str | None = None):
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError as exc:
+            raise ProviderError(
+                "local-onnx provider needs the onnxruntime package, which "
+                "is not installed in this environment"
+            ) from exc
+        raise NotImplementedError(
+            "local-onnx inference not wired in this environment"
+        )
+
+
 def make_provider(spec: dict):
     """Provider from a JSON-safe spec dict (persisted in build manifests).
 
-    ``{"kind": "openai", "base_url": ..., "model": ..., "batch_size": 64,
-    "concurrency": 4, "dimensions": ..., "timeout_s": 30,
-    "api_key_env": "OPENAI_API_KEY", "require_key": true}`` or
-    ``{"kind": "hash", "dim": 4096, "mode": "word_mix"}``.
+    ``{"kind": "openai" | "voyage" | "gemini", "base_url": ..., "model":
+    ..., "batch_size": 64, "concurrency": 4, "dimensions": ...,
+    "timeout_s": 30, "api_key_env": <env var>, "require_key": true}``,
+    ``{"kind": "hash", "dim": 4096, "mode": "word_mix"}``, or
+    ``{"kind": "local-onnx", "model_path": ...}`` (import-gated).
     """
     spec = dict(spec)
     kind = spec.pop("kind")
     if kind == "openai":
         return OpenAIEmbeddingProvider(**spec)
+    if kind == "voyage":
+        return VoyageEmbeddingProvider(**spec)
+    if kind == "gemini":
+        return GeminiEmbeddingProvider(**spec)
     if kind == "hash":
         return HashEmbeddingProvider(**spec)
+    if kind == "local-onnx":
+        return LocalOnnxEmbeddingProvider(**spec)
     raise ValueError(f"unknown provider kind {kind!r}")
