@@ -238,6 +238,16 @@ def _q_percolate(sf_dir: str):
     return percolate_table(sf_dir, _PERCOLATE_QUERIES)
 
 
+def _q_percolate_indexed(sf_dir: str):
+    """The percolate INDEXED arm (round 5): stored queries inverted into a
+    term → query-ids index, per-doc np.unique hit counting — the 10^5-
+    stored-queries shape, forced here regardless of query count.  Same
+    semantics, same SQL twin as `percolate`."""
+    from vexor_ray.functions.percolate import percolate_table
+
+    return percolate_table(sf_dir, _PERCOLATE_QUERIES, indexed_threshold=0)
+
+
 def _q_proximity_topk(sf_dir: str):
     """BM25 + term-proximity fusion: min distance between two DISTINCT
     query terms boosts the doc by 0.25/(1+mindist) — positional ranking
@@ -1585,6 +1595,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every hashable query has been driver-hashed at least once; only
     # pq_topk / ivf_pq_topk / bpe_tokens / stratified_sample remain
     # rows-only by design (iterative loops with no SQL twin).
+    # Late round 5: percolate_indexed (the new inverted-query-index arm,
+    # forced via indexed_threshold=0, same SQL twin as percolate) takes a
+    # hashed slot; streaming_ingest (r4-hashed green) shifts to the tail.
     # Seventh session: anchor_terms + anchor_boosted + lm_bigram_quality
     # swap in for cms_counts + substring_dup + doc_df (all driver-hashed
     # green in r1-r3); then html_text + extract_links + pagerank_links
@@ -1605,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": _q_bm25f_topk,
         "proximity_topk": _q_proximity_topk,
         "percolate": _q_percolate,
+        "percolate_indexed": _q_percolate_indexed,
         "boolean_msm": _q_boolean_msm,
         "bm25_stopwords": _q_bm25_stopwords,
         "bm25_synonyms": _q_bm25_synonyms,
@@ -2739,6 +2753,7 @@ GROUP BY f.facet, f.value ORDER BY f.facet, f.value"""
         "bm25f_topk": _bm25f_sql(),
         "proximity_topk": _proximity_sql(_BM25_QUERY.split()),
         "percolate": _percolate_sql(),
+        "percolate_indexed": _percolate_sql(),
         "boolean_msm": _boolean_msm_sql(["hash", "join", "scan"], 2, 10),
         "bm25_synonyms": (
             "\nWITH "

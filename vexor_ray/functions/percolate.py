@@ -154,7 +154,10 @@ def percolate(
 
 
 def percolate_table(
-    sf_dir: str, queries: list[tuple[int, str]]
+    sf_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    indexed_threshold: int = INDEXED_THRESHOLD,
 ) -> pa.Table:
     """Driver entry: percolate the documents table, totally ordered."""
     import numpy as np
@@ -162,7 +165,7 @@ def percolate_table(
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    out = percolate(docs, queries)
+    out = percolate(docs, queries, indexed_threshold=indexed_threshold)
     tables = [
         t
         for t in (
