@@ -329,3 +329,76 @@ def test_mask_js_escaped_newline_keeps_line_count():
     chunks = extract_js_chunks(src)
     fn = [c for c in chunks if c.kind == "function"]
     assert fn and fn[0].start_line == 3 and fn[0].end_line == 5
+
+
+class TestJsDecorators:
+    def test_decorated_class_includes_decorator(self):
+        from vexor_ray.stages.codechunk import extract_js_chunks
+
+        src = """import { Component } from '@angular/core';
+
+@Component({
+  selector: 'app-root',
+  template: '<div></div>',
+})
+export class AppComponent {
+  title = 'app';
+  run() {
+    return this.title;
+  }
+}
+"""
+        chunks = extract_js_chunks(src)
+        by_name = {c.name: c for c in chunks}
+        assert "AppComponent" in by_name
+        cls = by_name["AppComponent"]
+        # the chunk SPAN starts at the decorator, not the class keyword
+        assert cls.start_line == 3
+        assert "Methods: run" in cls.text
+        assert "AppComponent.run" in by_name
+        # decorator lines never leak into a module chunk between them
+        mods = [c for c in chunks if c.kind == "module"]
+        assert all("@Component" not in m.text for m in mods)
+
+    def test_decorated_methods_attach(self):
+        from vexor_ray.stages.codechunk import extract_js_chunks
+
+        src = """class Widget {
+  @Input()
+  name;
+  @HostListener('click', ['$event'])
+  onClick(ev) {
+    return ev;
+  }
+}
+"""
+        chunks = extract_js_chunks(src)
+        m = {c.name: c for c in chunks}["Widget.onClick"]
+        assert "@HostListener" in _span_text(src, m)
+
+    def test_decorated_function_and_reset(self):
+        from vexor_ray.stages.codechunk import extract_js_chunks
+
+        src = """@deprecated
+function legacy() {
+  return 1;
+}
+
+@orphan
+const x = 5;
+function clean() {
+  return 2;
+}
+"""
+        chunks = extract_js_chunks(src)
+        names = [c.name for c in chunks if c.kind == "function"]
+        assert names == ["legacy", "clean"]
+        legacy = [c for c in chunks if c.name == "legacy"][0]
+        assert legacy.start_line == 1  # decorator included
+        clean = [c for c in chunks if c.name == "clean"][0]
+        assert clean.start_line == 8  # @orphan broken by `const x = 5;`
+
+
+def _span_text(src: str, chunk) -> str:
+    lines = src.replace("\r\n", "\n").splitlines(keepends=True)
+    return "".join(lines[chunk.start_line - 1 : chunk.end_line])

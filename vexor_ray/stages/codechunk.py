@@ -308,6 +308,8 @@ _JS_METHOD_SKIP = frozenset(
     {"if", "for", "while", "switch", "catch", "return", "function", "new",
      "typeof", "await", "yield", "super", "this"}
 )
+# decorator line: @Name, @Name(...), @ns.Name({...}) — TS/Angular style
+_JS_DECOR_RE = re.compile(r"^\s*@[A-Za-z_$][\w$.]*")
 
 
 def _mask_js(source: str) -> list[str]:
@@ -460,13 +462,15 @@ def extract_js_chunks(source: str) -> list[CodeChunk]:
 
     symbols: list[tuple[int, int, str, str, str, str]] = []
 
-    def scan_class(ln: int, name: str, exported: bool) -> int:
+    def scan_class(ln: int, name: str, exported: bool, decor: int | None) -> int:
         end = body_end(ln)
-        raw = slice_lines(ln, end)
+        chunk_start = decor if decor is not None else ln
+        raw = slice_lines(chunk_start, end)
         # methods: depth exactly class-body level inside [ln+?, end]
         body_depth = depth_before[ln] + 1
         method_syms: list[tuple[int, int, str]] = []
         names: list[str] = []
+        pending_mdecor: int | None = None
         li = ln
         while li <= end:
             li += 1
@@ -474,15 +478,28 @@ def extract_js_chunks(source: str) -> list[CodeChunk]:
                 break
             if depth_before[li] != body_depth:
                 continue
-            m = _JS_METHOD_RE.match(masked[li - 1])
+            mline = masked[li - 1]
+            # method decorators (@Input, @HostListener(...)) attach to the
+            # following method chunk, mirroring the module-level rule
+            if _JS_DECOR_RE.match(mline):
+                if pending_mdecor is None:
+                    pending_mdecor = li
+                continue
+            m = _JS_METHOD_RE.match(mline)
             if not m or m.group(1).lstrip("#") in _JS_METHOD_SKIP:
+                if mline.strip():
+                    pending_mdecor = None
                 continue
             mend = body_end(li)
             names.append(m.group(1))
-            method_syms.append((li, mend, m.group(1)))
+            method_syms.append(
+                (pending_mdecor if pending_mdecor is not None else li, mend,
+                 m.group(1))
+            )
+            pending_mdecor = None
             li = mend
         display = f"export class {name}" if exported else f"class {name}"
-        cstart, _, dtext = with_doc(ln, raw)
+        cstart, _, dtext = with_doc(chunk_start, raw)
         parts = ([dtext] if dtext else []) + [first_line(raw)]
         if names:
             parts.append("Methods: " + ", ".join(names))
@@ -496,20 +513,35 @@ def extract_js_chunks(source: str) -> list[CodeChunk]:
         return end
 
     ln = 1
+    pending_decor: int | None = None  # first line of a decorator block
     while ln <= max_line:
         if depth_before[ln] != 0:
             ln += 1
             continue
         mline = masked[ln - 1]
+        # decorator block at module level: attaches to the NEXT class/
+        # function symbol (tree-sitter parity for @Component({...}) etc.);
+        # multi-line decorator args ride through the depth>0 skip above
+        if _JS_DECOR_RE.match(mline):
+            if pending_decor is None:
+                pending_decor = ln
+            ln += 1
+            continue
         cm = _JS_CLASS_RE.match(mline)
         if cm:
-            ln = scan_class(ln, cm.group(1), mline.lstrip().startswith("export")) + 1
+            ln = scan_class(
+                ln, cm.group(1), mline.lstrip().startswith("export"),
+                pending_decor,
+            ) + 1
+            pending_decor = None
             continue
         fm = _JS_FUNC_RE.match(mline)
         if fm:
             end = body_end(ln)
-            raw = slice_lines(ln, end)
-            start, text, _ = with_doc(ln, raw)
+            start0 = pending_decor if pending_decor is not None else ln
+            pending_decor = None
+            raw = slice_lines(start0, end)
+            start, text, _ = with_doc(start0, raw)
             symbols.append(
                 (start, end, "function", fm.group(1) or "anonymous",
                  first_line(raw), text)
@@ -519,13 +551,17 @@ def extract_js_chunks(source: str) -> list[CodeChunk]:
         am = _JS_ARROW_RE.match(mline)
         if am:
             end = body_end(ln) if "{" in mline[am.end() - 2 :] else stmt_end(ln)
-            raw = slice_lines(ln, end)
-            start, text, _ = with_doc(ln, raw)
+            start0 = pending_decor if pending_decor is not None else ln
+            pending_decor = None
+            raw = slice_lines(start0, end)
+            start, text, _ = with_doc(start0, raw)
             symbols.append(
                 (start, end, "function", am.group(1), first_line(raw), text)
             )
             ln = end + 1
             continue
+        if mline.strip():
+            pending_decor = None  # intervening statement breaks the block
         ln += 1
 
     symbols.sort(key=lambda s: s[0])
