@@ -248,6 +248,33 @@ def _q_percolate_indexed(sf_dir: str):
     return percolate_table(sf_dir, _PERCOLATE_QUERIES, indexed_threshold=0)
 
 
+
+def _q_quality_classifier(sf_dir: str):
+    """Trainable quality classifier (functions/selection.py): distributed
+    full-batch logistic regression over hashed-bigram frequencies (the
+    fasttext/CCNet-style filter), scored back over the corpus.  Iterative
+    GD has no SQL twin -> rows-only; ranking quality + bit-determinism
+    pinned by tests/test_functions.py::
+    test_quality_classifier_separates_and_is_deterministic."""
+    import ray.data
+
+    from vexor_ray.functions.selection import (
+        classifier_scores,
+        train_quality_classifier,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    model = train_quality_classifier(docs, iters=8)
+    return (
+        classifier_scores(docs, model)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_proximity_topk(sf_dir: str):
     """BM25 + term-proximity fusion: min distance between two DISTINCT
     query terms boosts the doc by 0.25/(1+mindist) — positional ranking
@@ -1736,6 +1763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_scrub,
         "hll_distinct": _q_hll_distinct,
         "bpe_tokens": _q_bpe_tokens,
+        # rows-only (iterative GD; see docstring)
+        "quality_classifier": _q_quality_classifier,
     }
 
 

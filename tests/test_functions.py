@@ -615,3 +615,39 @@ def test_dedup_keep_best_prefers_longest(ray_session):
     assert 3 in kept  # longest cluster member wins
     assert 1 not in kept and 2 not in kept
     assert 9 in kept  # singleton untouched
+
+
+def test_quality_classifier_separates_and_is_deterministic(ray_session):
+    """Trainable quality classifier (selection.py): full-batch distributed
+    logistic regression must (a) rank target-language docs above the rest
+    (AUC gate), (b) decrease the training loss, and (c) be bit-reproducible
+    across runs (sorted partial-gradient fold)."""
+    import numpy as np
+    import ray.data
+
+    from vexor_ray.functions.selection import (
+        classifier_scores,
+        train_quality_classifier,
+    )
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    model = train_quality_classifier(docs, iters=12)
+    assert model["losses"][-1] < model["losses"][0]
+    sc = classifier_scores(docs, model).to_pandas()
+    langs = docs.to_pandas().set_index("doc_id")["lang"]
+    sc["lang"] = sc["doc_id"].map(langs)
+    en = sc[sc["lang"] == "en"]["clf_score"].values
+    rest = sc[sc["lang"] != "en"]["clf_score"].values
+    allv = np.concatenate([en, rest])
+    order = allv.argsort()
+    ranks = np.empty(len(allv))
+    ranks[order] = np.arange(1, len(allv) + 1)
+    auc = (ranks[: len(en)].sum() - len(en) * (len(en) + 1) / 2) / (
+        len(en) * len(rest)
+    )
+    assert auc > 0.85
+    model2 = train_quality_classifier(docs, iters=12)
+    assert model2["w"] == model["w"] and model2["b"] == model["b"]

