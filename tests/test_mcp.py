@@ -157,7 +157,7 @@ class TestTools:
         # in-band text mirrors the structured payload (MCP contract)
         assert json.loads(r["result"]["content"][0]["text"]) == payload
         # searcher is cached for the follow-up call
-        assert str(served_index) in s._searchers
+        assert (str(served_index), None) in s._searchers
 
     def test_tool_error_surfaces_in_band(self, served_index):
         s = McpServer()
@@ -213,6 +213,33 @@ class TestTools:
             }
         )
         assert r2["result"]["structuredContent"]["results"]
+
+    def test_search_tool_snapshot_pin(self, served_index, tmp_path):
+        """The `at` argument pins a retained snapshot (the serving story's
+        consistency anchor, reachable from the agent surface)."""
+        from vexor_ray.index.manifest import list_manifests
+
+        s = McpServer()
+        _init(s)
+        name = [m["name"] for m in list_manifests(served_index)][-1]
+        r = s.handle_message(
+            {
+                "jsonrpc": "2.0",
+                "id": 7,
+                "method": "tools/call",
+                "params": {
+                    "name": "vexor_search",
+                    "arguments": {
+                        "query": "needledften",
+                        "index_dir": str(served_index),
+                        "at": name,
+                        "k": 3,
+                    },
+                },
+            }
+        )
+        assert r["result"]["structuredContent"]["results"]
+        assert (str(served_index), name) in s._searchers
 
     def test_phrase_tool(self, pos_index):
         s = McpServer()

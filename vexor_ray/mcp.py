@@ -69,6 +69,14 @@ def build_tool_definitions() -> list[dict[str, Any]]:
                         "enum": ["auto", "exact", "wand", "impact"],
                         "default": "auto",
                     },
+                    "at": {
+                        "type": "string",
+                        "description": (
+                            "Pin a retained snapshot manifest name "
+                            "(time-travel read; see `python -m vexor_ray "
+                            "snapshots`)."
+                        ),
+                    },
                 },
                 "required": ["query", "index_dir"],
                 "additionalProperties": False,
@@ -210,12 +218,13 @@ class McpServer:
             raise InvalidToolArguments(f"{key!r} must be a non-empty string")
         return v.strip()
 
-    def _searcher(self, index_dir: str):
-        s = self._searchers.get(index_dir)
+    def _searcher(self, index_dir: str, at: str | None = None):
+        key = (index_dir, at)
+        s = self._searchers.get(key)
         if s is None:
             from .query.searcher import Searcher
 
-            s = self._searchers[index_dir] = Searcher(index_dir)
+            s = self._searchers[key] = Searcher(index_dir, manifest_name=at)
         return s
 
     def _tool_search(self, arguments: dict) -> dict[str, Any]:
@@ -225,7 +234,8 @@ class McpServer:
         method = str(arguments.get("method") or "auto")
         if method not in ("auto", "exact", "wand", "impact"):
             raise InvalidToolArguments(f"unknown method {method!r}")
-        s = self._searcher(index_dir)
+        at = arguments.get("at") or None
+        s = self._searcher(index_dir, at)
         hits = s.search(query, k=k, method=method)
         meta = s.lookup_meta([d for d, _ in hits])
         return _text_result(
@@ -256,8 +266,9 @@ class McpServer:
             num_waves=int(arguments.get("waves") or 1),
         )
         man = build_index(inp, out, cfg)
-        # a rebuilt index must be re-opened by later searches
-        self._searchers.pop(out, None)
+        # a rebuilt index must be re-opened by later searches (any pin)
+        for key in [k for k in self._searchers if k[0] == out]:
+            self._searchers.pop(key, None)
         return _text_result(
             {
                 "out": out,
