@@ -365,3 +365,52 @@ def test_build_positions_from_index_requires_flag(ray_session, pages_1k, tmp_pat
     )
     with pytest.raises(ValueError, match="emit_positions"):
         build_positions_from_index(bm, root / "pos")
+
+
+def test_shared_pass_survives_incremental_append(ray_session, tmp_path_factory):
+    """Shared-pass composition with incremental builds: append pages,
+    re-run the BM25 build (delta docs_tok generations), re-run
+    build_positions_from_index — phrase results must equal a fresh
+    standalone sidecar over the full corpus."""
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.index.positions import (
+        PositionsConfig,
+        build_positions_from_index,
+        build_positions_index,
+    )
+
+    root = tmp_path_factory.mktemp("sharedpos_inc")
+    pages = write_pages(root / "pages", 150, seed=21, rows_per_file=75)
+    bm = root / "bm25"
+    cfg = BuildConfig(
+        text_only=True,
+        emit_positions=True,
+        num_waves=1,
+        partitions_per_wave=4,
+        shard_group_size=1,
+        tokenize_concurrency=2,
+    )
+    build_index(pages, bm, cfg)
+    shared = root / "pos_shared"
+    build_positions_from_index(bm, shared)
+
+    # append one more shard and re-run both builds
+    write_pages(root / "pages", 225, seed=21, rows_per_file=75)
+    build_index(pages, bm, cfg)
+    build_positions_from_index(bm, shared)
+
+    fresh = root / "pos_fresh"
+    build_positions_index(
+        pages,
+        fresh,
+        PositionsConfig(
+            pre_extracted=False,
+            text_only=True,
+            shard_group_size=1,
+            tokenize_concurrency=2,
+        ),
+    )
+    a = PositionsIndex(shared)
+    b = PositionsIndex(fresh)
+    for phrase in ("needledfone", "the quick brown", "fox jumps over"):
+        assert a.phrase_occurrences(phrase) == b.phrase_occurrences(phrase), phrase
