@@ -261,3 +261,40 @@ class TestTools:
         payload = r["result"]["structuredContent"]
         assert payload["total_docs"] == 1  # df=1 needle
         assert payload["matches"][0]["count"] >= 1
+
+
+def test_fuzz_malformed_messages_never_crash():
+    """Robustness: arbitrary malformed JSON-RPC shapes get an error (or
+    None for notifications) — the server must never raise."""
+    import random
+
+    rng = random.Random(13)
+    s = McpServer()
+    _init(s)
+    shapes = [
+        {},
+        [],
+        42,
+        "x",
+        None,
+        {"jsonrpc": "1.0", "id": 1, "method": "ping"},
+        {"jsonrpc": "2.0"},
+        {"jsonrpc": "2.0", "id": 1},
+        {"jsonrpc": "2.0", "id": 1, "method": 7},
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call"},
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call", "params": 3},
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+         "params": {"name": "vexor_search", "arguments": None}},
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+         "params": {"name": "vexor_search", "arguments": {"query": 5, "index_dir": 6}}},
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+         "params": {"name": "vexor_build", "arguments": {"input": "", "out": ""}}},
+        {"jsonrpc": "2.0", "id": [1, 2], "method": "ping"},
+    ]
+    for _ in range(200):
+        msg = rng.choice(shapes)
+        out = s.handle_message(msg)
+        if isinstance(msg, dict) and msg.get("jsonrpc") == "2.0" and msg.get("id") is None:
+            assert out is None or "error" in out
+        else:
+            assert out is None or ("error" in out or "result" in out)

@@ -172,6 +172,8 @@ class McpServer:
         if request_id is None:
             return None  # notifications (e.g. notifications/initialized)
         params = message.get("params") or {}
+        if not isinstance(params, dict):
+            return _error(request_id, INVALID_REQUEST, "params must be an object")
         if method == "initialize":
             self.initialized = True
             return _result(
