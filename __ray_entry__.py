@@ -1683,11 +1683,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_agg": _q_events_json_agg,
         "code_chunks": _q_code_chunks,
         "outline_chunks": _q_outline_chunks,
-        "streaming_ingest": _q_streaming_ingest,
         # ---- tail: beyond the driver's 50-query cap (every entry below
         # was driver-hashed green in at least one of CORRECTNESS_r01-r04;
         # still covered by scripts/check_oracles.py and the pytest suite) ----
         # displaced in round 5 (driver-hashed green in r4):
+        "streaming_ingest": _q_streaming_ingest,
         "bm25_topk_impact": _q_bm25_topk_impact,
         "html_text": _q_html_text,
         "extract_links": _q_extract_links,

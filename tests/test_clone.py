@@ -143,3 +143,32 @@ def test_clone_kill_mid_copy_resumes(clone_setup, tmp_path, monkeypatch):
     assert _results(Searcher(dst), queries) == _results(
         Searcher(clone_setup["idx"]), queries
     )
+
+
+def test_clone_skips_stale_precompaction_snapshots(ray_session, tmp_path):
+    """A retained snapshot whose data files were rewritten by compaction
+    is unpinnable on the source; the clone must SKIP it (not crash) and
+    still replicate the live state + any healthy snapshots."""
+    import pyarrow.parquet as pq2
+
+    from vexor_ray.fixtures.pages import generate_pages
+    from vexor_ray.index.build import compact_index
+    from vexor_ray.index.manifest import list_manifests
+
+    pages = write_pages(tmp_path / "pages", 150, seed=9, rows_per_file=75)
+    idx = tmp_path / "idx"
+    build_index(pages, idx, _cfg())
+    # mutate one shard → delta generation + second snapshot
+    shards = sorted(pages.glob("part-*.parquet"))
+    other = generate_pages(150, seed=33)
+    pq2.write_table(other.slice(0, 75), shards[0])
+    build_index(pages, idx, _cfg())
+    # compaction rewrites generations: the pre-compaction snapshot now
+    # references deleted data files
+    compact_index(pages, idx)
+    names = [m["name"] for m in list_manifests(idx)]
+    assert len(names) >= 2
+    dst = tmp_path / "mirror"
+    stats = clone_index(idx, dst)  # must not raise
+    queries = [r["query"] for r in generate_queries(8, seed=5)]
+    assert _results(Searcher(dst), queries) == _results(Searcher(idx), queries)

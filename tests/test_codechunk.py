@@ -402,3 +402,21 @@ function clean() {
 def _span_text(src: str, chunk) -> str:
     lines = src.replace("\r\n", "\n").splitlines(keepends=True)
     return "".join(lines[chunk.start_line - 1 : chunk.end_line])
+
+
+def test_same_line_property_decorator_not_pending():
+    """@Input() title = ''; is self-contained: the next method's chunk must
+    start at the method, not swallow the property line."""
+    from vexor_ray.stages.codechunk import extract_js_chunks
+
+    src = """class Widget {
+  @Input() title = '';
+  render() {
+    return this.title;
+  }
+}
+"""
+    chunks = extract_js_chunks(src)
+    m = {c.name: c for c in chunks}["Widget.render"]
+    assert m.start_line == 3  # the method line, not the @Input property
+    assert "@Input" not in _span_text(src, m)

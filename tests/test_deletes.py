@@ -146,6 +146,26 @@ def test_boolean_and_hybrid_respect_deletions(del_setup):
     assert h1 == h2
 
 
+def test_msm_capped_out_seeding_respects_deletions(del_setup):
+    """The round-5 min_should_match candidate union seeds docs from RAW
+    capped-out should-term postings; tombstoned docs must be masked there
+    too — results must equal the complement index's."""
+    from vexor_ray.spec import MAX_QUERY_TERMS
+
+    s1 = Searcher(del_setup["idx"])
+    s2 = Searcher(del_setup["comp_idx"])
+    # fillers occupy the whole scoring cap, the real term is capped out
+    should = [f"zzqxabsent{i}" for i in range(MAX_QUERY_TERMS)] + ["html"]
+    got = _url_results(
+        s1, s1.search_boolean(should=should, k=300, min_should_match=1)
+    )
+    want = _url_results(
+        s2, s2.search_boolean(should=should, k=300, min_should_match=1)
+    )
+    assert got == want
+    assert want  # the term matches live docs (non-vacuous)
+
+
 def test_delete_idempotent_and_cumulative(ray_session, tmp_path):
     pages = write_pages(tmp_path / "pages", 120, seed=7, rows_per_file=60)
     idx = tmp_path / "idx"

@@ -298,3 +298,36 @@ def test_fuzz_malformed_messages_never_crash():
             assert out is None or "error" in out
         else:
             assert out is None or ("error" in out or "result" in out)
+
+
+def test_numeric_bounds_enforced():
+    """The advertised inputSchema bounds are enforced, not just displayed:
+    k=0, k=100000 and negative phrase limits are INVALID_PARAMS."""
+    s = McpServer()
+    _init(s)
+    for args in (
+        {"query": "x", "index_dir": "/i", "k": 0},
+        {"query": "x", "index_dir": "/i", "k": 100000},
+        {"query": "x", "index_dir": "/i", "k": "ten"},
+    ):
+        r = s.handle_message(
+            {
+                "jsonrpc": "2.0",
+                "id": 1,
+                "method": "tools/call",
+                "params": {"name": "vexor_search", "arguments": args},
+            }
+        )
+        assert r["error"]["code"] == INVALID_PARAMS, args
+    r = s.handle_message(
+        {
+            "jsonrpc": "2.0",
+            "id": 2,
+            "method": "tools/call",
+            "params": {
+                "name": "vexor_phrase",
+                "arguments": {"phrase": "x", "positions_dir": "/p", "limit": -1},
+            },
+        }
+    )
+    assert r["error"]["code"] == INVALID_PARAMS

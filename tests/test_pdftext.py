@@ -187,3 +187,33 @@ def test_cid_bfchar_and_array_bfrange():
     assert width == 2
     assert m[0x41] == "a" and m[0x42] == "ff"
     assert (m[0x100], m[0x101], m[0x102]) == ("X", "Y", "Z")
+
+
+def test_ambiguous_font_name_keeps_simple_font_text():
+    """A resource name bound to a Type0 font on one page and a simple font
+    on another is ambiguous document-wide: the simple page's latin-1 text
+    must survive (the CID page falls back to pre-CID behavior)."""
+    import zlib as _z
+
+    from vexor_ray.stages.pdftext import extract_pdf_text, make_cid_pdf
+
+    pdf = bytearray(make_cid_pdf(["cid stuff"]))
+    # a second page-ish object binding the SAME name /F9 to a simple font
+    # (ref 8), plus a content stream using /F9 with latin-1 text
+    extra = (
+        b"7 0 obj\n<< /Type /Page /Resources << /Font << /F9 8 0 R >> >> >>\nendobj\n"
+        b"8 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+    )
+    content = b"BT /F9 10 Tf (simple latin text) Tj ET"
+    comp = _z.compress(content)
+    extra += (
+        b"9 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(comp)).encode()
+        + b" >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    at = bytes(pdf).find(b"xref")
+    pdf[at:at] = extra
+    text = extract_pdf_text(bytes(pdf)) or ""
+    assert "simple latin text" in text  # never decoded through the CMap

@@ -572,12 +572,49 @@ def minhash_lsh_pairs(
             verify_bcast, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    # shuffle-join verify (the 100 TB path): above the broadcast budget the
-    # candidate set is within a constant factor of the corpus, so shingles
-    # are computed for EVERY doc in one streamed scan — zero driver state,
-    # no id broadcast — and stay a DATASET; the coarse hash joins below
-    # attach them to pair sides and drop everything unpaired.
-    def all_shingles(batch: pa.Table) -> pa.Table:
+    # shuffle-join verify (the 100 TB path): candidates stay a DATASET end
+    # to end.  Docs semi-join against cands_ds in coarse hash partitions
+    # (one text-bearing exchange), then shingles are computed only for the
+    # SURVIVORS — shingle work and materialized bytes stay bounded by the
+    # candidate count even when the caller forces this arm on a corpus
+    # with few duplicates, and the driver never holds a single id.
+    from .groups import coarse_grouped as _coarse, int_pid as _ipid
+
+    def tag_cand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "text": pa.array([None] * n, type=pa.string()),
+                "is_cand": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "text": batch.column("text").cast(pa.string()),
+                "is_cand": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def semi_part(df: pd.DataFrame) -> pd.DataFrame:
+        flags = df["is_cand"].to_numpy()
+        wanted = set(df["doc_id"].to_numpy()[flags == 1].tolist())
+        keep = df[(flags == 0) & df["doc_id"].isin(wanted)]
+        return keep[["doc_id", "text"]]
+
+    tagged = cands_ds.map_batches(
+        tag_cand, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        docs.map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    surviving = _coarse(
+        tagged, lambda b: _ipid(b, ["doc_id"], 64), semi_part
+    )
+
+    def cand_shingles_ds(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         return pa.table(
             {
@@ -589,8 +626,8 @@ def minhash_lsh_pairs(
             }
         )
 
-    shingles = docs.map_batches(
-        all_shingles, batch_format="pyarrow", zero_copy_batch=True
+    shingles = surviving.map_batches(
+        cand_shingles_ds, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     # attach each side's shingles with a coarse-partitioned hash join

@@ -125,6 +125,8 @@ def clone_index(
     # replica (README "Deploying the query tier")
     from .manifest import list_manifests
 
+    import pyarrow.fs as _pafs
+
     history: list[tuple[str, dict]] = []
     for e in list_manifests(src):
         if e["current"]:
@@ -133,8 +135,19 @@ def clone_index(
             old_man = src.read_json(e["name"])
         except (FileNotFoundError, OSError, ValueError):
             continue  # torn/expired snapshot object protects nothing
+        extra = _collect_files(old_man, {}, src)
+        # a pre-compaction/purge snapshot may reference rewritten data
+        # files that no longer exist — it is already unpinnable on the
+        # SOURCE, so skip it instead of crashing the whole clone
+        missing = [
+            f
+            for f in extra - files
+            if src.fs.get_file_info(f).type != _pafs.FileType.File
+        ]
+        if missing:
+            continue
         history.append((e["name"], old_man))
-        files |= _collect_files(old_man, {}, src)
+        files |= extra
 
     files = sorted(files)
     copied = 0

@@ -220,6 +220,23 @@ class McpServer:
             raise InvalidToolArguments(f"{key!r} must be a non-empty string")
         return v.strip()
 
+    @staticmethod
+    def _int_arg(
+        arguments: dict, key: str, default: int, lo: int, hi: int
+    ) -> int:
+        """Integer argument validated against the ADVERTISED inputSchema
+        bounds (hand-rolled server: enforce what tools/list promises)."""
+        v = arguments.get(key)
+        if v is None:
+            return default
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise InvalidToolArguments(f"{key!r} must be an integer")
+        if not (lo <= v <= hi):
+            raise InvalidToolArguments(
+                f"{key!r} must be between {lo} and {hi}"
+            )
+        return v
+
     def _searcher(self, index_dir: str, at: str | None = None):
         key = (index_dir, at)
         s = self._searchers.get(key)
@@ -232,7 +249,7 @@ class McpServer:
     def _tool_search(self, arguments: dict) -> dict[str, Any]:
         query = self._req_str(arguments, "query")
         index_dir = self._req_str(arguments, "index_dir")
-        k = int(arguments.get("k") or 10)
+        k = self._int_arg(arguments, "k", 10, 1, 100)
         method = str(arguments.get("method") or "auto")
         if method not in ("auto", "exact", "wand", "impact"):
             raise InvalidToolArguments(f"unknown method {method!r}")
@@ -265,7 +282,7 @@ class McpServer:
         cfg = BuildConfig(
             pre_extracted=bool(arguments.get("pre_extracted")),
             text_only=bool(arguments.get("text_only")),
-            num_waves=int(arguments.get("waves") or 1),
+            num_waves=self._int_arg(arguments, "waves", 1, 1, 64),
         )
         man = build_index(inp, out, cfg)
         # a rebuilt index must be re-opened by later searches (any pin)
@@ -284,7 +301,7 @@ class McpServer:
 
         phrase = self._req_str(arguments, "phrase")
         pos_dir = self._req_str(arguments, "positions_dir")
-        limit = int(arguments.get("limit") or 20)
+        limit = self._int_arg(arguments, "limit", 20, 1, 1000)
         idx = PositionsIndex(pos_dir)
         tbl = idx.phrase_occurrences(phrase)
         pairs = sorted(

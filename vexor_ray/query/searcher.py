@@ -1523,6 +1523,13 @@ class Searcher:
             extra = [e for e in extra if e.size]
             if extra:
                 ex = np.unique(np.concatenate(extra))
+                # term_docs is a RAW decode (no tombstone mask, unlike
+                # _exact_scores' candidates): drop deleted docs before
+                # seeding, or a deleted doc matching only capped-out
+                # should terms would reappear in results
+                tomb = self._tombstones()
+                if tomb is not None and tomb.size:
+                    ex = ex[self._live_mask(ex, tomb)]
                 new = ex[~np.isin(ex, doc_ids)]
                 if new.size:
                     doc_ids = np.concatenate([doc_ids, new])

@@ -312,6 +312,29 @@ _JS_METHOD_SKIP = frozenset(
 _JS_DECOR_RE = re.compile(r"^\s*@[A-Za-z_$][\w$.]*")
 
 
+def _decor_only_line(mline: str) -> bool:
+    """True when the (masked) line is a STANDALONE decorator — bare
+    ``@Name``, ``@Name(args…)`` closing on this line with nothing after,
+    or a multi-line call whose parens stay open.  ``@Input() title = '';``
+    (decorated property, same line) returns False: it must not become a
+    pending decorator that swallows the next method's span."""
+    m = _JS_DECOR_RE.match(mline)
+    if not m:
+        return False
+    rest = mline[m.end():]
+    depth = 0
+    for i, ch in enumerate(rest):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return rest[i + 1 :].strip() == ""
+        elif depth == 0 and not ch.isspace():
+            return False  # content after a bare decorator → property etc.
+    return True  # bare decorator, or call still open (multi-line args)
+
+
 def _mask_js(source: str) -> list[str]:
     """Per-line copy of the source with string/template/comment CONTENT
     blanked (structure — braces, parens, keywords outside literals — kept),
@@ -479,11 +502,15 @@ def extract_js_chunks(source: str) -> list[CodeChunk]:
             if depth_before[li] != body_depth:
                 continue
             mline = masked[li - 1]
-            # method decorators (@Input, @HostListener(...)) attach to the
-            # following method chunk, mirroring the module-level rule
+            # STANDALONE method decorators (@HostListener(...)) attach to
+            # the following method chunk; a same-line decorated property
+            # (@Input() title = '';) is self-contained and must not
             if _JS_DECOR_RE.match(mline):
-                if pending_mdecor is None:
-                    pending_mdecor = li
+                if _decor_only_line(mline):
+                    if pending_mdecor is None:
+                        pending_mdecor = li
+                else:
+                    pending_mdecor = None
                 continue
             m = _JS_METHOD_RE.match(mline)
             if not m or m.group(1).lstrip("#") in _JS_METHOD_SKIP:
@@ -519,12 +546,16 @@ def extract_js_chunks(source: str) -> list[CodeChunk]:
             ln += 1
             continue
         mline = masked[ln - 1]
-        # decorator block at module level: attaches to the NEXT class/
-        # function symbol (tree-sitter parity for @Component({...}) etc.);
-        # multi-line decorator args ride through the depth>0 skip above
+        # STANDALONE decorator block at module level: attaches to the NEXT
+        # class/function symbol (tree-sitter parity for @Component({...}));
+        # multi-line decorator args ride through the depth>0 skip above,
+        # while a same-line decorated statement resets the block
         if _JS_DECOR_RE.match(mline):
-            if pending_decor is None:
-                pending_decor = ln
+            if _decor_only_line(mline):
+                if pending_decor is None:
+                    pending_decor = ln
+            else:
+                pending_decor = None
             ln += 1
             continue
         cm = _JS_CLASS_RE.match(mline)

@@ -335,14 +335,21 @@ def _font_cmaps(payload: bytes) -> dict[str, tuple | None]:
         type0[num] = parsed
     if not type0:
         return {}
-    fonts: dict[str, tuple | None] = {}
+    # collect EVERY binding per name first: a name bound to both a Type0
+    # font (page A) and a simple font (page B) is ambiguous under the
+    # document-global lookup, so it stays unregistered — simple-font text
+    # keeps the latin-1 path for both pages (the CID page falls back to
+    # pre-CID behavior rather than corrupting the simple page's text)
+    refs_by_name: dict[str, set[int]] = {}
     for body in objs.values():
         for fd in _FONTDICT_RE.finditer(body):
             for fm in _FONTREF_RE.finditer(fd.group(1)):
                 name = fm.group(1).decode("latin-1")
-                ref = int(fm.group(2))
-                if ref in type0 and name not in fonts:
-                    fonts[name] = type0[ref]
+                refs_by_name.setdefault(name, set()).add(int(fm.group(2)))
+    fonts: dict[str, tuple | None] = {}
+    for name, refs in refs_by_name.items():
+        if all(r in type0 for r in refs):
+            fonts[name] = type0[sorted(refs)[0]]
     return fonts
 
 
@@ -400,9 +407,15 @@ def extract_pdf_text(payload: bytes, char_limit: int = 0) -> str | None:
         return None
     if crypto is None:
         streams = _content_streams(payload)
-        # CID/Type0: font-name → ToUnicode CMap bindings ({} for the
-        # overwhelmingly common no-composite-font case — zero overhead)
-        fonts = _font_cmaps(payload)
+        # CID/Type0: font-name → ToUnicode CMap bindings.  The byte probe
+        # keeps the common no-composite-font case at its pre-CID cost —
+        # the object-graph scan runs only when /Type0 can plausibly occur
+        # (verbatim, or hidden inside a compressed object stream)
+        fonts = (
+            _font_cmaps(payload)
+            if (b"/Type0" in payload or b"/ObjStm" in payload)
+            else {}
+        )
     else:
         streams = _decrypted_streams(payload, crypto)
         fonts = {}
