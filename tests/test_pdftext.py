@@ -217,3 +217,51 @@ def test_ambiguous_font_name_keeps_simple_font_text():
     pdf[at:at] = extra
     text = extract_pdf_text(bytes(pdf)) or ""
     assert "simple latin text" in text  # never decoded through the CMap
+
+
+def test_tounicode_property_random_cmaps():
+    """Property: rendering a random set of bfchar pairs + incrementing
+    bfranges into CMap syntax and parsing it back recovers exactly the
+    mapping we rendered (independent reference dict)."""
+    import random
+
+    from vexor_ray.stages.pdftext import _parse_tounicode
+
+    rng = random.Random(99)
+    for _ in range(25):
+        want = {}
+        parts = [b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"]
+        # bfchar section
+        chars = []
+        for _ in range(rng.randint(0, 8)):
+            code = rng.randrange(0x20, 0xFFF0)
+            dst = rng.randrange(0x20, 0xD7FF)
+            chars.append((code, dst))
+            want[code] = chr(dst)
+        if chars:
+            body = "\n".join(f"<{c:04X}> <{d:04X}>" for c, d in chars)
+            parts.append(
+                f"{len(chars)} beginbfchar\n{body}\nendbfchar\n".encode()
+            )
+        # incrementing bfrange section
+        ranges = []
+        for _ in range(rng.randint(0, 4)):
+            lo = rng.randrange(0x20, 0xF000)
+            n = rng.randint(1, 40)
+            base = rng.randrange(0x20, 0xD700)
+            ranges.append((lo, lo + n - 1, base))
+            for k in range(n):
+                want[lo + k] = chr(base + k)
+        if ranges:
+            body = "\n".join(
+                f"<{lo:04X}> <{hi:04X}> <{b:04X}>" for lo, hi, b in ranges
+            )
+            parts.append(
+                f"{len(ranges)} beginbfrange\n{body}\nendbfrange\n".encode()
+            )
+        if not want:
+            assert _parse_tounicode(b"".join(parts)) is None
+            continue
+        width, got = _parse_tounicode(b"".join(parts))
+        assert width == 2
+        assert got == want
