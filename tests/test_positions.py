@@ -414,3 +414,41 @@ def test_shared_pass_survives_incremental_append(ray_session, tmp_path_factory):
     b = PositionsIndex(fresh)
     for phrase in ("needledfone", "the quick brown", "fox jumps over"):
         assert a.phrase_occurrences(phrase) == b.phrase_occurrences(phrase), phrase
+
+
+def test_shared_pass_build_kill_resume(ray_session, pages_1k, tmp_path_factory):
+    """Crash-safety of the tokenized_source path: a killed
+    build_positions_from_index run resumes to a bit-equivalent sidecar."""
+    from vexor_ray.index.build import BuildConfig, build_index
+    from vexor_ray.index.manifest import InjectedFault
+    from vexor_ray.index.positions import (
+        PositionsConfig,
+        build_positions_from_index,
+    )
+
+    root = tmp_path_factory.mktemp("sharedpos_kill")
+    bm = root / "bm25"
+    build_index(
+        pages_1k,
+        bm,
+        BuildConfig(
+            text_only=True,
+            emit_positions=True,
+            num_waves=2,
+            shard_group_size=2,
+            tokenize_concurrency=2,
+        ),
+    )
+    out = root / "pos"
+    with pytest.raises(InjectedFault):
+        build_positions_from_index(
+            bm, out, PositionsConfig(num_waves=2, fail_after_partitions=1)
+        )
+    man = build_positions_from_index(bm, out, PositionsConfig(num_waves=2))
+    done = {
+        p["partition_id"] for p in man["partitions"] if p["stage"] == "positions"
+    }
+    assert done == {"wave-0000-gen-0000", "wave-0001-gen-0000"}
+    idx = PositionsIndex(out)
+    got = idx.phrase_occurrences("needledften")
+    assert got.num_rows == 10  # df=10 needle
